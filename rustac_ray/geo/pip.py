@@ -1,0 +1,222 @@
+"""Exact geometry predicates, numpy-vectorized: point-in-polygon and
+quad-vs-polygon intersects.
+
+This is the engine's GEOS substitute (no shapely in the environment). A
+:class:`PreparedGeometry` precomputes edge arrays once (the analogue of
+shapely prepared geometries held in the reference-inspired PIP actor pool,
+see SURVEY.md J2) so per-batch work is pure broadcasting:
+
+- ``contains_points``: crossing-number (even-odd) test of N points against
+  all rings at once, O(N*E) numpy ops.
+- ``intersects_quads``: exact quad-footprint vs polygon test =
+  bbox reject -> any quad corner inside polygon | any polygon vertex inside
+  quad | any edge-pair properly crossing.
+
+Boundary semantics: points exactly on a polygon edge count as inside
+(matches the inclusive intersects used by the reference's search — DE-9IM
+"intersects" is true for touching geometries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wkb import decode_geometry
+
+__all__ = ["PreparedGeometry", "quads_contain_points"]
+
+_EPS = 1e-12
+
+
+def _rings_of(geom: dict) -> list[np.ndarray]:
+    t = geom["type"]
+    if t == "Polygon":
+        return [np.asarray(r, dtype=np.float64) for r in geom["coordinates"]]
+    if t == "MultiPolygon":
+        return [
+            np.asarray(r, dtype=np.float64)
+            for poly in geom["coordinates"]
+            for r in poly
+        ]
+    raise ValueError(f"not an areal geometry: {t}")
+
+
+class PreparedGeometry:
+    """A query geometry with precomputed edge arrays for vectorized tests.
+
+    Point queries degrade gracefully: ``contains_points`` is exact-equality
+    (within eps) and ``intersects_quads`` tests the point against each quad.
+    """
+
+    __slots__ = (
+        "kind", "point", "ax", "ay", "bx", "by", "outer_mask",
+        "xmin", "ymin", "xmax", "ymax", "verts",
+    )
+
+    def __init__(self, geom: dict | bytes):
+        if isinstance(geom, (bytes, bytearray, memoryview)):
+            geom = decode_geometry(bytes(geom))
+        t = geom["type"]
+        if t == "Point":
+            self.kind = "point"
+            self.point = np.asarray(geom["coordinates"], dtype=np.float64)
+            self.xmin = self.xmax = float(self.point[0])
+            self.ymin = self.ymax = float(self.point[1])
+            self.verts = self.point.reshape(1, 2)
+            self.ax = self.ay = self.bx = self.by = np.empty(0)
+            return
+        self.kind = "area"
+        self.point = None
+        rings = _rings_of(geom)
+        a_parts, b_parts = [], []
+        for ring in rings:
+            if len(ring) >= 2 and np.allclose(ring[0], ring[-1]):
+                ring = ring[:-1]
+            a_parts.append(ring)
+            b_parts.append(np.roll(ring, -1, axis=0))
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        self.ax, self.ay = np.ascontiguousarray(a[:, 0]), np.ascontiguousarray(a[:, 1])
+        self.bx, self.by = np.ascontiguousarray(b[:, 0]), np.ascontiguousarray(b[:, 1])
+        self.verts = a
+        self.xmin = float(a[:, 0].min())
+        self.ymin = float(a[:, 1].min())
+        self.xmax = float(a[:, 0].max())
+        self.ymax = float(a[:, 1].max())
+
+    # ------------------------------------------------------------- points --
+
+    def contains_points(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Even-odd point-in-polygon over all rings; edge-touch counts as in."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        if self.kind == "point":
+            return (np.abs(px - self.point[0]) < _EPS) & (np.abs(py - self.point[1]) < _EPS)
+        inside = np.zeros(px.shape, dtype=bool)
+        bbox_ok = (px >= self.xmin) & (px <= self.xmax) & (py >= self.ymin) & (py <= self.ymax)
+        if not bbox_ok.any():
+            return inside
+        idx = np.nonzero(bbox_ok)[0]
+        x = px[idx][:, None]  # (M,1)
+        y = py[idx][:, None]
+        ax, ay, bx, by = self.ax[None, :], self.ay[None, :], self.bx[None, :], self.by[None, :]
+        # crossing-number: edge straddles the horizontal line through y
+        straddle = (ay > y) != (by > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (y - ay) * (bx - ax) / (by - ay)
+        crosses = straddle & (x < xint)
+        inner = crosses.sum(axis=1) % 2 == 1
+        # boundary: point on an edge segment counts as inside
+        cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        on_line = np.abs(cross) < 1e-9
+        within_seg = (
+            (x >= np.minimum(ax, bx) - _EPS) & (x <= np.maximum(ax, bx) + _EPS)
+            & (y >= np.minimum(ay, by) - _EPS) & (y <= np.maximum(ay, by) + _EPS)
+        )
+        on_boundary = (on_line & within_seg).any(axis=1)
+        inside[idx] = inner | on_boundary
+        return inside
+
+    # -------------------------------------------------------------- quads --
+
+    def intersects_quads(self, corners: np.ndarray) -> np.ndarray:
+        """Exact intersects of (N,4,2) quads against this geometry."""
+        corners = np.asarray(corners, dtype=np.float64)
+        n = corners.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        qxmin = corners[:, :, 0].min(axis=1)
+        qxmax = corners[:, :, 0].max(axis=1)
+        qymin = corners[:, :, 1].min(axis=1)
+        qymax = corners[:, :, 1].max(axis=1)
+        cand = (
+            (qxmin <= self.xmax + _EPS) & (qxmax >= self.xmin - _EPS)
+            & (qymin <= self.ymax + _EPS) & (qymax >= self.ymin - _EPS)
+        )
+        out = np.zeros(n, dtype=bool)
+        if not cand.any():
+            return out
+        idx = np.nonzero(cand)[0]
+        sub = corners[idx]  # (M,4,2)
+        if self.kind == "point":
+            out[idx] = quads_contain_points(
+                sub, np.full(len(idx), self.point[0]), np.full(len(idx), self.point[1])
+            )
+            return out
+        m = len(idx)
+        hit = np.zeros(m, dtype=bool)
+        # (a) any quad corner inside polygon
+        flat = sub.reshape(-1, 2)
+        corner_in = self.contains_points(flat[:, 0], flat[:, 1]).reshape(m, 4)
+        hit |= corner_in.any(axis=1)
+        # (b) any polygon vertex inside quad
+        todo = ~hit
+        if todo.any():
+            vin = _points_in_quads_any(sub[todo], self.verts)
+            hit[np.nonzero(todo)[0]] |= vin
+        # (c) any edge pair crossing
+        todo = ~hit
+        if todo.any():
+            ecross = _quad_edges_cross(sub[todo], self.ax, self.ay, self.bx, self.by)
+            hit[np.nonzero(todo)[0]] |= ecross
+        out[idx] = hit
+        return out
+
+
+def quads_contain_points(corners: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Per-row test: does quad i contain point i? (N,4,2) x (N,) -> (N,) bool.
+
+    Works for arbitrary (convex, CCW or CW) quads via sign-consistency of
+    cross products; boundary counts as inside.
+    """
+    a = corners  # (N,4,2)
+    b = np.roll(corners, -1, axis=1)
+    cross = (b[:, :, 0] - a[:, :, 0]) * (py[:, None] - a[:, :, 1]) - (
+        b[:, :, 1] - a[:, :, 1]
+    ) * (px[:, None] - a[:, :, 0])
+    return (cross >= -1e-9).all(axis=1) | (cross <= 1e-9).all(axis=1)
+
+
+def _points_in_quads_any(quads: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """For each quad (M,4,2): is ANY of the K verts inside it? -> (M,) bool."""
+    a = quads[:, None, :, :]  # (M,1,4,2)
+    b = np.roll(quads, -1, axis=1)[:, None, :, :]
+    px = verts[None, :, None, 0]  # (1,K,1)
+    py = verts[None, :, None, 1]
+    cross = (b[..., 0] - a[..., 0]) * (py - a[..., 1]) - (b[..., 1] - a[..., 1]) * (
+        px - a[..., 0]
+    )  # (M,K,4)
+    inside = (cross >= -1e-9).all(axis=2) | (cross <= 1e-9).all(axis=2)
+    return inside.any(axis=1)
+
+
+def _seg_cross(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y) -> np.ndarray:
+    """Proper/improper segment intersection test, broadcastable."""
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    d1 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (
+        d3 != 0
+    ) & (d4 != 0)
+    # collinear-touch cases are already covered by the vertex-containment
+    # tests (boundary counts as inside), so proper crossing suffices here.
+    return proper
+
+
+def _quad_edges_cross(quads: np.ndarray, ax, ay, bx, by) -> np.ndarray:
+    """Any of the 4 quad edges crosses any polygon edge. (M,4,2) -> (M,)."""
+    p1 = quads  # (M,4,2)
+    p2 = np.roll(quads, -1, axis=1)
+    P1x = p1[:, :, 0][:, :, None]  # (M,4,1)
+    P1y = p1[:, :, 1][:, :, None]
+    P2x = p2[:, :, 0][:, :, None]
+    P2y = p2[:, :, 1][:, :, None]
+    Q1x, Q1y = ax[None, None, :], ay[None, None, :]  # (1,1,E)
+    Q2x, Q2y = bx[None, None, :], by[None, None, :]
+    cross = _seg_cross(P1x, P1y, P2x, P2y, Q1x, Q1y, Q2x, Q2y)  # (M,4,E)
+    return cross.any(axis=(1, 2))

@@ -1,0 +1,38 @@
+"""Perceptual hashing (average-hash) for image payloads.
+
+Classic aHash: grayscale → 8x8 box-downsample → bit i set iff cell i is
+above the mean → 64-bit int. Deterministic, library-free, and mergeable
+into the near-dup machinery (hamming distance between phashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["average_hash", "hamming64"]
+
+_BITS = np.left_shift(np.int64(1), np.arange(63, -1, -1, dtype=np.int64))
+
+
+def average_hash(pixels: np.ndarray) -> np.int64:
+    """uint8 (H,W,3) → 64-bit average hash (as signed int64 for Arrow)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # box downsample to 8x8 via integer bucket means
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    small = np.zeros((8, 8))
+    counts = np.zeros((8, 8))
+    np.add.at(small, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
+    small /= np.maximum(counts, 1.0)
+    bits = (small.ravel() > small.mean()).astype(np.int64)
+    # assemble with wraparound-safe int64 arithmetic
+    return np.int64(np.bitwise_or.reduce(np.where(bits == 1, _BITS, np.int64(0))))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between int64 hash arrays."""
+    x = np.bitwise_xor(np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64))
+    bytes_view = np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)

@@ -1,0 +1,325 @@
+"""Deterministic synthetic fixtures (FIXTURES.md T1-T3), seed=42.
+
+Everything is a pure function of (tag, seed): regenerating at any time on
+any machine yields byte-identical parquet content, so the DuckDB oracle can
+read the same files the Ray pipelines read. Files land under
+``/tmp/rustac_fixtures/<tag>/`` and are written atomically (tmp dir +
+rename) so concurrent generators race benignly.
+
+Scaling tiers (tag = basename of the driver's sf_dir):
+
+    tag        images   stac_items  query boxes/geoms
+    sf0.001     1,000         100        20
+    sf0.01     10,000       1,000        60
+    sf0.1     100,000       5,000       120
+
+The stac_items table scales the reference golden-count matrix
+(/root/reference/crates/duckdb/src/client.rs:755-1035) proportionally:
+at n=100 the exact reference counts hold — default→100, intersects(point
+-106,40.5)→50, bbox(-106.1,40.5,-106.0,40.6)→50, datetime ../2024-12-02→99,
+2024-12-02/..→1, filter sat:relative_orbit=98→49.
+
+~5% of image footprints are packed into one 0.5°x0.5° "hot" area to
+exercise hot-cell skew refinement (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .geo.wkb import encode_geometry
+from .imaging.codec import encode_image
+from .imaging.phash import average_hash
+from . import schema as sch
+
+SEED = 42
+FIXTURE_ROOT = "/tmp/rustac_fixtures"
+
+_TIERS = {
+    "sf0.001": dict(images=1_000, items=100, queries=20),
+    "sf0.01": dict(images=10_000, items=1_000, queries=60),
+    "sf0.1": dict(images=100_000, items=5_000, queries=120),
+}
+_DEFAULT_TIER = dict(images=1_000, items=100, queries=20)
+
+# image extent (FIXTURES.md T1)
+LON0, LON1 = -120.0, -60.0
+LAT0, LAT1 = 20.0, 50.0
+HOT_BOX = (-100.25, 34.75, -99.75, 35.25)  # 0.5 deg hot area, ~5% of rows
+_EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "ms")
+
+
+def tier_for(sf_dir: str) -> dict:
+    return _TIERS.get(os.path.basename(os.path.normpath(sf_dir)), _DEFAULT_TIER)
+
+
+def fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag not in _TIERS:
+        tag = "default"
+    return os.path.join(FIXTURE_ROOT, tag)
+
+
+# ----------------------------------------------------------------- images ---
+
+
+def _image_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic per-image pixel pattern (gradient + phase from i)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 4 + i) % 256
+    g = (yy * 4 + i * 7) % 256
+    b = (xx + yy + i * 13) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def build_images_table(n: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    w_choices = np.array([16, 24, 32], dtype=np.int32)
+    w = w_choices[np.arange(n) % 3]
+    h = w_choices[(np.arange(n) + 1) % 3]
+    fmts = np.where(np.arange(n) % 2 == 0, "png", "raw")
+
+    # placement: 95% uniform grid over the extent, 5% in the hot box
+    hot = rng.random(n) < 0.05
+    lon = rng.uniform(LON0, LON1 - 0.5, n)
+    lat = rng.uniform(LAT0 + 0.5, LAT1, n)
+    lon[hot] = rng.uniform(HOT_BOX[0], HOT_BOX[2] - 0.02, hot.sum())
+    lat[hot] = rng.uniform(HOT_BOX[1] + 0.02, HOT_BOX[3], hot.sum())
+    # pixel size so footprints span ~0.05-0.15 deg
+    res = rng.uniform(0.002, 0.005, n)
+    # axis-aligned affine: [a, 0, x0, 0, -e, y0]; origin = top-left corner
+    transform = np.zeros((n, 6))
+    transform[:, 0] = res
+    transform[:, 2] = lon
+    transform[:, 4] = -res
+    transform[:, 5] = lat
+
+    payloads = []
+    phashes = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        px = _image_pixels(i, int(w[i]), int(h[i]))
+        payloads.append(encode_image(px, str(fmts[i])))
+        phashes[i] = average_hash(px)
+
+    dt = _EPOCH_2024 + (np.arange(n, dtype="int64") * 300_000)  # 5-min ramp
+    collections = np.array(["landsat-c2", "sentinel-2a", "naip"], dtype=object)[
+        np.arange(n) % 3
+    ]
+    ids = np.array([f"img-{i:08d}" for i in range(n)], dtype=object)
+    captions = np.array(
+        [f"scene {i} over cell {i % 977}" for i in range(n)], dtype=object
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(w, pa.int32()),
+            pa.array(h, pa.int32()),
+            pa.array(fmts, pa.string()),
+            pa.array(captions, pa.string()),
+            pa.array(phashes, pa.int64()),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(transform.ravel(), pa.float64()), 6
+            ).cast(pa.list_(pa.float64(), 6)),
+            pa.array(dt).cast(pa.timestamp("ms")),
+            pa.array(collections, pa.string()),
+        ],
+        schema=sch.IMAGES_SCHEMA,
+    )
+
+
+# ------------------------------------------------------------- stac items ---
+
+PROBE_POINT = (-106.0, 40.5)
+PROBE_BBOX = (-106.1, 40.5, -106.0, 40.6)
+
+
+def build_stac_items_table(n: int, seed: int = SEED) -> pa.Table:
+    """Scaled reference golden corpus; exact reference counts at n=100."""
+    assert n % 100 == 0
+    m = n // 100
+    rng = np.random.default_rng(seed + 1)
+    i = np.arange(n)
+    ids = np.array([f"item-{k:05d}" for k in i], dtype=object)
+
+    half = n // 2
+    # half A: rects around the probe point (always contain it); half B: far east
+    cx = np.where(i < half, PROBE_POINT[0], -100.0) + rng.uniform(-0.01, 0.01, n)
+    cy = np.where(i < half, PROBE_POINT[1], 40.0) + rng.uniform(-0.01, 0.01, n)
+    hs = 0.05  # half-size deg — guarantees probe containment given jitter<=0.01
+    xmin, xmax = cx - hs, cx + hs
+    ymin, ymax = cy - hs, cy + hs
+    wkbs = [
+        encode_geometry(
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [xmin[k], ymin[k]],
+                        [xmax[k], ymin[k]],
+                        [xmax[k], ymax[k]],
+                        [xmin[k], ymax[k]],
+                        [xmin[k], ymin[k]],
+                    ]
+                ],
+            }
+        )
+        for k in range(n)
+    ]
+
+    # datetimes: first n-m strictly increasing through Nov 2024; last m after
+    # 2024-12-02 (so ../2024-12-02 → n-m, 2024-12-02/.. → m; ref counts 99/1)
+    dt = np.empty(n, dtype="datetime64[ms]")
+    dt[: n - m] = np.datetime64("2024-11-01T00:00:00", "ms") + (
+        np.arange(n - m, dtype="int64") * 60_000
+    )
+    dt[n - m :] = np.datetime64("2024-12-15T12:00:00", "ms") + (
+        np.arange(m, dtype="int64") * 60_000
+    )
+    # a 10% subset is range-items: start/end straddle datetime (coalesce path,
+    # reference duckdb client.rs:361-385)
+    has_range = i % 10 == 5
+    start = np.where(has_range, dt - np.timedelta64(1, "D"), np.datetime64("NaT", "ms"))
+    end = np.where(has_range, dt + np.timedelta64(1, "D"), np.datetime64("NaT", "ms"))
+
+    orbit = np.where(i % 100 < 49, 98, 11).astype(np.int64)  # 49 per 100 → ref 49
+    cloud = np.round(rng.uniform(0, 100, n), 2)
+    collection = np.where(i % 2 == 0, "sentinel-2a", "sentinel-2b")
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(["Feature"] * n),
+            pa.array(["1.1.0"] * n),
+            pa.array(ids, pa.string()),
+            pa.array(wkbs, pa.binary()),
+            pa.StructArray.from_arrays(
+                [pa.array(v, pa.float64()) for v in (xmin, ymin, xmax, ymax)],
+                fields=list(sch.BBOX_STRUCT),
+            ),
+            pa.array(dt).cast(pa.timestamp("ms")),
+            pa.array(start).cast(pa.timestamp("ms")),
+            pa.array(end).cast(pa.timestamp("ms")),
+            pa.array(collection, pa.string()),
+            pa.array(cloud, pa.float64()),
+            pa.array(orbit, pa.int64()),
+        ],
+        schema=sch.STAC_ITEMS_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------- query geoms -----
+
+
+def build_query_tables(nq: int, seed: int = SEED) -> tuple[pa.Table, pa.Table]:
+    """(query_geoms with WKB incl. concave+points, query_boxes flat rects).
+
+    The flat rect table is the SQL-oracle-friendly subset; the WKB table is
+    the full probe side (points, boxes, concave polys, kNN probes).
+    """
+    rng = np.random.default_rng(seed + 2)
+    qids, wkbs, kinds, ks = [], [], [], []
+    bx_ids, bx = [], []
+    for j in range(nq):
+        qid = f"q-{j:04d}"
+        kind = ("box", "point", "concave")[j % 3]
+        # a few probes target the hot box to exercise skew
+        if j % 10 == 0:
+            cx = rng.uniform(HOT_BOX[0], HOT_BOX[2])
+            cy = rng.uniform(HOT_BOX[1], HOT_BOX[3])
+        else:
+            cx = rng.uniform(LON0, LON1)
+            cy = rng.uniform(LAT0, LAT1)
+        if kind == "point":
+            geom = {"type": "Point", "coordinates": [cx, cy]}
+        elif kind == "box":
+            hw = rng.uniform(0.2, 1.5)
+            hh = rng.uniform(0.2, 1.5)
+            x0, y0, x1, y1 = cx - hw, cy - hh, cx + hw, cy + hh
+            geom = {
+                "type": "Polygon",
+                "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+            }
+            bx_ids.append(qid)
+            bx.append((x0, y0, x1, y1))
+        else:  # concave arrow-head polygon
+            s = rng.uniform(0.3, 1.2)
+            geom = {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [cx - s, cy - s],
+                        [cx + s, cy - s],
+                        [cx + s, cy + s],
+                        [cx, cy - 0.2 * s],  # concave notch
+                        [cx - s, cy + s],
+                        [cx - s, cy - s],
+                    ]
+                ],
+            }
+        qids.append(qid)
+        wkbs.append(encode_geometry(geom))
+        kinds.append(kind)
+        ks.append(int(rng.integers(1, 11)) if kind == "point" else None)
+
+    geoms = pa.Table.from_arrays(
+        [
+            pa.array(qids, pa.string()),
+            pa.array(wkbs, pa.binary()),
+            pa.array(kinds, pa.string()),
+            pa.array(ks, pa.int32()),
+        ],
+        schema=sch.QUERY_GEOMS_SCHEMA,
+    )
+    bx_arr = np.asarray(bx, dtype=np.float64).reshape(-1, 4)
+    boxes = pa.Table.from_arrays(
+        [
+            pa.array(bx_ids, pa.string()),
+            *[pa.array(bx_arr[:, c], pa.float64()) for c in range(4)],
+        ],
+        schema=sch.QUERY_BOXES_SCHEMA,
+    )
+    return geoms, boxes
+
+
+# ---------------------------------------------------------------- ensure ----
+
+
+def ensure_fixtures(sf_dir: str) -> str:
+    """Generate (once) the fixture parquet set for this tier; return its dir.
+
+    Atomic: builds in a scratch dir then renames into place, so parallel
+    callers and the DuckDB oracle always see complete files.
+    """
+    out = fixture_dir(sf_dir)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    tier = tier_for(sf_dir)
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        build_images_table(tier["images"]),
+        os.path.join(tmp, "images.parquet"),
+        compression="zstd",
+        row_group_size=10_000,
+    )
+    pq.write_table(
+        build_stac_items_table(tier["items"]),
+        os.path.join(tmp, "stac_items.parquet"),
+        compression="zstd",
+    )
+    geoms, boxes = build_query_tables(tier["queries"])
+    pq.write_table(geoms, os.path.join(tmp, "query_geoms.parquet"))
+    pq.write_table(boxes, os.path.join(tmp, "query_boxes.parquet"))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; other copy is identical
+    return out
