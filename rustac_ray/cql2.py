@@ -1,0 +1,343 @@
+"""Minimal CQL2 evaluator (text + json) → vectorized Arrow predicates.
+
+Covers the subset the reference exercises (crates/core/src/api/filter.rs:11-70
+routes cql2-text/json into an AST; crates/duckdb/src/client.rs:386-394
+compiles it to SQL): comparisons (= <> < <= > >=), IS NULL, IN, LIKE,
+AND / OR / NOT, parentheses, and S_INTERSECTS(geometry, <geojson literal>).
+
+Reference parity rule (crates/duckdb/src/client.rs:391-393,433-455): if the
+filter references a property absent from the table schema, the WHOLE query
+short-circuits to the empty result — surfaced here as
+:class:`UnknownPropertyError` for the planner to catch.
+
+Evaluation is vectorized: each AST node evaluates to either a numpy/Arrow
+array over the whole batch or a scalar; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["parse_cql2", "Cql2Predicate", "UnknownPropertyError"]
+
+
+class UnknownPropertyError(KeyError):
+    """Filter references a property not in the schema → empty result set."""
+
+
+# ------------------------------------------------------------------ parser --
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,)
+      | (?P<op><>|<=|>=|=|<|>)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<qword>"[^"]*")
+      | (?P<word>[A-Za-z_][A-Za-z0-9_:.]*)
+    )""",
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"cql2-text tokenize error at {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "qword":  # "quoted identifier" → property word
+            kind, val = "word", val[1:-1]
+        out.append((kind, val))
+    out.append(("eof", ""))
+    return out
+
+
+class _TextParser:
+    """Recursive descent over: or_expr ← and_expr (OR and_expr)* etc."""
+
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def eat(self, kind=None, value=None):
+        k, v = self.toks[self.i]
+        if kind and k != kind:
+            raise ValueError(f"expected {kind}, got {k}:{v}")
+        if value and v.upper() != value:
+            raise ValueError(f"expected {value}, got {v}")
+        self.i += 1
+        return v
+
+    def parse(self):
+        node = self.or_expr()
+        self.eat("eof")
+        return node
+
+    def or_expr(self):
+        node = self.and_expr()
+        while self.peek() == ("word", "OR") or (
+            self.peek()[0] == "word" and self.peek()[1].upper() == "OR"
+        ):
+            self.eat("word")
+            node = {"op": "or", "args": [node, self.and_expr()]}
+        return node
+
+    def and_expr(self):
+        node = self.unary_expr()
+        while self.peek()[0] == "word" and self.peek()[1].upper() == "AND":
+            self.eat("word")
+            node = {"op": "and", "args": [node, self.unary_expr()]}
+        return node
+
+    def unary_expr(self):
+        k, v = self.peek()
+        if k == "word" and v.upper() == "NOT":
+            self.eat("word")
+            return {"op": "not", "args": [self.unary_expr()]}
+        if k == "lpar":
+            self.eat("lpar")
+            node = self.or_expr()
+            self.eat("rpar")
+            return node
+        return self.predicate()
+
+    def operand(self):
+        k, v = self.peek()
+        if k == "str":
+            self.eat("str")
+            return v[1:-1].replace("''", "'")
+        if k == "num":
+            self.eat("num")
+            return float(v) if ("." in v or "e" in v.lower()) else int(v)
+        if k == "word":
+            if v.upper() in ("TRUE", "FALSE"):
+                self.eat("word")
+                return v.upper() == "TRUE"
+            self.eat("word")
+            return {"property": v}
+        raise ValueError(f"bad operand {k}:{v}")
+
+    def predicate(self):
+        k, v = self.peek()
+        if k == "word" and v.upper() == "S_INTERSECTS":
+            self.eat("word")
+            self.eat("lpar")
+            a = self.operand()
+            self.eat("comma")
+            geom = self.geom_literal()
+            self.eat("rpar")
+            return {"op": "s_intersects", "args": [a, geom]}
+        left = self.operand()
+        k, v = self.peek()
+        if k == "op":
+            self.eat("op")
+            return {"op": {"<>": "<>"}.get(v, v), "args": [left, self.operand()]}
+        if k == "word" and v.upper() == "IS":
+            self.eat("word")
+            neg = False
+            if self.peek()[1].upper() == "NOT":
+                self.eat("word")
+                neg = True
+            self.eat("word", "NULL")
+            node = {"op": "isNull", "args": [left]}
+            return {"op": "not", "args": [node]} if neg else node
+        if k == "word" and v.upper() == "IN":
+            self.eat("word")
+            self.eat("lpar")
+            vals = [self.operand()]
+            while self.peek()[0] == "comma":
+                self.eat("comma")
+                vals.append(self.operand())
+            self.eat("rpar")
+            return {"op": "in", "args": [left, vals]}
+        if k == "word" and v.upper() == "LIKE":
+            self.eat("word")
+            return {"op": "like", "args": [left, self.operand()]}
+        raise ValueError(f"bad predicate near {k}:{v}")
+
+    def geom_literal(self):
+        # accept GeoJSON-ish inline: we only need it from json filters or
+        # WKT-like POINT(x y) / POLYGON((...)) / BBOX(x0,y0,x1,y1)
+        k, v = self.peek()
+        if k == "word" and v.upper() == "POINT":
+            self.eat("word")
+            self.eat("lpar")
+            x = self.operand()
+            y = self.operand()
+            self.eat("rpar")
+            return {"type": "Point", "coordinates": [x, y]}
+        if k == "word" and v.upper() == "BBOX":
+            self.eat("word")
+            self.eat("lpar")
+            vals = [self.operand()]
+            while self.peek()[0] == "comma":
+                self.eat("comma")
+                vals.append(self.operand())
+            self.eat("rpar")
+            x0, y0, x1, y1 = vals
+            return {
+                "type": "Polygon",
+                "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+            }
+        if k == "word" and v.upper() == "POLYGON":
+            self.eat("word")
+            self.eat("lpar")
+            rings = []
+            while True:
+                self.eat("lpar")
+                ring = []
+                while True:
+                    x = self.operand()
+                    y = self.operand()
+                    ring.append([x, y])
+                    if self.peek()[0] == "comma":
+                        self.eat("comma")
+                    else:
+                        break
+                self.eat("rpar")
+                rings.append(ring)
+                if self.peek()[0] == "comma":
+                    self.eat("comma")
+                else:
+                    break
+            self.eat("rpar")
+            return {"type": "Polygon", "coordinates": rings}
+        raise ValueError(f"unsupported geometry literal near {v}")
+
+
+def parse_cql2(filter_expr: str | dict) -> dict:
+    """cql2-text string or cql2-json dict → AST dict (cql2-json shaped)."""
+    if isinstance(filter_expr, dict):
+        return filter_expr
+    s = filter_expr.strip()
+    if s.startswith("{"):
+        return json.loads(s)
+    return _TextParser(s).parse()
+
+
+# --------------------------------------------------------------- evaluator --
+
+
+def _collect_properties(node, out: set[str]):
+    if isinstance(node, dict):
+        if "property" in node:
+            out.add(node["property"])
+        for a in node.get("args", []):
+            _collect_properties(a, out)
+    elif isinstance(node, list):
+        for a in node:
+            _collect_properties(a, out)
+
+
+class Cql2Predicate:
+    """Compiled filter: ``mask(batch) -> np.ndarray[bool]`` over Arrow batches.
+
+    ``check_schema(names)`` raises UnknownPropertyError when a referenced
+    property is missing (reference short-circuit,
+    crates/duckdb/src/client.rs:391-393).
+    """
+
+    def __init__(self, filter_expr: str | dict, geometry_column: str = "geometry"):
+        self.ast = parse_cql2(filter_expr)
+        self.geometry_column = geometry_column
+        props: set[str] = set()
+        _collect_properties(self.ast, props)
+        self.properties = props
+
+    def check_schema(self, column_names) -> None:
+        missing = {
+            p for p in self.properties if p not in column_names and p != "geometry"
+        }
+        if missing:
+            raise UnknownPropertyError(sorted(missing))
+
+    def mask(self, batch: pa.Table) -> np.ndarray:
+        return np.asarray(self._eval(self.ast, batch), dtype=bool)
+
+    def _value(self, node, batch: pa.Table):
+        if isinstance(node, dict) and "property" in node:
+            return batch[node["property"]]
+        if isinstance(node, dict) and "timestamp" in node:
+            return np.datetime64(node["timestamp"].rstrip("Z"), "ms")
+        return node
+
+    def _eval(self, node, batch: pa.Table) -> np.ndarray:
+        op = node["op"]
+        args = node.get("args", [])
+        n = len(batch)
+        if op in ("and", "or"):
+            vals = [self._eval(a, batch) for a in args]
+            res = vals[0]
+            for v in vals[1:]:
+                res = (res & v) if op == "and" else (res | v)
+            return res
+        if op == "not":
+            return ~self._eval(args[0], batch)
+        if op == "isNull":
+            col = self._value(args[0], batch)
+            return pc.is_null(col).to_numpy(zero_copy_only=False)
+        if op == "in":
+            col = self._value(args[0], batch)
+            vals = [self._value(v, batch) for v in args[1]]
+            return pc.is_in(col, value_set=pa.array(vals)).to_numpy(zero_copy_only=False)
+        if op == "like":
+            col = self._value(args[0], batch)
+            pat = str(args[1]).replace("%", "*").replace("_", "?")
+            return pc.match_like(col, str(args[1])).to_numpy(zero_copy_only=False) if hasattr(pc, "match_like") else pc.match_substring_regex(
+                col, "^" + re.escape(str(args[1])).replace("%", ".*").replace("_", ".") + "$"
+            ).to_numpy(zero_copy_only=False)
+        if op == "s_intersects":
+            from .geo.pip import PreparedGeometry
+            from .geo.wkb import decode_bboxes
+
+            geom = args[1]
+            pg = PreparedGeometry(geom)
+            col = batch[self.geometry_column]
+            wkbs = col.to_pylist()
+            out = np.zeros(n, dtype=bool)
+            valid = [i for i, b in enumerate(wkbs) if b is not None]
+            if valid:
+                bbs = decode_bboxes([wkbs[i] for i in valid])
+                # exact only on bbox-overlap survivors
+                cand = (
+                    (bbs[:, 0] <= pg.xmax) & (bbs[:, 2] >= pg.xmin)
+                    & (bbs[:, 1] <= pg.ymax) & (bbs[:, 3] >= pg.ymin)
+                )
+                for j in np.nonzero(cand)[0]:
+                    out[valid[j]] = _geom_intersects(pg, wkbs[valid[j]])
+            return out
+        # comparison ops
+        left = self._value(args[0], batch)
+        right = self._value(args[1], batch)
+        fn = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+              ">": pc.greater, ">=": pc.greater_equal}[op]
+        res = fn(left, right)
+        return pc.fill_null(res, False).to_numpy(zero_copy_only=False)
+
+
+def _geom_intersects(pg, wkb_bytes: bytes) -> bool:
+    """Exact test of one WKB geometry against a prepared geometry."""
+    from .geo.wkb import decode_geometry
+
+    g = decode_geometry(bytes(wkb_bytes))
+    if g["type"] == "Point":
+        x, y = g["coordinates"]
+        return bool(pg.contains_points(np.array([x]), np.array([y]))[0])
+    if g["type"] == "Polygon":
+        rings = [np.asarray(r, dtype=np.float64) for r in g["coordinates"]]
+        return pg.intersects_polygon(rings)
+    raise ValueError(f"s_intersects: unsupported stored geometry {g['type']}")

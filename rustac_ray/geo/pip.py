@@ -163,6 +163,33 @@ class PreparedGeometry:
         return out
 
 
+    def intersects_polygon(self, rings: list[np.ndarray]) -> bool:
+        """Exact intersects against one arbitrary polygon (list of rings).
+
+        vertex-in either way | any proper edge crossing. Used by the CQL2
+        S_INTERSECTS evaluator for non-quad stored geometries.
+        """
+        outer = np.asarray(rings[0], dtype=np.float64)
+        if len(outer) >= 2 and np.allclose(outer[0], outer[-1]):
+            outer = outer[:-1]
+        if self.kind == "point":
+            other = PreparedGeometry({"type": "Polygon", "coordinates": [r.tolist() if isinstance(r, np.ndarray) else r for r in rings]})
+            return bool(other.contains_points(self.point[:1], self.point[1:2])[0])
+        if self.contains_points(outer[:, 0], outer[:, 1]).any():
+            return True
+        other = PreparedGeometry({"type": "Polygon", "coordinates": [np.asarray(r).tolist() for r in rings]})
+        if other.contains_points(self.verts[:, 0], self.verts[:, 1]).any():
+            return True
+        # proper edge crossings: all candidate edges × all prepared edges
+        a = outer
+        b = np.roll(outer, -1, axis=0)
+        cross = _seg_cross(
+            a[:, 0][:, None], a[:, 1][:, None], b[:, 0][:, None], b[:, 1][:, None],
+            self.ax[None, :], self.ay[None, :], self.bx[None, :], self.by[None, :],
+        )
+        return bool(cross.any())
+
+
 def quads_contain_points(corners: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     """Per-row test: does quad i contain point i? (N,4,2) x (N,) -> (N,) bool.
 

@@ -1,0 +1,269 @@
+"""Search query IR and its compilation to a Ray Data pipeline.
+
+:class:`QuerySpec` mirrors the reference's ``api::Search``
+(crates/core/src/api/search.rs:12-30): ids, collections, bbox, intersects,
+datetime, filter (CQL2), fields, sortby, limit. ``search()`` compiles it
+into read → vectorized map_batches predicates → [sort] → limit, with exact
+reference semantics:
+
+- conjunctive matching (search.rs:160-165): every set predicate must pass;
+- empty id/collection lists pass everything; an item without a collection
+  FAILS a non-empty collections filter (search.rs:185-193);
+- bbox intersects the item GEOMETRY, not the item bbox
+  (crates/core/src/api/items.rs:184-198 → item.rs:457-468) — compiled as a
+  two-phase bbox-struct prefilter + exact test, the same covering-prefilter
+  idea as the geoparquet bbox metadata (geoparquet.rs:411-435);
+- datetime interval: item interval = [start_datetime or datetime,
+  end_datetime or datetime], INCLUSIVE both ends, open ends via ``..``
+  (item.rs:510-554; duckdb client.rs:361-385 citing stac-spec#1280);
+- datetime strings expand like the reference normalizer
+  (search.rs:259-439): "2023" → the whole year, "2023-06" → the month,
+  single instant, "a/b", "../b", "a/..";
+- CQL2 filter referencing an unknown property → EMPTY result
+  (duckdb client.rs:391-393,433-455);
+- legacy ``query`` always errors (items.rs:240-247);
+- sortby "-field" = desc, "+field"/bare = asc (api/sort.rs:10-83);
+- fields "+a,-b" include/exclude → column projection (api/fields.rs:17-57).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .cql2 import Cql2Predicate, UnknownPropertyError
+from .geo.pip import PreparedGeometry
+from .geo.wkb import decode_bboxes
+
+__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields"]
+
+
+class LegacyQueryError(ValueError):
+    """The legacy ``query`` extension is intentionally unimplemented
+    (reference: crates/core/src/api/items.rs:240-247 always errors)."""
+
+
+@dataclass
+class QuerySpec:
+    ids: list[str] | None = None
+    collections: list[str] | None = None
+    bbox: list[float] | None = None  # [xmin, ymin, xmax, ymax]
+    intersects: dict | None = None  # GeoJSON geometry
+    datetime: str | None = None
+    filter: str | dict | None = None  # CQL2 text or json
+    fields: str | None = None  # "+a,-b"
+    sortby: str | None = None  # "-field,+other"
+    limit: int | None = None
+    query: dict | None = None  # legacy; always errors if set
+    extra: dict = field(default_factory=dict)
+
+
+# ----------------------------------------------------- datetime normalizer --
+
+_YEAR = re.compile(r"^\d{4}$")
+_MONTH = re.compile(r"^\d{4}-\d{2}$")
+_DAY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _parse_instant(s: str, end: bool = False) -> np.datetime64:
+    """Permissive instant parse + partial-date expansion (reference
+    search.rs:259-439 + datetime.rs:44-60). ``end`` picks the interval end
+    of a partial date (last ms of the year/month/day)."""
+    s = s.strip()
+    if _YEAR.match(s):
+        if end:
+            return np.datetime64(f"{int(s)+1}-01-01T00:00:00.000", "ms") - np.timedelta64(1, "ms")
+        return np.datetime64(f"{s}-01-01T00:00:00.000", "ms")
+    if _MONTH.match(s):
+        if end:
+            y, m = int(s[:4]), int(s[5:7])
+            y2, m2 = (y + 1, 1) if m == 12 else (y, m + 1)
+            return np.datetime64(f"{y2:04d}-{m2:02d}-01T00:00:00.000", "ms") - np.timedelta64(1, "ms")
+        return np.datetime64(f"{s}-01T00:00:00.000", "ms")
+    if _DAY.match(s):
+        if end:
+            return np.datetime64(f"{s}T23:59:59.999", "ms")
+        return np.datetime64(f"{s}T00:00:00.000", "ms")
+    s = s.rstrip("Zz")
+    # strip numeric UTC offsets like +00:00 (values are UTC by convention)
+    m = re.match(r"^(.*?)([+-]\d{2}:\d{2})$", s)
+    if m and "T" in m.group(1):
+        s = m.group(1)
+    return np.datetime64(s, "ms")
+
+
+def normalize_datetime(expr: str) -> tuple[np.datetime64 | None, np.datetime64 | None]:
+    """'a/b' | '../b' | 'a/..' | instant | partial-date → (start, end), either None for open.
+
+    Raises ValueError when start > end (reference search.rs:306-357)."""
+    if "/" in expr:
+        a, b = expr.split("/", 1)
+        start = None if a in ("..", "") else _parse_instant(a)
+        end = None if b in ("..", "") else _parse_instant(b, end=True)
+    else:
+        start = _parse_instant(expr)
+        end = _parse_instant(expr, end=True)
+    if start is not None and end is not None and start > end:
+        raise ValueError(f"datetime start after end: {expr}")
+    return start, end
+
+
+# ----------------------------------------------------------- sort / fields --
+
+
+def parse_sortby(sortby: str) -> list[tuple[str, bool]]:
+    """'-a,+b,c' → [(a, desc=True), (b, False), (c, False)]."""
+    out = []
+    for part in sortby.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part[0] == "-":
+            out.append((part[1:], True))
+        elif part[0] == "+":
+            out.append((part[1:], False))
+        else:
+            out.append((part, False))
+    return out
+
+
+def parse_fields(fields: str) -> tuple[list[str], list[str]]:
+    """'+a,-b,c' → (include=[a,c], exclude=[b])."""
+    inc, exc = [], []
+    for part in fields.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part[0] == "-":
+            exc.append(part[1:])
+        else:
+            inc.append(part.lstrip("+"))
+    return inc, exc
+
+
+# ------------------------------------------------------------------ search --
+
+
+def _bbox_struct_arrays(batch: pa.Table):
+    col = batch["bbox"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return tuple(col.field(i).to_numpy(zero_copy_only=False) for i in range(4))
+
+
+def _item_geoms_intersect(batch: pa.Table, pg: PreparedGeometry, prefilter: np.ndarray) -> np.ndarray:
+    """Exact geometry∩geometry on prefilter survivors; null geometry → False
+    (reference search.rs:236-251)."""
+    out = np.zeros(len(batch), dtype=bool)
+    idx = np.nonzero(prefilter)[0]
+    if len(idx) == 0:
+        return out
+    geoms = batch["geometry"].take(pa.array(idx)).to_pylist()
+    from .cql2 import _geom_intersects
+
+    for j, g in zip(idx, geoms):
+        if g is not None:
+            out[j] = _geom_intersects(pg, g)
+    return out
+
+
+def _compile_mask(spec: QuerySpec, cql: Cql2Predicate | None):
+    """Build the conjunctive vectorized batch predicate (reference
+    Search::matches, search.rs:160-165)."""
+    pg_bbox = None
+    if spec.bbox is not None:
+        x0, y0, x1, y1 = spec.bbox[:4] if len(spec.bbox) == 4 else (
+            spec.bbox[0], spec.bbox[1], spec.bbox[3], spec.bbox[4]
+        )
+        pg_bbox = PreparedGeometry(
+            {"type": "Polygon",
+             "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]}
+        )
+    pg_int = PreparedGeometry(spec.intersects) if spec.intersects is not None else None
+    dt_range = normalize_datetime(spec.datetime) if spec.datetime else None
+
+    def mask_fn(batch: pa.Table) -> np.ndarray:
+        n = len(batch)
+        mask = np.ones(n, dtype=bool)
+        if spec.ids:  # empty/None list = pass-all (search.rs:211-213)
+            mask &= pc.is_in(batch["id"], value_set=pa.array(spec.ids)).to_numpy(
+                zero_copy_only=False
+            )
+        if spec.collections:  # null collection fails (search.rs:185-193)
+            m = pc.is_in(batch["collection"], value_set=pa.array(spec.collections))
+            mask &= pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+        for pg in (pg_bbox, pg_int):
+            if pg is None or not mask.any():
+                continue
+            bx0, by0, bx1, by1 = _bbox_struct_arrays(batch)
+            pre = mask & np.nan_to_num(
+                (bx0 <= pg.xmax) & (bx1 >= pg.xmin) & (by0 <= pg.ymax) & (by1 >= pg.ymin),
+                nan=False,
+            )
+            mask &= _item_geoms_intersect(batch, pg, pre)
+        if dt_range is not None and mask.any():
+            start, end = dt_range
+            dt = batch["datetime"].to_numpy(zero_copy_only=False)
+            sdt = batch["start_datetime"].to_numpy(zero_copy_only=False) if "start_datetime" in batch.column_names else np.full(n, np.datetime64("NaT"))
+            edt = batch["end_datetime"].to_numpy(zero_copy_only=False) if "end_datetime" in batch.column_names else np.full(n, np.datetime64("NaT"))
+            item_start = np.where(np.isnat(sdt), dt, sdt)
+            item_end = np.where(np.isnat(edt), dt, edt)
+            ok = ~np.isnat(item_start) | ~np.isnat(item_end)
+            if start is not None:  # inclusive both ends (client.rs:361-385)
+                ok &= item_end >= start
+            if end is not None:
+                ok &= item_start <= end
+            mask &= ok
+        if cql is not None and mask.any():
+            mask &= cql.mask(batch)
+        return mask
+
+    return mask_fn
+
+
+def search(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
+    """Compile + run a QuerySpec over a flat stac-items Dataset."""
+    if spec.query is not None:
+        raise LegacyQueryError(
+            "the legacy 'query' extension is not supported (use filter/CQL2)"
+        )
+    cql = Cql2Predicate(spec.filter) if spec.filter is not None else None
+    if cql is not None:
+        try:
+            cql.check_schema(ds.schema().names)
+        except UnknownPropertyError:
+            # reference short-circuit: whole query → empty result
+            empty = pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
+            ))
+            ds = ray.data.from_arrow(empty)
+            return _postprocess(ds, spec)
+
+    mask_fn = _compile_mask(spec, cql)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(mask_fn(batch)))
+
+    out = ds.map_batches(apply, batch_format="pyarrow")
+    return _postprocess(out, spec)
+
+
+def _postprocess(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
+    if spec.sortby:
+        keys = parse_sortby(spec.sortby)
+        ds = ds.sort([k for k, _ in keys], descending=[d for _, d in keys])
+    if spec.limit is not None:
+        ds = ds.limit(spec.limit)
+    if spec.fields:
+        inc, exc = parse_fields(spec.fields)
+        if inc:
+            ds = ds.select_columns(inc)
+        elif exc:
+            keep = [c for c in ds.schema().names if c not in exc]
+            ds = ds.select_columns(keep)
+    return ds

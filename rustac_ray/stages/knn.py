@@ -1,0 +1,158 @@
+"""kNN item search (SURVEY.md J4): k nearest image footprints to each probe
+point.
+
+Distributed top-k without an all-to-all: every batch computes its LOCAL
+top-k per probe (vectorized partial argpartition — the combiner), emitting
+at most Q×k tiny rows per batch; a final ``groupby(query_id)`` over those
+partials (a small shuffle over partial winners, never the data) keeps the
+global k. This is the streaming-friendly formulation of the reference's
+"nearest = sort by distance" (SURVEY.md O3) — a full ``ds.sort`` per query
+would be Q full shuffles.
+
+Distance: great-circle-free planar degrees to the footprint center
+(deterministic, matches the DuckDB oracle's expression); the probe side is
+broadcast once via ``ray.put``.
+
+A cell-ring index variant for point lookups (``CellKNNIndex``) serves the
+interactive path: an actor pool holding a cell→rows index for repeated
+low-latency probes, with ring expansion at the cell resolution until the
+kth distance is below the ring lower bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..geo import cells
+from .footprint import derive_footprints
+
+__all__ = ["knn_join", "CellKNNIndex"]
+
+
+class _PartialTopK:
+    def __init__(self, probes_ref, k: int):
+        probes = ray.get(probes_ref)  # dict: query_id → (x, y)
+        self.qids = list(probes.keys())
+        pts = np.asarray(list(probes.values()), dtype=np.float64)
+        self.px = pts[:, 0]
+        self.py = pts[:, 1]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+        cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+        n = len(cx)
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "image_id": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        # (Q, N) squared planar distance — vectorized; Q is small (broadcast side)
+        d2 = (cx[None, :] - self.px[:, None]) ** 2 + (cy[None, :] - self.py[:, None]) ** 2
+        k = min(self.k, n)
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (Q,k) local winners
+        rows = part.ravel()
+        qidx = np.repeat(np.arange(len(self.qids)), k)
+        dist = np.sqrt(d2[qidx, rows])
+        return pa.table(
+            {
+                "query_id": pa.array([self.qids[i] for i in qidx], pa.string()),
+                "image_id": batch["image_id"].take(pa.array(rows)),
+                "dist": pa.array(dist, pa.float64()),
+            }
+        )
+
+
+def knn_join(
+    images_ds: "ray.data.Dataset",
+    probes: dict[str, tuple[float, float]],
+    k: int,
+    *,
+    batch_size: int = 8192,
+    concurrency: int | tuple[int, int] = 4,
+    footprints_derived: bool = False,
+) -> "ray.data.Dataset":
+    """→ (query_id, image_id, dist): global k nearest per probe point."""
+    probes_ref = ray.put(probes)
+    ds = images_ds
+    if not footprints_derived:
+        ds = ds.map_batches(derive_footprints, batch_format="pyarrow", batch_size=batch_size)
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(probes_ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(k, "dist")
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class CellKNNIndex:
+    """In-memory cell-ring kNN index for repeated point probes.
+
+    Built from a (small enough to hold per actor) footprint-center table:
+    centers bucketed by grid cell at ``res``. ``query(x, y, k)`` expands
+    neighbor rings r=0,1,2,… collecting candidates until the kth best
+    distance is ≤ the lower bound of the next unexplored ring (ring r's
+    cells are ≥ (r-1)·cell_size away), the classic grid-file kNN search.
+
+    At 10^12 scale this index is sharded: one actor per coarse cell range,
+    with the driver routing probes by cell — the structure here is the
+    per-shard piece.
+    """
+
+    def __init__(self, image_ids: np.ndarray, cx: np.ndarray, cy: np.ndarray, res: int = 6):
+        self.res = res
+        self.ids = np.asarray(image_ids)
+        self.cx = np.asarray(cx, dtype=np.float64)
+        self.cy = np.asarray(cy, dtype=np.float64)
+        cell = cells.cell_encode(self.cx, self.cy, res)
+        order = np.argsort(cell, kind="stable")
+        self._cells_sorted = cell[order]
+        self._order = order
+        self._uniq, self._starts = np.unique(self._cells_sorted, return_index=True)
+
+    def _rows_in_cell(self, cell: int) -> np.ndarray:
+        i = np.searchsorted(self._uniq, cell)
+        if i >= len(self._uniq) or self._uniq[i] != cell:
+            return np.empty(0, dtype=np.int64)
+        lo = self._starts[i]
+        hi = self._starts[i + 1] if i + 1 < len(self._starts) else len(self._cells_sorted)
+        return self._order[lo:hi]
+
+    def query(self, x: float, y: float, k: int, max_ring: int = 64):
+        dlon, dlat = cells.cell_size_deg(self.res)
+        min_cell = min(dlon, dlat)
+        home = int(cells.cell_encode(np.array([x]), np.array([y]), self.res)[0])
+        cand_rows: list[np.ndarray] = []
+        best_kth = np.inf
+        for r in range(max_ring + 1):
+            lower_bound = (r - 1) * min_cell if r > 0 else 0.0
+            if lower_bound > best_kth:
+                break
+            ring = cells.cell_ring(home, r)
+            got = [self._rows_in_cell(int(c)) for c in ring]
+            got = [g for g in got if len(g)]
+            if got:
+                cand_rows.extend(got)
+                rows = np.concatenate(cand_rows)
+                d = np.hypot(self.cx[rows] - x, self.cy[rows] - y)
+                if len(d) >= k:
+                    best_kth = np.partition(d, k - 1)[k - 1]
+        if not cand_rows:
+            return np.empty(0, dtype=self.ids.dtype), np.empty(0)
+        rows = np.concatenate(cand_rows)
+        d = np.hypot(self.cx[rows] - x, self.cy[rows] - y)
+        kk = min(k, len(d))
+        top = np.argsort(d, kind="stable")[:kk]
+        return self.ids[rows[top]], d[top]
