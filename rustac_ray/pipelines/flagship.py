@@ -1,0 +1,75 @@
+"""The flagship north-rule pipeline: spatial-join + tile-assignment.
+
+read images (column-pruned: the join never loads ``bytes``)
+  → map_batches(derive_footprints)          [stateless, zero-copy Arrow]
+  → broadcast_spatial_join                  [actor pool, probe side via ray.put]
+  ∥ assign_tiles (+ hot-tile refinement)    [stateless + tiny count pre-pass]
+  → counts / partitioned parquet out
+
+This is the pipeline bench.py times and the driver smoke-checks.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from .. import synth
+from ..stages import spatial_join, tiling
+from ..stages.footprint import derive_footprints
+
+__all__ = ["read_images_metadata", "run_spatial_join", "run_tile_assignment", "flagship"]
+
+# the join/tiling path needs only geometry metadata — pruning `bytes` and
+# `caption` at the read keeps 95+% of the table's byte weight off the wire
+METADATA_READ_COLUMNS = ["image_id", "w", "h", "transform", "datetime", "collection"]
+
+
+def read_images_metadata(sf_dir: str, *, override_num_blocks: int | None = None):
+    import ray.data as rd
+
+    fdir = synth.ensure_fixtures(sf_dir)
+    kwargs = dict(columns=METADATA_READ_COLUMNS)
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(f"{fdir}/images.parquet", **kwargs)
+
+
+def run_spatial_join(sf_dir: str, *, concurrency: int | tuple[int, int] = 8, batch_size: int = 8192):
+    fdir = synth.ensure_fixtures(sf_dir)
+    images = read_images_metadata(sf_dir)
+    queries = pq.read_table(f"{fdir}/query_geoms.parquet")
+    return spatial_join.broadcast_spatial_join(
+        images, queries, concurrency=concurrency, batch_size=batch_size
+    )
+
+
+def run_tile_assignment(sf_dir: str, *, z: int = 8, refine_threshold: int | None = 2000):
+    images = read_images_metadata(sf_dir)
+    return tiling.assign_tiles(images, z=z, refine_threshold=refine_threshold)
+
+
+def flagship(sf_dir: str, *, concurrency: int | tuple[int, int] = 8, batch_size: int = 8192):
+    """One fused pass: footprints → (join pairs, tile assignments).
+
+    Footprints are derived once; the join and the tiling consume the same
+    derived Dataset (Ray Data re-executes lazily per consumer, so for the
+    timed bench we fuse: derive → join, then derive → tiles; both linear).
+    Returns (join_ds, tiles_ds).
+    """
+    fdir = synth.ensure_fixtures(sf_dir)
+    images = read_images_metadata(sf_dir)
+    with_fp = images.map_batches(
+        derive_footprints, batch_format="pyarrow", batch_size=batch_size
+    )
+    queries = pq.read_table(f"{fdir}/query_geoms.parquet")
+    join_ds = spatial_join.broadcast_spatial_join(
+        with_fp,
+        queries,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        footprints_derived=True,
+    )
+    tiles_ds = tiling.assign_tiles(
+        with_fp, z=8, refine_threshold=None, footprints_derived=True
+    )
+    return join_ds, tiles_ds

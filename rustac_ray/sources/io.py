@@ -1,0 +1,116 @@
+"""Sources / sinks (SURVEY.md §2.1): format inference, JSON / NDJSON /
+(stac-geo)parquet read & write.
+
+Mirrors the reference's format surface — ``Format::from_path`` extension
+inference (crates/io/src/format.rs:101-119), streaming NDJSON one item per
+line (crates/core/src/ndjson.rs:61-76), stac-geoparquet writes with
+row-group ≤ 150k rows + zstd and ``geo`` / bbox-covering footer metadata
+(crates/core/src/geoparquet.rs:24-29,397-435) — on Ray Data primitives:
+``read_parquet`` / ``read_json`` / ``write_parquet``. Object-store URIs
+(s3:// etc.) pass straight through to pyarrow.fs, covering the reference's
+object_store layer (crates/io/src/store.rs:15-62).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = [
+    "infer_format",
+    "read_items",
+    "write_items",
+    "write_stac_geoparquet",
+    "read_stac_geoparquet_table",
+    "ROW_GROUP_SIZE",
+]
+
+# reference defaults: geoparquet.rs:24-29
+ROW_GROUP_SIZE = 150_000
+COMPRESSION = "zstd"
+
+
+def infer_format(href: str) -> str:
+    """Extension-based inference (reference format.rs:101-119):
+    *.parquet/geoparquet → parquet; *.ndjson/jsonl → ndjson; *.json → json."""
+    base = href.lower().split("?")[0]
+    if base.endswith((".parquet", ".geoparquet")):
+        return "parquet"
+    if base.endswith((".ndjson", ".jsonl")):
+        return "ndjson"
+    if base.endswith((".json", ".geojson")):
+        return "json"
+    raise ValueError(f"cannot infer format from {href!r}")
+
+
+def read_items(path: str, fmt: str | None = None, **kwargs):
+    """→ ray.data.Dataset of flat item rows."""
+    import ray.data as rd
+
+    fmt = fmt or infer_format(path)
+    if fmt == "parquet":
+        return rd.read_parquet(path, **kwargs)
+    if fmt in ("ndjson", "json"):
+        return rd.read_json(path, **kwargs)
+    raise ValueError(fmt)
+
+
+def write_items(ds, path: str, fmt: str | None = None, **kwargs):
+    fmt = fmt or infer_format(os.path.join(path, "x.parquet") if "." not in os.path.basename(path) else path)
+    if fmt == "parquet":
+        return ds.write_parquet(
+            path, compression=COMPRESSION, row_group_size=ROW_GROUP_SIZE, **kwargs
+        )
+    if fmt == "ndjson":
+        return ds.write_json(path, **kwargs)
+    raise ValueError(fmt)
+
+
+def _bbox_covering_metadata(bbox_column: str = "bbox") -> dict:
+    """The stac-geoparquet 'covering' declaration (geoparquet.rs:411-435)."""
+    return {
+        "bbox": {
+            "xmin": [bbox_column, "xmin"],
+            "ymin": [bbox_column, "ymin"],
+            "xmax": [bbox_column, "xmax"],
+            "ymax": [bbox_column, "ymax"],
+        }
+    }
+
+
+def write_stac_geoparquet(
+    table: pa.Table, path: str, geometry_column: str = "geometry"
+) -> None:
+    """Driver-side geoparquet writer with `geo` + covering footer metadata
+    (the final footer pass of SURVEY.md K3). For distributed writes use
+    write_items(...) then this only on the (small) consolidated outputs."""
+    geo_meta = {
+        "version": "1.1.0",
+        "primary_column": geometry_column,
+        "columns": {
+            geometry_column: {
+                "encoding": "WKB",
+                "geometry_types": ["Polygon"],
+                "covering": _bbox_covering_metadata(),
+            }
+        },
+    }
+    meta = dict(table.schema.metadata or {})
+    meta[b"geo"] = json.dumps(geo_meta).encode()
+    pq.write_table(
+        table.replace_schema_metadata(meta),
+        path,
+        compression=COMPRESSION,
+        row_group_size=ROW_GROUP_SIZE,
+    )
+
+
+def read_stac_geoparquet_table(path: str) -> tuple[pa.Table, dict | None]:
+    """Read + parse the `geo` footer metadata (if present)."""
+    t = pq.read_table(path)
+    meta = t.schema.metadata or {}
+    geo = json.loads(meta[b"geo"].decode()) if b"geo" in meta else None
+    return t, geo

@@ -1,0 +1,279 @@
+"""Deduplication operators over the documents / images tables.
+
+Scale-first formulations (no driver-side row loops):
+
+- exact dedup: vectorized content hash in map_batches →
+  ``groupby(hash).map_groups(first)`` — the only shuffle is over the key.
+- MinHash + LSH near-dup: per-batch shingle→minhash (numpy), explode to
+  (band_id, band_hash, doc_id) rows, ``groupby(band)`` → candidate groups,
+  verify n-gram Jaccard within groups, emit (keep) pairs/cluster labels.
+- SimHash: 64-bit hyperplane-free simhash from token hashes; near-dups =
+  identical simhash prefix buckets, hamming-verified.
+- phash near-dup (images): band the 64-bit phash into 4×16-bit bands
+  (hamming-LSH), groupby band, verify hamming distance ≤ threshold.
+
+The reference itself has only trivial dedup (extensions dedup,
+crates/extensions/src/lib.rs:160-162); these are the training-data-pipeline
+extensions the north rule requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "exact_dedup",
+    "MinHasher",
+    "minhash_lsh_candidates",
+    "SimHasher",
+    "phash_near_dup",
+    "ngram_jaccard",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_text_column(batch: pd.DataFrame, col: str) -> pd.Series:
+    """Stable 64-bit content hash (pandas hash is seeded-stable per call)."""
+    import hashlib
+
+    return batch[col].map(
+        lambda s: np.int64(
+            int.from_bytes(hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "big")
+            - (1 << 63)
+        )
+    )
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Keep the first row (lowest id) per exact content value.
+
+    hash-partition + per-group first (SURVEY.md §2.7): the shuffle moves the
+    content HASH key, not a full-text sort.
+    """
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_content_hash"] = _hash_text_column(batch, col)
+        return batch
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_col).drop(columns=["_content_hash"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("_content_hash")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+class MinHasher:
+    """Per-batch shingle → minhash signature (k permutations via the classic
+    (a*x + b) mod p universal hash family, seeded deterministically)."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 4, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        data = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        k = self.shingle
+        if len(data) < k:
+            data = np.pad(data, (0, k - len(data)))
+        # rolling k-byte windows → one 64-bit value each (vectorized)
+        windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        weights = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return np.unique(windows @ weights)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch["text"].astype(str)])
+        batch["_minhash"] = list(sigs)
+        return batch
+
+
+def minhash_lsh_candidates(
+    ds,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 4,
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    concurrency: int | tuple[int, int] = 4,
+):
+    """documents → near-duplicate pairs (id_a < id_b, est_jaccard).
+
+    shingle→minhash per batch (actor pool) → explode to band rows →
+    groupby(band_id, band_hash) → pairs within each bucket verified by
+    minhash-estimated Jaccard. Pairs may appear in several bands — they are
+    deduped by the final groupby over (id_a, id_b).
+    """
+    rows_per_band = num_perm // bands
+
+    hasher_args = dict(num_perm=num_perm, shingle=shingle)
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(batch["_minhash"].to_numpy())  # (N, P)
+        n = len(batch)
+        banded = sigs.reshape(n, bands, rows_per_band)
+        # hash each band to one value
+        with np.errstate(over="ignore"):
+            w = np.uint64(1099511628211) ** np.arange(rows_per_band, dtype=np.uint64)
+            bh = (banded * w[None, None, :]).sum(axis=2)
+        return pd.DataFrame(
+            {
+                "band_id": np.repeat(np.arange(bands), n),
+                "band_hash": bh.T.reshape(-1).astype(np.int64),
+                id_col: np.tile(batch[id_col].to_numpy(), bands),
+                "_minhash": list(np.tile(sigs, (bands, 1))),
+            }
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=group[id_col].dtype),
+                "id_b": pd.Series(dtype=group[id_col].dtype),
+                "est_jaccard": pd.Series(dtype=float),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["_minhash"].to_numpy())
+        ia, ib, jac = [], [], []
+        for i in range(len(g)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for off in np.nonzero(eq >= jaccard_threshold)[0]:
+                ia.append(ids[i])
+                ib.append(ids[i + 1 + off])
+                jac.append(eq[off])
+        if not ia:
+            return empty
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": jac})
+
+    sigged = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=hasher_args, batch_format="pandas",
+        concurrency=concurrency,
+    )
+    banded = sigged.map_batches(explode_bands, batch_format="pandas")
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+class SimHasher:
+    """64-bit simhash from token hashes (majority vote per bit)."""
+
+    def __init__(self, seed: int = 42):
+        import re
+
+        self.token_re = re.compile(r"\w+")
+        self.seed = seed
+
+    def simhash(self, text: str) -> np.int64:
+        import hashlib
+
+        toks = self.token_re.findall(text.lower())
+        if not toks:
+            return np.int64(0)
+        acc = np.zeros(64, dtype=np.int64)
+        for t in set(toks):
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        out = np.uint64(0)
+        for i in np.nonzero(acc > 0)[0]:
+            out |= np.uint64(1) << np.uint64(i)
+        return np.int64(out.astype(np.int64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = batch["text"].astype(str).map(self.simhash)
+        return batch
+
+
+def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
+    """Exact character n-gram Jaccard (verification oracle for near-dup)."""
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def phash_near_dup(ds, max_hamming: int = 4, id_col: str = "image_id"):
+    """Image near-dup via phash hamming-LSH: band the 64-bit phash into 4
+    16-bit bands; two images within hamming ≤ 4 of each other share at
+    least one identical band w.h.p. → groupby band, verify hamming."""
+    from ..imaging.phash import hamming64
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        out = []
+        for band in range(4):
+            bh = ((ph >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "band_id": band,
+                        "band_hash": bh,
+                        id_col: batch[id_col].to_numpy(),
+                        "phash": batch["phash"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=object),
+                "id_b": pd.Series(dtype=object),
+                "hamming": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.int64)
+        ia, ib, hm = [], [], []
+        for i in range(len(g) - 1):
+            d = hamming64(np.full(len(ph) - i - 1, ph[i]), ph[i + 1 :])
+            for off in np.nonzero(d <= max_hamming)[0]:
+                ia.append(ids[i])
+                ib.append(ids[i + 1 + off])
+                hm.append(int(d[off]))
+        if not ia:
+            return empty
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hm})
+
+    cand = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

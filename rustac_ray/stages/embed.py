@@ -1,0 +1,244 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is broadcast
+  once via ``ray.put``; every batch does one numpy matmul and emits its
+  LOCAL top-k per query (partial top-k combiner), then a small
+  groupby(query) keeps the global k. Linear scan, zero data shuffle —
+  the right baseline at any scale.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets
+  (sign bits of q·H) computed per batch; only rows whose bucket matches a
+  query's bucket (within ``probe`` hamming) are scored. Approximate;
+  recall grows with ``n_bits`` and ``probe``.
+- ``embedding_near_dup``: cosine near-duplicate pairs via the same LSH
+  bucketing (groupby bucket, verify cosine within bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+__all__ = ["brute_force_topk", "lsh_topk", "embedding_near_dup"]
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_fixed_size_list(c.type):
+        return c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
+    values = c.flatten().to_numpy(zero_copy_only=False)
+    offsets = c.offsets.to_numpy()
+    dim = offsets[1] - offsets[0]
+    return values.reshape(len(c), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _PartialCosineTopK:
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)  # dict qid → vector
+        self.qids = list(q.keys())
+        self.qm = _normalize(np.asarray(list(q.values()), dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float32))
+        sims = self.qm @ m.T  # (Q, N)
+        n = sims.shape[1]
+        if n == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.string()),
+                 self.id_col: pa.array([], batch[self.id_col].type),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        k = min(self.k, n)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = part.ravel()
+        qidx = np.repeat(np.arange(len(self.qids)), k)
+        return pa.table(
+            {
+                "query_id": pa.array([self.qids[i] for i in qidx], pa.string()),
+                self.id_col: batch[self.id_col].take(pa.array(rows)),
+                "cosine": pa.array(sims[qidx, rows].astype(np.float64)),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries: dict[str, np.ndarray],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+    concurrency: int | tuple[int, int] = 4,
+):
+    """→ (query_id, id, cosine): exact global top-k by cosine similarity."""
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        _PartialCosineTopK,
+        fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "cosine")
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+class _LshTopK:
+    """Score only rows whose LSH bucket is within ``probe`` bits of the
+    query bucket — an IVF-style shortlist without an index build."""
+
+    def __init__(self, queries_ref, planes_ref, k, probe, id_col, vec_col):
+        q = ray.get(queries_ref)
+        self.qids = list(q.keys())
+        self.qm = _normalize(np.asarray(list(q.values()), dtype=np.float32))
+        self.planes = ray.get(planes_ref)  # (dim, n_bits)
+        qbits = (self.qm @ self.planes) > 0
+        self.qcodes = np.packbits(qbits, axis=1)
+        self.k = k
+        self.probe = probe
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float32))
+        bits = (m @ self.planes) > 0
+        codes = np.packbits(bits, axis=1)  # (N, n_bits/8)
+        out_q, out_rows, out_sim = [], [], []
+        for qi in range(len(self.qids)):
+            ham = np.unpackbits(codes ^ self.qcodes[qi], axis=1).sum(axis=1)
+            cand = np.nonzero(ham <= self.probe)[0]
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ self.qm[qi]
+            k = min(self.k, len(cand))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_rows.append(cand[top])
+            out_sim.append(sims[top].astype(np.float64))
+        if not out_rows:
+            return pa.table(
+                {"query_id": pa.array([], pa.string()),
+                 self.id_col: pa.array([], batch[self.id_col].type),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        rows = np.concatenate(out_rows)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                self.id_col: batch[self.id_col].take(pa.array(rows)),
+                "cosine": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+
+def lsh_topk(
+    ds,
+    queries: dict[str, np.ndarray],
+    k: int,
+    *,
+    n_bits: int = 16,
+    probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    batch_size: int = 4096,
+    concurrency: int | tuple[int, int] = 4,
+):
+    dim = len(next(iter(queries.values())))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    qref = ray.put(queries)
+    pref = ray.put(planes)
+    partials = ds.map_batches(
+        _LshTopK,
+        fn_constructor_args=(qref, pref, k, probe, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "cosine")
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def embedding_near_dup(
+    ds,
+    *,
+    cosine_threshold: float = 0.95,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Near-dup pairs (id_a < id_b, cosine ≥ threshold) via LSH buckets.
+
+    Bucket key = sign pattern of the projection; highly-similar vectors
+    land in the same bucket w.h.p.; each bucket verifies exactly.
+    """
+    planes_holder: dict[str, np.ndarray] = {}
+    rng = np.random.default_rng(seed)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col).astype(np.float32))
+        if "planes" not in planes_holder:
+            r = np.random.default_rng(seed)
+            planes_holder["planes"] = r.standard_normal((m.shape[1], n_bits)).astype(
+                np.float32
+            )
+        bits = (m @ planes_holder["planes"]) > 0
+        code = np.packbits(bits, axis=1, bitorder="little")[:, :8]
+        code = np.pad(code, ((0, 0), (0, 8 - code.shape[1])))
+        key = code.copy().view(np.int64).ravel()
+        return pa.table(
+            {
+                "bucket": pa.array(key, pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=float)}
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float32))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        hit = sims[iu, ju] >= cosine_threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[hit]],
+                "id_b": ids[ju[hit]],
+                "cosine": sims[iu[hit], ju[hit]].astype(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

@@ -1,0 +1,147 @@
+"""Multimodal (image payload) stages: decode / feature-extract / resize.
+
+The ``bytes`` column is treated as an opaque binary payload with typed
+metadata (w, h, fmt) — exactly the input_hint schema. Stages are actor
+pools (``map_batches(Cls, concurrency=N, batch_size=small)``): codecs and
+buffers initialize once per actor; batches stay SMALL because each row
+carries kilobytes of binary (memory-aware sizing, SURVEY.md §4).
+
+Real codecs for png/raw (pure numpy+zlib, rustac_ray.imaging.codec); the
+jpeg path raises LossyCodecUnavailable (NotImplementedError) per the task's
+stub requirement — the Ray-side plumbing (schema, actor signature, output
+layout) is identical and fully tested via png/raw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..imaging.codec import LossyCodecUnavailable, decode_image
+from ..imaging.phash import average_hash
+
+__all__ = ["DecodeStats", "Thumbnail", "VerifyPayload", "DEFAULT_IMAGE_BATCH"]
+
+# image rows are wide (KBs of binary each): keep payload batches small so
+# batch_size x concurrency x row_width stays well inside a worker heap
+DEFAULT_IMAGE_BATCH = 256
+
+
+class DecodeStats:
+    """Decode each payload and emit per-image pixel statistics
+    (mean/std per channel + recomputed phash). Skips undecodable formats
+    unless strict=True."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n = len(batch)
+        mean = np.full((n, 3), np.nan)
+        std = np.full((n, 3), np.nan)
+        ph = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = decode_image(payloads[i], fmts[i])
+            except LossyCodecUnavailable:
+                if self.strict:
+                    raise
+                continue
+            f = px.reshape(-1, 3).astype(np.float64)
+            mean[i] = f.mean(axis=0)
+            std[i] = f.std(axis=0)
+            ph[i] = average_hash(px)
+            ok[i] = True
+        out = batch.select(["image_id", "w", "h", "fmt"])
+        out = out.append_column("decoded", pa.array(ok))
+        for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            out = out.append_column(name, pa.array(mean[:, c], pa.float64()))
+        for c, name in enumerate(("std_r", "std_g", "std_b")):
+            out = out.append_column(name, pa.array(std[:, c], pa.float64()))
+        out = out.append_column("phash_recomputed", pa.array(ph, pa.int64()))
+        return out
+
+
+class Thumbnail:
+    """Decode → box-downsample to (size × size) → re-encode png.
+
+    The resize kernel is pure numpy (bucket means); output schema is
+    (image_id, thumb: binary, w, h)."""
+
+    def __init__(self, size: int = 8):
+        self.size = size
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        s = self.size
+        ys = (np.arange(h) * s) // h
+        xs = (np.arange(w) * s) // w
+        out = np.zeros((s, s, 3))
+        cnt = np.zeros((s, s, 1))
+        np.add.at(out, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), px)
+        np.add.at(cnt, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
+        return (out / np.maximum(cnt, 1)).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import encode_png
+
+        thumbs = []
+        for payload, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            try:
+                px = decode_image(payload, fmt)
+            except LossyCodecUnavailable:
+                thumbs.append(None)
+                continue
+            thumbs.append(encode_png(self._resize(px)))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "thumb": pa.array(thumbs, pa.binary()),
+                "w": pa.array([self.size] * len(batch), pa.int32()),
+                "h": pa.array([self.size] * len(batch), pa.int32()),
+            }
+        )
+
+
+class VerifyPayload:
+    """The per-row invariant stage (BASELINE.json input_hint): decoded
+    pixels vs the expected deterministic pattern — PSNR ≥ 40 dB (inf for
+    lossless) — plus caption equality and stored-phash equality.
+
+    Emits (image_id, psnr_ok, caption_ok, phash_ok)."""
+
+    def __init__(self, expected_pixels_fn, expected_caption_fn):
+        self.pixels_fn = expected_pixels_fn
+        self.caption_fn = expected_caption_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import psnr
+
+        ids = batch["image_id"].to_pylist()
+        n = len(batch)
+        psnr_ok = np.zeros(n, dtype=bool)
+        caption_ok = np.zeros(n, dtype=bool)
+        phash_ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            idx = int(ids[i].split("-")[1])
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            try:
+                px = decode_image(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            except LossyCodecUnavailable:
+                continue
+            expected = self.pixels_fn(idx, w, h)
+            psnr_ok[i] = psnr(px, expected) >= 40.0
+            caption_ok[i] = batch["caption"][i].as_py() == self.caption_fn(idx)
+            phash_ok[i] = batch["phash"][i].as_py() == average_hash(px)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "psnr_ok": pa.array(psnr_ok),
+                "caption_ok": pa.array(caption_ok),
+                "phash_ok": pa.array(phash_ok),
+            }
+        )

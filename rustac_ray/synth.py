@@ -286,6 +286,29 @@ def build_query_tables(nq: int, seed: int = SEED) -> tuple[pa.Table, pa.Table]:
     return geoms, boxes
 
 
+def build_query_points(geoms: pa.Table) -> pa.Table:
+    """Flat (query_id, x, y, k) table of the point probes (kNN oracle side)."""
+    from .geo.wkb import decode_geometry
+
+    qids, xs, ys, ks = [], [], [], []
+    for i in range(len(geoms)):
+        if geoms["kind"][i].as_py() != "point":
+            continue
+        g = decode_geometry(geoms["geometry"][i].as_py())
+        qids.append(geoms["query_id"][i].as_py())
+        xs.append(g["coordinates"][0])
+        ys.append(g["coordinates"][1])
+        ks.append(geoms["k"][i].as_py())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "x": pa.array(xs, pa.float64()),
+            "y": pa.array(ys, pa.float64()),
+            "k": pa.array(ks, pa.int32()),
+        }
+    )
+
+
 # ---------------------------------------------------------------- ensure ----
 
 
@@ -316,6 +339,7 @@ def ensure_fixtures(sf_dir: str) -> str:
     geoms, boxes = build_query_tables(tier["queries"])
     pq.write_table(geoms, os.path.join(tmp, "query_geoms.parquet"))
     pq.write_table(boxes, os.path.join(tmp, "query_boxes.parquet"))
+    pq.write_table(build_query_points(geoms), os.path.join(tmp, "query_points.parquet"))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok\n")
     try:

@@ -1,0 +1,194 @@
+"""Unit tests for the pure-math geometry core (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from rustac_ray.geo import affine, cells, pip, tiles, wkb
+
+
+def test_footprint_corners_axis_aligned():
+    c = affine.footprint_corners(
+        np.array([10]), np.array([20]), np.array([[0.1, 0, -100.0, 0, -0.05, 40.0]])
+    )
+    assert c.shape == (1, 4, 2)
+    # corners: (0,0)->(-100,40), (w,0)->(-99,40), (w,h)->(-99,39), (0,h)->(-100,39)
+    np.testing.assert_allclose(
+        c[0], [[-100, 40], [-99, 40], [-99, 39], [-100, 39]]
+    )
+    xmin, ymin, xmax, ymax = affine.corners_bbox(c)
+    np.testing.assert_allclose([xmin[0], ymin[0], xmax[0], ymax[0]], [-100, 39, -99, 40])
+
+
+def test_footprint_rotated():
+    # 90-degree rotation: x = -row + x0, y = col + y0
+    c = affine.footprint_corners(
+        np.array([4]), np.array([2]), np.array([[0, -1.0, 0.0, 1.0, 0, 0.0]])
+    )
+    np.testing.assert_allclose(c[0], [[0, 0], [0, 4], [-2, 4], [-2, 0]])
+
+
+def test_wkb_quad_roundtrip():
+    corners = np.array([[[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]]])
+    enc = wkb.encode_quads(corners)
+    assert len(enc[0]) == 93
+    dec = wkb.decode_quads(enc)
+    np.testing.assert_allclose(dec, corners)
+    gj = wkb.decode_geometry(enc[0])
+    assert gj["type"] == "Polygon"
+    assert len(gj["coordinates"][0]) == 5  # closed ring
+
+
+def test_wkb_generic_roundtrip():
+    for geom in [
+        {"type": "Point", "coordinates": [1.5, -2.5]},
+        {"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]},
+        {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                [[[5, 5], [6, 5], [6, 6], [5, 5]]],
+            ],
+        },
+    ]:
+        back = wkb.decode_geometry(wkb.encode_geometry(geom))
+        assert back["type"] == geom["type"]
+        np.testing.assert_allclose(
+            wkb._all_coords(back), wkb._all_coords(geom)
+        )
+
+
+def test_pip_contains_and_boundary():
+    pg = pip.PreparedGeometry(
+        {"type": "Polygon", "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}
+    )
+    px = np.array([5.0, 15.0, 0.0, 10.0, -0.001])
+    py = np.array([5.0, 5.0, 0.0, 10.0, 5.0])
+    np.testing.assert_array_equal(
+        pg.contains_points(px, py), [True, False, True, True, False]
+    )
+
+
+def test_pip_concave():
+    # arrow-head: notch at top center
+    pg = pip.PreparedGeometry(
+        {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [4, 0], [4, 4], [2, 1], [0, 4], [0, 0]]],
+        }
+    )
+    assert pg.contains_points(np.array([2.0]), np.array([0.5]))[0]
+    assert not pg.contains_points(np.array([2.0]), np.array([3.0]))[0]  # in the notch
+    assert pg.contains_points(np.array([0.5]), np.array([2.0]))[0]
+
+
+def test_intersects_quads_cases():
+    pg = pip.PreparedGeometry(
+        {"type": "Polygon", "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}
+    )
+    quads = np.array(
+        [
+            [[1, 1], [2, 1], [2, 2], [1, 2]],          # inside
+            [[20, 20], [21, 20], [21, 21], [20, 21]],  # far away
+            [[-5, -5], [15, -5], [15, 15], [-5, 15]],  # contains the polygon
+            [[-1, 4], [1, 4], [1, 6], [-1, 6]],        # straddles an edge
+            [[9, 9], [11, 9], [11, 11], [9, 11]],      # corner overlap
+        ],
+        dtype=float,
+    )
+    np.testing.assert_array_equal(
+        pg.intersects_quads(quads), [True, False, True, True, True]
+    )
+
+
+def test_intersects_rotated_quad_vs_bbox_subtlety():
+    # a diamond (rotated quad) whose bbox overlaps the polygon but whose
+    # actual shape does not — the exact test must reject it (P3 semantics:
+    # geometry, not bbox — reference crates/core/src/api/items.rs:184-198)
+    pg = pip.PreparedGeometry(
+        {"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}
+    )
+    diamond = np.array([[[5, 0], [8, 3], [5, 6], [2, 3]]], dtype=float)
+    # bbox of diamond is [2,0,8,6] → overlaps polygon bbox, but shape doesn't
+    assert not pg.intersects_quads(diamond)[0]
+
+
+def test_point_query_geometry():
+    pg = pip.PreparedGeometry({"type": "Point", "coordinates": [5.0, 5.0]})
+    quads = np.array(
+        [[[0, 0], [10, 0], [10, 10], [0, 10]], [[20, 20], [30, 20], [30, 30], [20, 30]]],
+        dtype=float,
+    )
+    np.testing.assert_array_equal(pg.intersects_quads(quads), [True, False])
+
+
+def test_cells_roundtrip_and_hierarchy():
+    lon = np.array([-100.0, 0.0, 179.9, -179.9])
+    lat = np.array([35.0, 0.0, 89.9, -89.9])
+    for res in (0, 5, 12, 20):
+        cid = cells.cell_encode(lon, lat, res)
+        r, x, y = cells.cell_decode(cid)
+        assert (r == res).all()
+        xmin, ymin, xmax, ymax = cells.cell_bounds(cid)
+        assert ((lon >= xmin) & (lon <= xmax)).all()
+        assert ((lat >= ymin) & (lat <= ymax)).all()
+    c12 = cells.cell_encode(lon, lat, 12)
+    c10 = cells.cell_encode(lon, lat, 10)
+    np.testing.assert_array_equal(cells.cell_parent(c12, 2), c10)
+    kids = cells.cell_children(int(c10[0]))
+    assert len(kids) == 4
+    assert (cells.cell_parent(kids) == c10[0]).all()
+
+
+def test_cell_ring_counts():
+    c = int(cells.cell_encode(np.array([-100.0]), np.array([35.0]), 8)[0])
+    assert len(cells.cell_ring(c, 0)) == 1
+    assert len(cells.cell_ring(c, 1)) == 8
+    assert len(cells.cell_ring(c, 3)) == 24
+
+
+def test_cover_bbox_many():
+    ri, cc = cells.cover_bbox_many(
+        np.array([-100.4, 0.0]),
+        np.array([34.9, 0.0]),
+        np.array([-99.9, 0.1]),
+        np.array([35.3, 0.1]),
+        10,
+    )
+    # every covering cell's bounds must overlap its bbox
+    xmin, ymin, xmax, ymax = cells.cell_bounds(cc)
+    boxes = np.array([[-100.4, 34.9, -99.9, 35.3], [0.0, 0.0, 0.1, 0.1]])
+    for k in range(len(cc)):
+        b = boxes[ri[k]]
+        assert xmin[k] <= b[2] and xmax[k] >= b[0]
+        assert ymin[k] <= b[3] and ymax[k] >= b[1]
+    # and the union of cells must contain the bbox corners
+    assert len(np.unique(ri)) == 2
+
+
+def test_tiles_known_values():
+    # classic slippy-map check: (0,0) at z=1 → tile (1,1)... actually (1.0)
+    x, y = tiles.lonlat_to_tile(np.array([0.0]), np.array([0.0]), 1)
+    assert (x[0], y[0]) == (1, 1) or (x[0], y[0]) == (1, 0)  # boundary: y frac exactly 0.5
+    x, y = tiles.lonlat_to_tile(np.array([-180.0]), np.array([85.0]), 2)
+    assert (x[0], y[0]) == (0, 0)
+    w, s, e, n = tiles.tile_bounds(0, 0, 0)
+    np.testing.assert_allclose([w, e], [-180, 180])
+    assert n > 85 and s < -85
+
+
+def test_tile_cover_and_key_roundtrip():
+    ri, keys = tiles.cover_bbox_tiles(
+        np.array([-100.3]), np.array([34.9]), np.array([-99.9]), np.array([35.2]), 10
+    )
+    z, x, y = tiles.tile_unkey(keys)
+    assert (z == 10).all()
+    w, s, e, n = tiles.tile_bounds(z, x, y)
+    assert (w <= -99.9).all() and (e >= -100.3).any()
+    np.testing.assert_array_equal(tiles.tile_key(z, x, y), keys)
+
+
+def test_res_for_extent():
+    r = cells.res_for_extent(0.1, 0.1)
+    dlon, _ = cells.cell_size_deg(r)
+    assert dlon >= 0.1  # bbox fits within ~a few cells
+    assert cells.res_for_extent(400, 400) == 0

@@ -1,0 +1,64 @@
+"""Image codec + per-row invariant tests (BASELINE.json input_hint):
+decoded pixels allclose / PSNR >= 40 dB + caption equality."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rustac_ray import synth
+from rustac_ray.imaging import codec, phash
+
+
+def test_png_roundtrip():
+    img = synth._image_pixels(3, 32, 16)
+    data = codec.encode_png(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = codec.decode_png(data)
+    assert (back == img).all()
+    assert codec.psnr(img, back) == float("inf")
+
+
+def test_raw_roundtrip():
+    img = synth._image_pixels(9, 16, 24)
+    back = codec.decode_raw(codec.encode_raw(img))
+    assert (back == img).all()
+
+
+def test_lossy_codec_stubbed():
+    img = synth._image_pixels(0, 16, 16)
+    with pytest.raises(NotImplementedError):
+        codec.encode_image(img, "jpeg")
+    with pytest.raises(NotImplementedError):
+        codec.decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_psnr():
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = a.copy()
+    b[0, 0, 0] = 10
+    assert 40 < codec.psnr(a, b) < 100
+    assert codec.psnr(a, a) == float("inf")
+
+
+def test_phash_deterministic_and_local():
+    a = synth._image_pixels(5, 32, 32)
+    assert phash.average_hash(a) == phash.average_hash(a.copy())
+    # hamming distance of identical = 0
+    h = np.array([phash.average_hash(a)])
+    assert phash.hamming64(h, h)[0] == 0
+
+
+def test_fixture_row_invariants(fixtures_dir):
+    """Every fixture row: decode(bytes, fmt) has shape (h, w, 3), pixels
+    equal the deterministic pattern (PSNR inf >= 40dB), caption matches,
+    stored phash equals recomputed phash."""
+    t = pq.read_table(f"{fixtures_dir}/images.parquet").slice(0, 64)
+    for i in range(len(t)):
+        row = {c: t[c][i].as_py() for c in t.column_names}
+        px = codec.decode_image(row["bytes"], row["fmt"])
+        assert px.shape == (row["h"], row["w"], 3)
+        idx = int(row["image_id"].split("-")[1])
+        expected = synth._image_pixels(idx, row["w"], row["h"])
+        assert codec.psnr(px, expected) >= 40.0
+        assert row["caption"] == f"scene {idx} over cell {idx % 977}"
+        assert row["phash"] == phash.average_hash(px)
