@@ -197,11 +197,12 @@ class SimHasher:
         if not toks:
             return np.int64(0)
         acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for t in set(toks):
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
             )
-            bits = (h >> np.arange(64)) & 1
+            bits = (h >> shifts) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         out = np.uint64(0)
         for i in np.nonzero(acc > 0)[0]:
@@ -222,10 +223,18 @@ def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def phash_near_dup(ds, max_hamming: int = 4, id_col: str = "image_id"):
+def phash_near_dup(
+    ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 512
+):
     """Image near-dup via phash hamming-LSH: band the 64-bit phash into 4
     16-bit bands; two images within hamming ≤ 4 of each other share at
-    least one identical band w.h.p. → groupby band, verify hamming."""
+    least one identical band w.h.p. → groupby band, verify hamming.
+
+    Skew guard: a band bucket larger than ``max_bucket`` (a degenerate
+    band value — e.g. the all-zeros band of flat images) is SKIPPED rather
+    than verified O(n²); such images still pair up via their other three
+    bands unless all four are degenerate. This bounds the worst group cost
+    at scale, the same reasoning as hot-cell refinement (SURVEY.md §4)."""
     from ..imaging.phash import hamming64
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -253,7 +262,7 @@ def phash_near_dup(ds, max_hamming: int = 4, id_col: str = "image_id"):
                 "hamming": pd.Series(dtype=np.int64),
             }
         )
-        if len(group) < 2:
+        if len(group) < 2 or len(group) > max_bucket:
             return empty
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()

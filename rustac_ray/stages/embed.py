@@ -44,13 +44,14 @@ class _PartialCosineTopK:
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref)  # dict qid → vector
         self.qids = list(q.keys())
-        self.qm = _normalize(np.asarray(list(q.values()), dtype=np.float32))
+        # float64 so rank order matches a double-precision SQL oracle
+        self.qm = _normalize(np.asarray(list(q.values()), dtype=np.float64))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float32))
+        m = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float64))
         sims = self.qm @ m.T  # (Q, N)
         n = sims.shape[1]
         if n == 0:

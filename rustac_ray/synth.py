@@ -69,12 +69,16 @@ def fixture_dir(sf_dir: str) -> str:
 
 
 def _image_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic per-image pixel pattern (gradient + phase from i)."""
+    """Deterministic per-image pixel pattern. Per-index slopes/phases keep
+    phashes diverse (no degenerate LSH buckets in the near-dup ops)."""
     yy, xx = np.mgrid[0:h, 0:w]
-    r = (xx * 4 + i) % 256
-    g = (yy * 4 + i * 7) % 256
-    b = (xx + yy + i * 13) % 256
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+    a = 3 + (i * 7) % 13
+    b = 5 + (i * 11) % 17
+    c = (i * 2654435761) % 256
+    r = (xx * a + yy * b + c) % 256
+    g = (xx * b + yy * a + (c * 3) % 256) % 256
+    bl = ((xx + yy) * (1 + i % 5) + (c * 7) % 256) % 256
+    return np.stack([r, g, bl], axis=2).astype(np.uint8)
 
 
 def build_images_table(n: int, seed: int = SEED) -> pa.Table:
