@@ -1,6 +1,7 @@
 """Checkpoint manifest + resumable partitioned output (SURVEY.md A4, §4).
 
-Output layout: ``out/part-{partition_id:05d}.parquet`` + ``manifest.jsonl``
+Output layout: ``out/part-{partition_id:05d}.parquet`` + ``_manifest.jsonl`` (underscore-prefixed so parquet
+dataset discovery skips it, like Spark's _SUCCESS markers)
 where each line is one completed partition's lineage record::
 
     {"partition_id": 3, "rows": 12345, "input_fragments": [...],
@@ -44,7 +45,7 @@ def content_digest(table: pa.Table, key_cols: list[str] | None = None) -> str:
 class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
-        self.path = os.path.join(out_dir, "manifest.jsonl")
+        self.path = os.path.join(out_dir, "_manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
     def completed(self) -> dict[int, dict]:

@@ -1,0 +1,199 @@
+"""Dedup / text / embedding / aggregate / multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from rustac_ray.stages import aggregates, dedup, embed, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs_ds(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup(docs_ds):
+    # duplicate the table: dedup must return exactly one row per text
+    doubled = docs_ds.union(
+        docs_ds.map_batches(
+            lambda df: df.assign(doc_id=df["doc_id"] + 1_000_000), batch_format="pandas"
+        )
+    )
+    out = dedup.exact_dedup(doubled).to_pandas()
+    orig = docs_ds.to_pandas()
+    n_distinct = orig["text"].nunique()
+    assert len(out) == n_distinct
+    # keeps the LOWEST id per text — so never the +1M copies when dup'd
+    assert (out["doc_id"] < 1_000_000).all()
+
+
+def test_minhash_finds_planted_near_dups():
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "through fields of green grass under a bright blue sky today"
+    )
+    near = base.replace("bright", "shiny")  # tiny edit → high jaccard
+    far = "completely different content about databases and query engines"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    ds = rd.from_pandas(df)
+    pairs = dedup.minhash_lsh_candidates(
+        ds, jaccard_threshold=0.5, concurrency=1
+    ).to_pandas()
+    assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert not any(3 in p for p in zip(pairs["id_a"], pairs["id_b"]))
+    # estimated jaccard close to exact n-gram jaccard
+    exact = dedup.ngram_jaccard(base, near)
+    est = pairs.loc[(pairs.id_a == 1) & (pairs.id_b == 2), "est_jaccard"].iloc[0]
+    assert abs(est - exact) < 0.25
+
+
+def test_simhash_near_for_similar_docs():
+    s = dedup.SimHasher()
+    a = s.simhash("the quick brown fox jumps over the lazy dog near the river")
+    b = s.simhash("the quick brown fox jumps over the lazy cat near the river")
+    c = s.simhash("entirely unrelated words about spacecraft telemetry systems")
+    from rustac_ray.imaging.phash import hamming64
+
+    dab = hamming64(np.array([a]), np.array([b]))[0]
+    dac = hamming64(np.array([a]), np.array([c]))[0]
+    assert dab < dac
+
+
+def test_text_stats_vectorized(docs_ds):
+    out = docs_ds.map_batches(text.TextStats, batch_format="pandas", concurrency=1)
+    df = out.to_pandas()
+    row = df.iloc[0]
+    assert row["n_tokens"] == len(row["text"].split())
+    assert (df["quality"] >= 0).all() and (df["quality"] <= 1).all()
+
+
+def test_langid_mostly_correct_on_en(docs_ds):
+    df = (
+        docs_ds.map_batches(text.LangId, batch_format="pandas", concurrency=1)
+        .to_pandas()
+    )
+    en = df[df["lang"] == "en"]
+    # synthetic corpus is word salad; just require the op runs + emits labels
+    assert set(df["lang_pred"]) <= {"en", "de", "fr", "es", "und"}
+    assert len(en) > 0
+
+
+def test_fingerprint_deterministic(docs_ds):
+    a = docs_ds.map_batches(text.Fingerprint, batch_format="pandas", concurrency=1).to_pandas()
+    b = docs_ds.map_batches(text.Fingerprint, batch_format="pandas", concurrency=1).to_pandas()
+    assert a.sort_values("doc_id")["fingerprint"].tolist() == b.sort_values("doc_id")[
+        "fingerprint"
+    ].tolist()
+    # different text → (virtually always) different fingerprint
+    assert a["fingerprint"].nunique() == a["text"].nunique()
+
+
+def test_brute_force_topk_matches_numpy(sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = {"q0": m[0], "q7": m[7]}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = embed.brute_force_topk(ds, queries, k=5, concurrency=1).to_pandas()
+    for qid, vec in queries.items():
+        v = vec / np.linalg.norm(vec)
+        sims = mn @ v
+        expected = set(ids[np.argsort(-sims, kind="stable")[:5]])
+        got = set(res[res["query_id"] == qid]["vec_id"])
+        assert got == expected, qid
+
+
+def test_lsh_topk_recall(sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = {"q0": m[0]}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = embed.lsh_topk(ds, queries, k=10, n_bits=8, probe=3, concurrency=1).to_pandas()
+    v = m[0] / np.linalg.norm(m[0])
+    expected = set(ids[np.argsort(-(mn @ v), kind="stable")[:10]])
+    got = set(res["vec_id"])
+    # approximate: require decent recall, exact self-hit guaranteed
+    assert ids[0] in got
+    assert len(expected & got) >= 5
+
+
+def test_phash_near_dup_planted(fixtures_dir):
+    t = pq.read_table(f"{fixtures_dir}/images.parquet", columns=["image_id", "phash"])
+    # plant an exact-dup phash pair
+    dup = pa.table(
+        {
+            "image_id": pa.array(["dup-a", "dup-b"]),
+            "phash": pa.array([t["phash"][0].as_py()] * 2, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(pa.concat_tables([t.slice(0, 200), dup]))
+    pairs = dedup.phash_near_dup(ds, max_hamming=0).to_pandas()
+    assert ("dup-a", "dup-b") in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_collection_extents_matches_pandas(fixtures_dir):
+    ds = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+    out = aggregates.collection_extents(ds).to_pandas().set_index("collection")
+    df = pq.read_table(f"{fixtures_dir}/stac_items.parquet").to_pandas()
+    bbox = pd.DataFrame(list(df["bbox"]))
+    for coll, g in df.groupby("collection"):
+        bb = bbox.loc[g.index]
+        assert out.loc[coll, "xmin"] == pytest.approx(bb["xmin"].min())
+        assert out.loc[coll, "ymax"] == pytest.approx(bb["ymax"].max())
+        start = g["start_datetime"].fillna(g["datetime"])
+        assert out.loc[coll, "start"] == start.min()
+        assert out.loc[coll, "n_items"] == len(g)
+
+
+def test_global_extent(fixtures_dir):
+    ds = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+    ext = aggregates.global_extent(ds)
+    assert ext["n_items"] == 100
+    assert ext["xmin"] < -106 and ext["xmax"] > -100
+
+
+def test_decode_stats_stage(fixtures_dir):
+    ds = rd.read_parquet(f"{fixtures_dir}/images.parquet")
+    out = ds.map_batches(
+        multimodal.DecodeStats, batch_format="pyarrow", batch_size=64, concurrency=1
+    ).to_pandas()
+    assert out["decoded"].all()  # png + raw both decodable
+    src = pq.read_table(f"{fixtures_dir}/images.parquet", columns=["image_id", "phash"]).to_pandas()
+    merged = out.merge(src, on="image_id")
+    assert (merged["phash_recomputed"] == merged["phash"]).all()
+
+
+def test_thumbnail_stage(fixtures_dir):
+    from rustac_ray.imaging.codec import decode_png
+
+    ds = rd.read_parquet(f"{fixtures_dir}/images.parquet").limit(32)
+    out = ds.map_batches(
+        multimodal.Thumbnail, batch_format="pyarrow", batch_size=16, concurrency=1
+    ).to_pandas()
+    px = decode_png(out["thumb"].iloc[0])
+    assert px.shape == (8, 8, 3)
+
+
+def test_verify_payload_stage(fixtures_dir):
+    from rustac_ray import synth
+
+    ds = rd.read_parquet(f"{fixtures_dir}/images.parquet").limit(64)
+    out = ds.map_batches(
+        multimodal.VerifyPayload,
+        fn_constructor_args=(
+            synth._image_pixels,
+            lambda i: f"scene {i} over cell {i % 977}",
+        ),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=1,
+    ).to_pandas()
+    assert out["psnr_ok"].all()
+    assert out["caption_ok"].all()
+    assert out["phash_ok"].all()

@@ -1,0 +1,231 @@
+"""Search semantics: the reference golden-count matrix
+(/root/reference/crates/duckdb/src/client.rs:755-1035 reproduced at n=100
+per FIXTURES.md T2) + datetime normalization unit cases
+(reference search.rs:526-721) + CQL2 behavior."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rustac_ray.cql2 import Cql2Predicate, UnknownPropertyError, parse_cql2
+from rustac_ray.query import (
+    LegacyQueryError,
+    QuerySpec,
+    normalize_datetime,
+    parse_fields,
+    parse_sortby,
+    search,
+)
+
+
+@pytest.fixture(scope="module")
+def items(fixtures_dir):
+    return rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+
+
+# ------------------------------------------------- golden count matrix -----
+
+def test_golden_default(items):
+    assert search(items, QuerySpec()).count() == 100
+
+
+def test_golden_point_intersects(items):
+    spec = QuerySpec(intersects={"type": "Point", "coordinates": [-106.0, 40.5]})
+    assert search(items, spec).count() == 50
+
+
+def test_golden_bbox(items):
+    assert search(items, QuerySpec(bbox=[-106.1, 40.5, -106.0, 40.6])).count() == 50
+
+
+def test_golden_datetime_open_ranges(items):
+    assert search(items, QuerySpec(datetime="2024-12-02/..")).count() == 1
+    assert search(items, QuerySpec(datetime="../2024-12-02")).count() == 99
+
+
+def test_golden_filter_orbit(items):
+    assert search(items, QuerySpec(filter='"sat:relative_orbit" = 98')).count() == 49
+
+
+def test_golden_limit(items):
+    assert search(items, QuerySpec(limit=42)).count() == 42
+
+
+def test_golden_sortby(items):
+    asc = search(items, QuerySpec(sortby="datetime", limit=1)).to_pandas()
+    desc = search(items, QuerySpec(sortby="-datetime", limit=1)).to_pandas()
+    assert asc["id"].iloc[0] == "item-00000"
+    assert desc["id"].iloc[0] == "item-00099"  # the late-datetime block tail
+
+
+def test_golden_fields(items):
+    out = search(items, QuerySpec(fields="+id")).to_pandas()
+    assert list(out.columns) == ["id"]
+    assert len(out) == 100
+
+
+# ------------------------------------------------------ predicate details --
+
+def test_ids_empty_passes_all(items):
+    assert search(items, QuerySpec(ids=[])).count() == 100
+    assert search(items, QuerySpec(ids=["item-00042"])).count() == 1
+
+
+def test_collections(items):
+    assert search(items, QuerySpec(collections=["sentinel-2a"])).count() == 50
+    assert search(items, QuerySpec(collections=["nope"])).count() == 0
+
+
+def test_null_collection_fails_filter():
+    t = pa.table(
+        {
+            "id": ["a", "b"],
+            "collection": pa.array(["c1", None], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    assert search(ds, QuerySpec(collections=["c1"])).count() == 1
+
+
+def test_bbox_tests_geometry_not_bbox(fixtures_dir):
+    """A rotated diamond whose bbox overlaps the query box but whose exact
+    geometry doesn't must NOT match (reference items.rs:184-198)."""
+    from rustac_ray.geo.wkb import encode_geometry
+
+    diamond = encode_geometry(
+        {"type": "Polygon",
+         "coordinates": [[[5, 0], [8, 3], [5, 6], [2, 3], [5, 0]]]}
+    )
+    t = pa.table(
+        {
+            "id": ["diamond"],
+            "geometry": pa.array([diamond], pa.binary()),
+            "bbox": pa.array(
+                [{"xmin": 2.0, "ymin": 0.0, "xmax": 8.0, "ymax": 6.0}],
+                pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                           ("xmax", pa.float64()), ("ymax", pa.float64())]),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    # query box overlaps bbox corner but not the diamond
+    assert search(ds, QuerySpec(bbox=[2.0, 0.0, 3.0, 1.0])).count() == 0
+    # and one that truly overlaps
+    assert search(ds, QuerySpec(bbox=[4.0, 2.0, 6.0, 4.0])).count() == 1
+
+
+def test_datetime_inclusive_ends(items):
+    df = items.to_pandas()
+    first_dt = df["datetime"].min()
+    spec = QuerySpec(datetime=f"../{first_dt.strftime('%Y-%m-%dT%H:%M:%S')}")
+    assert search(items, spec).count() >= 1  # boundary item included
+
+
+def test_range_items_coalesce(fixtures_dir):
+    """Items with start/end straddling the query instant match even when
+    their nominal datetime is outside (coalesce semantics,
+    reference duckdb client.rs:361-385)."""
+    t = pa.table(
+        {
+            "id": ["ranged"],
+            "datetime": pa.array([np.datetime64("2024-06-15T00:00:00", "ms")]),
+            "start_datetime": pa.array([np.datetime64("2024-06-01T00:00:00", "ms")]),
+            "end_datetime": pa.array([np.datetime64("2024-06-30T00:00:00", "ms")]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    assert search(ds, QuerySpec(datetime="2024-06-02")).count() == 1
+    assert search(ds, QuerySpec(datetime="2024-07-01")).count() == 0
+
+
+def test_legacy_query_errors(items):
+    with pytest.raises(LegacyQueryError):
+        search(items, QuerySpec(query={"eo:cloud_cover": {"lt": 10}}))
+
+
+# ------------------------------------------------- datetime normalization --
+
+@pytest.mark.parametrize(
+    "expr,start,end",
+    [
+        ("2023", "2023-01-01T00:00:00.000", "2023-12-31T23:59:59.999"),
+        ("2023-06", "2023-06-01T00:00:00.000", "2023-06-30T23:59:59.999"),
+        ("2023-12", "2023-12-01T00:00:00.000", "2023-12-31T23:59:59.999"),
+        ("2023-06-15", "2023-06-15T00:00:00.000", "2023-06-15T23:59:59.999"),
+        ("2023-01-01T00:00:00Z/2023-02-01T00:00:00Z",
+         "2023-01-01T00:00:00.000", "2023-02-01T00:00:00.000"),
+        ("../2023-02-01T00:00:00Z", None, "2023-02-01T00:00:00.000"),
+        ("2023-02-01T00:00:00Z/..", "2023-02-01T00:00:00.000", None),
+        ("2022/2023", "2022-01-01T00:00:00.000", "2023-12-31T23:59:59.999"),
+    ],
+)
+def test_normalize_datetime(expr, start, end):
+    s, e = normalize_datetime(expr)
+    assert s == (np.datetime64(start, "ms") if start else None)
+    assert e == (np.datetime64(end, "ms") if end else None)
+
+
+def test_normalize_datetime_rejects_inverted():
+    with pytest.raises(ValueError):
+        normalize_datetime("2024/2023")
+
+
+# ----------------------------------------------------------------- cql2 ----
+
+def test_cql2_unknown_property_short_circuits(items):
+    out = search(items, QuerySpec(filter="no_such_column = 1"))
+    assert out.count() == 0
+
+
+def test_cql2_text_parse_shapes():
+    ast = parse_cql2("a = 1 AND (b < 2 OR c >= 'x')")
+    assert ast["op"] == "and"
+    assert ast["args"][1]["op"] == "or"
+    ast = parse_cql2("NOT a IS NULL")
+    assert ast["op"] == "not"
+    ast = parse_cql2("x IN (1, 2, 3)")
+    assert ast["op"] == "in"
+
+
+def test_cql2_eval_ops():
+    t = pa.table({"a": [1, 2, 3, None], "s": ["x", "y", "xz", None]})
+    assert Cql2Predicate("a = 2").mask(t).tolist() == [False, True, False, False]
+    assert Cql2Predicate("a <> 2").mask(t).tolist() == [True, False, True, False]
+    assert Cql2Predicate("a IS NULL").mask(t).tolist() == [False, False, False, True]
+    assert Cql2Predicate("a IN (1, 3)").mask(t).tolist() == [True, False, True, False]
+    assert Cql2Predicate("s LIKE 'x%'").mask(t).tolist() == [True, False, True, False]
+    assert Cql2Predicate("NOT a = 2").mask(t).tolist() == [True, False, True, True]
+
+
+def test_cql2_s_intersects(items):
+    n = search(
+        items, QuerySpec(filter="S_INTERSECTS(geometry, POINT(-106.0 40.5))")
+    ).count()
+    assert n == 50
+    n2 = search(
+        items,
+        QuerySpec(filter="S_INTERSECTS(geometry, BBOX(-106.1, 40.5, -106.0, 40.6))"),
+    ).count()
+    assert n2 == 50
+
+
+def test_cql2_json_form(items):
+    spec = QuerySpec(
+        filter={"op": "and", "args": [
+            {"op": "=", "args": [{"property": "collection"}, "sentinel-2a"]},
+            {"op": "<", "args": [{"property": "eo:cloud_cover"}, 50]},
+        ]}
+    )
+    n = search(items, spec).count()
+    assert 0 < n < 50
+
+
+# --------------------------------------------------------------- parsers ----
+
+def test_parse_sortby():
+    assert parse_sortby("-a,+b,c") == [("a", True), ("b", False), ("c", False)]
+
+
+def test_parse_fields():
+    assert parse_fields("+id,-geometry,datetime") == (["id", "datetime"], ["geometry"])

@@ -1,0 +1,117 @@
+"""Spatial pipelines vs brute-force numpy oracles (sf0.001 fixtures)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from rustac_ray.geo import affine, tiles
+from rustac_ray.geo.pip import PreparedGeometry
+from rustac_ray.stages import knn, spatial_join, tiling
+from rustac_ray.stages.footprint import derive_footprints
+
+
+@pytest.fixture(scope="module")
+def corpus(fixtures_dir):
+    imgs = pq.read_table(f"{fixtures_dir}/images.parquet")
+    t = np.array(imgs["transform"].to_pylist())
+    corners = affine.footprint_corners(imgs["w"].to_numpy(), imgs["h"].to_numpy(), t)
+    ids = np.array(imgs["image_id"].to_pylist())
+    return imgs, corners, ids
+
+
+@pytest.fixture(scope="module")
+def expected_pairs(fixtures_dir, corpus):
+    _, corners, ids = corpus
+    qt = pq.read_table(f"{fixtures_dir}/query_geoms.parquet")
+    expected = set()
+    for qid, g in zip(qt["query_id"].to_pylist(), qt["geometry"].to_pylist()):
+        pg = PreparedGeometry(g)
+        for i in np.nonzero(pg.intersects_quads(corners))[0]:
+            expected.add((ids[i], qid))
+    return expected
+
+
+def _images_ds(fixtures_dir):
+    return rd.read_parquet(f"{fixtures_dir}/images.parquet",
+                           columns=["image_id", "w", "h", "transform"])
+
+
+def test_broadcast_join_matches_bruteforce(fixtures_dir, expected_pairs):
+    qt = pq.read_table(f"{fixtures_dir}/query_geoms.parquet")
+    res = spatial_join.broadcast_spatial_join(
+        _images_ds(fixtures_dir), qt, concurrency=2
+    ).to_pandas()
+    got = set(zip(res["image_id"], res["query_id"]))
+    assert got == expected_pairs
+    assert len(res) == len(got)  # no duplicate pairs
+
+
+def test_partitioned_join_matches_bruteforce(fixtures_dir, expected_pairs):
+    qds = rd.read_parquet(f"{fixtures_dir}/query_geoms.parquet")
+    res = spatial_join.partitioned_spatial_join(
+        _images_ds(fixtures_dir), qds
+    ).to_pandas()
+    got = set(zip(res["image_id"], res["query_id"]))
+    assert got == expected_pairs
+    assert len(res) == len(got)
+
+
+def test_tile_assignment_matches_bruteforce(fixtures_dir, corpus):
+    _, corners, ids = corpus
+    xmin, ymin, xmax, ymax = affine.corners_bbox(corners)
+    ri, keys = tiles.cover_bbox_tiles(xmin, ymin, xmax, ymax, 8)
+    expected = set(zip(ids[ri], keys.tolist()))
+    asn = tiling.assign_tiles(_images_ds(fixtures_dir), z=8).to_pandas()
+    got = set(zip(asn["image_id"], asn["tile_key"]))
+    assert got == expected
+
+
+def test_tile_refinement_bounds_group_size(fixtures_dir):
+    ds = _images_ds(fixtures_dir)
+    # sf0.001: ~50 hot-box rows land in one z=8 tile; threshold 30 → refined
+    asn = tiling.assign_tiles(ds, z=8, refine_threshold=30, refine_levels=1)
+    counts = tiling.tile_counts(asn).to_pandas()
+    # every z=8 tile left unrefined holds <= threshold rows; hot ones moved to z=9
+    z, _, _ = tiles.tile_unkey(counts["tile_key"].to_numpy())
+    assert (z >= 8).all() and (z <= 9).all()
+    assert (z == 9).any()  # the hot box actually triggered refinement
+    base = counts[z == 8]
+    assert base["n_scenes"].max() <= 30
+
+
+def test_knn_matches_bruteforce(fixtures_dir, corpus):
+    _, corners, ids = corpus
+    cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
+    cy = (corners[:, :, 1].min(1) + corners[:, :, 1].max(1)) / 2
+    probes = {"p0": (-100.0, 35.0), "p1": (-110.0, 45.0), "p2": (-61.0, 21.0)}
+    res = knn.knn_join(_images_ds(fixtures_dir), probes, k=7, concurrency=2).to_pandas()
+    for qid, (px, py) in probes.items():
+        d = np.hypot(cx - px, cy - py)
+        expected = set(ids[np.argsort(d, kind="stable")[:7]])
+        got = set(res[res["query_id"] == qid]["image_id"])
+        assert got == expected, qid
+
+
+def test_cell_knn_index_matches_bruteforce(corpus):
+    _, corners, ids = corpus
+    cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
+    cy = (corners[:, :, 1].min(1) + corners[:, :, 1].max(1)) / 2
+    idx = knn.CellKNNIndex(ids, cx, cy, res=6)
+    for px, py, k in [(-100.0, 35.0, 5), (-90.0, 25.0, 12), (-119.9, 49.9, 3)]:
+        got_ids, got_d = idx.query(px, py, k)
+        d = np.hypot(cx - px, cy - py)
+        expected = ids[np.argsort(d, kind="stable")[:k]]
+        assert list(got_ids) == list(expected)
+
+
+def test_join_result_deterministic(fixtures_dir):
+    qt = pq.read_table(f"{fixtures_dir}/query_geoms.parquet")
+    a = spatial_join.broadcast_spatial_join(
+        _images_ds(fixtures_dir), qt, concurrency=2
+    ).to_pandas()
+    b = spatial_join.broadcast_spatial_join(
+        _images_ds(fixtures_dir), qt, concurrency=2, batch_size=1024
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["image_id"], df["query_id"]))
+    assert key(a) == key(b)
