@@ -1,0 +1,165 @@
+"""Benchmark harness: headline spatial-join + tile-assignment pipeline.
+
+Runs the flagship pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1
+→ 100k-image fixture tier) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "rows": ..., "rows_per_sec": ...}
+
+``--scaling``: runs the headline pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
+scaling efficiency (the sandbox substitute for the N vs 4N node clusters of
+the north rule; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    # Ray's default worker niceness (15) lets the OS deprioritize compute
+    # workers against the driver/raylet; neutralize it for benchmarking
+    os.environ.setdefault("RAY_worker_niceness", "0")
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from rustac_ray import synth
+    from rustac_ray.pipelines import flagship
+    from rustac_ray.stages.spatial_join import broadcast_spatial_join
+
+    fdir = synth.ensure_fixtures(sf_dir)  # untimed: fixture gen + page cache warm
+    # the headline join runs over a metadata bench table big enough that
+    # per-task compute dwarfs the ~10ms/task scheduling floor
+    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "1000000"))
+    bench_path = synth.ensure_bench_meta(bench_rows)
+    n_images = synth.tier_for(sf_dir)["images"]
+    n_blocks = num_cpus * 4
+
+    def bench_meta_ds():
+        return rd.read_parquet(bench_path, override_num_blocks=n_blocks)
+
+    # probe side scales like the north-rule many-query join
+    bench_queries, _ = synth.build_query_tables(2000, seed=7)
+
+    # warm read (untimed) so we measure compute+shuffle, not first disk read
+    bench_meta_ds().count()
+    flagship.read_images_metadata(sf_dir).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    join_ds = broadcast_spatial_join(
+        bench_meta_ds(), bench_queries, concurrency=max(2, num_cpus - 1)
+    )
+    n_pairs = join_ds.count()
+    timings["spatial_join"] = time.perf_counter() - t0
+
+    from rustac_ray.stages.tiling import assign_tiles, tile_counts
+
+    t0 = time.perf_counter()
+    n_tiles = assign_tiles(bench_meta_ds(), z=8, refine_threshold=None).count()
+    timings["tile_assignment"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tile_counts(assign_tiles(bench_meta_ds(), z=8, refine_threshold=20_000)).count()
+    timings["tile_counts_refined"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from rustac_ray.stages.knn import knn_join
+    from rustac_ray.synth import build_query_points
+
+    pts = build_query_points(bench_queries)
+    probes = {
+        q: (x, y)
+        for q, x, y in zip(
+            pts["query_id"].to_pylist(), pts["x"].to_pylist(), pts["y"].to_pylist()
+        )
+    }
+    knn_join(bench_meta_ds(), probes, k=10, concurrency=max(2, num_cpus - 1)).count()
+    timings["knn"] = time.perf_counter() - t0
+
+    # correctness-tier pipeline (payload-carrying fixture table) for reference
+    t0 = time.perf_counter()
+    flagship.run_spatial_join(sf_dir, concurrency=max(2, num_cpus // 2)).count()
+    timings["spatial_join_sf_tier"] = time.perf_counter() - t0
+
+    headline = timings["spatial_join"] + timings["tile_assignment"]
+    result = {
+        "metric": "spatial-join + tile-assignment wall time (1M-row metadata bench table)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": bench_rows,
+        "join_pairs": n_pairs,
+        "tile_rows": n_tiles,
+        "rows_per_sec": round(2 * bench_rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh ray.init processes at N and 4N CPUs.
+
+    This sandbox's CPU availability fluctuates ±2-3x run to run (shared
+    VM), so the two levels are run INTERLEAVED for `reps` rounds and the
+    per-level minimum (least-throttled observation) is reported.
+    """
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(lo_cpus * 4)))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_times, hi_times = [], []
+    for _ in range(reps):
+        lo_times.append(run(lo_cpus)["value"])
+        hi_times.append(run(hi_cpus)["value"])
+    t_lo, t_hi = min(lo_times), min(hi_times)
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": f"scaling efficiency {lo_cpus}→{hi_cpus} CPUs "
+        "(sandbox substitute for N→4N nodes)",
+        f"sec_{lo_cpus}": t_lo,
+        f"sec_{hi_cpus}": t_hi,
+        f"all_sec_{lo_cpus}": lo_times,
+        f"all_sec_{hi_cpus}": hi_times,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

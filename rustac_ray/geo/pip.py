@@ -190,6 +190,77 @@ class PreparedGeometry:
         return bool(cross.any())
 
 
+def pairwise_quad_poly_intersects(
+    corners: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    vx: np.ndarray,
+    vy: np.ndarray,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Fully-vectorized PAIRWISE exact intersects: quad i vs polygon i.
+
+    Args: corners (P,4,2); polygon edges ax/ay→bx/by and vertices vx/vy as
+    NaN-padded (P,E) / (P,V) matrices (each row = one polygon's edges,
+    padded with NaN — NaN comparisons evaluate False so pads contribute
+    nothing to crossing counts or containment votes).
+
+    One call replaces P tiny ``PreparedGeometry.intersects_quads`` calls —
+    the per-call numpy overhead was the hot cost in the join's exact phase.
+    """
+    P = corners.shape[0]
+    out = np.empty(P, dtype=bool)
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        out[s:e] = _pairwise_chunk(
+            corners[s:e], ax[s:e], ay[s:e], bx[s:e], by[s:e], vx[s:e], vy[s:e]
+        )
+    return out
+
+
+def _pairwise_chunk(corners, ax, ay, bx, by, vx, vy) -> np.ndarray:
+    # (a) any quad corner inside polygon (even-odd over padded edges)
+    qx = corners[:, :, 0][:, :, None]  # (P,4,1)
+    qy = corners[:, :, 1][:, :, None]
+    Ax, Ay = ax[:, None, :], ay[:, None, :]  # (P,1,E)
+    Bx, By = bx[:, None, :], by[:, None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        straddle = (Ay > qy) != (By > qy)
+        xint = Ax + (qy - Ay) * (Bx - Ax) / (By - Ay)
+        crosses = straddle & (qx < xint)
+        inner = crosses.sum(axis=2) % 2 == 1  # (P,4)
+        cross_val = (Bx - Ax) * (qy - Ay) - (By - Ay) * (qx - Ax)
+        on_line = np.abs(cross_val) < 1e-9
+        within = (
+            (qx >= np.minimum(Ax, Bx) - _EPS) & (qx <= np.maximum(Ax, Bx) + _EPS)
+            & (qy >= np.minimum(Ay, By) - _EPS) & (qy <= np.maximum(Ay, By) + _EPS)
+        )
+        corner_in = (inner | (on_line & within).any(axis=2)).any(axis=1)  # (P,)
+
+        # (b) any polygon vertex inside quad (sign consistency, NaN-safe)
+        a = corners  # (P,4,2)
+        b = np.roll(corners, -1, axis=1)
+        px = vx[:, :, None]  # (P,V,1)
+        py = vy[:, :, None]
+        cr = (b[:, None, :, 0] - a[:, None, :, 0]) * (py - a[:, None, :, 1]) - (
+            b[:, None, :, 1] - a[:, None, :, 1]
+        ) * (px - a[:, None, :, 0])  # (P,V,4)
+        vert_in = (
+            ((cr >= -1e-9).all(axis=2) | (cr <= 1e-9).all(axis=2))
+            & ~np.isnan(px[:, :, 0])
+        ).any(axis=1)
+
+        # (c) any proper edge crossing: quad edges (4) × polygon edges (E)
+        P1x = a[:, :, 0][:, :, None]  # (P,4,1)
+        P1y = a[:, :, 1][:, :, None]
+        P2x = b[:, :, 0][:, :, None]
+        P2y = b[:, :, 1][:, :, None]
+        ecross = _seg_cross(P1x, P1y, P2x, P2y, Ax, Ay, Bx, By).any(axis=(1, 2))
+    return corner_in | vert_in | ecross
+
+
 def quads_contain_points(corners: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     """Per-row test: does quad i contain point i? (N,4,2) x (N,) -> (N,) bool.
 

@@ -33,7 +33,11 @@ import pyarrow as pa
 import ray
 
 from ..geo import cells
-from ..geo.pip import PreparedGeometry
+from ..geo.pip import (
+    PreparedGeometry,
+    pairwise_quad_poly_intersects,
+    quads_contain_points,
+)
 from ..geo.wkb import decode_bboxes
 from .footprint import derive_footprints
 
@@ -50,90 +54,201 @@ DEFAULT_JOIN_RES = 7  # ~2.8 deg lon cells; footprints are << one cell
 class PreparedQueries:
     """Driver-side preparation of the probe table (built once, broadcast).
 
-    Holds prepared geometries, their bboxes, and a cell→query-index inverted
-    map at ``res``. Pickles fine (numpy + lists), so a single ``ray.put``
-    makes it available to every task via the object store.
+    Stores decoded GeoJSON geometry dicts + a (Q,4) bbox matrix + an
+    is-axis-aligned-rect flag per query — small and cheap to pickle, so one
+    ``ray.put`` serves every task. PreparedGeometry edge arrays are built
+    LAZILY inside each actor, only for the non-rect queries that actually
+    get candidates (keeps actor startup at ~zero).
     """
 
     def __init__(self, query_table: pa.Table, res: int = DEFAULT_JOIN_RES):
+        from ..geo.wkb import decode_geometry
+
         self.res = res
-        self.query_ids = query_table["query_id"].to_pylist()
+        self.query_ids = np.asarray(query_table["query_id"].to_pylist(), dtype=object)
         wkbs = query_table["geometry"].to_pylist()
-        self.prepared = [PreparedGeometry(b) for b in wkbs]
+        self.geoms = [decode_geometry(bytes(b)) for b in wkbs]
         self.bboxes = decode_bboxes(wkbs)  # (Q,4)
-        row_idx, cover = cells.cover_bbox_many(
+        # rect queries (single axis-aligned ring) skip the exact phase
+        # against rect footprints: bbox overlap IS exact intersects there
+        self.is_rect = np.array(
+            [_geom_is_axis_aligned_rect(g, self.bboxes[i]) for i, g in enumerate(self.geoms)],
+            dtype=bool,
+        )
+        # inverted cell index as SORTED parallel arrays → per-row candidate
+        # lookup is a pair of vectorized searchsorted calls in the joiner
+        q_idx, cover = cells.cover_bbox_many(
             self.bboxes[:, 0], self.bboxes[:, 1], self.bboxes[:, 2], self.bboxes[:, 3], res
         )
-        self.cell_to_queries: dict[int, np.ndarray] = {}
         order = np.argsort(cover, kind="stable")
-        cov_sorted, rows_sorted = cover[order], row_idx[order]
-        bounds = np.nonzero(np.diff(cov_sorted))[0] + 1
-        for chunk_cells, chunk_rows in zip(
-            np.split(cov_sorted, bounds), np.split(rows_sorted, bounds)
-        ):
-            if len(chunk_cells):
-                self.cell_to_queries[int(chunk_cells[0])] = chunk_rows
+        self.cells_sorted = cover[order]
+        self.q_sorted = q_idx[order]
+        # NaN-padded per-query edge/vertex matrices for the PAIRWISE exact
+        # kernel (pip.pairwise_quad_poly_intersects) + point-query columns
+        self.is_point = np.array([g["type"] == "Point" for g in self.geoms], dtype=bool)
+        self.point_x = np.array(
+            [g["coordinates"][0] if g["type"] == "Point" else np.nan for g in self.geoms]
+        )
+        self.point_y = np.array(
+            [g["coordinates"][1] if g["type"] == "Point" else np.nan for g in self.geoms]
+        )
+        edges, verts = [], []
+        for g in self.geoms:
+            if g["type"] == "Point":
+                edges.append(np.empty((0, 4)))
+                verts.append(np.empty((0, 2)))
+                continue
+            rings = (
+                g["coordinates"] if g["type"] == "Polygon"
+                else [r for poly in g["coordinates"] for r in poly]
+            )
+            ee, vv = [], []
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                if len(r) >= 2 and np.allclose(r[0], r[-1]):
+                    r = r[:-1]
+                nxt = np.roll(r, -1, axis=0)
+                ee.append(np.column_stack([r, nxt]))
+                vv.append(r)
+            edges.append(np.concatenate(ee))
+            verts.append(np.concatenate(vv))
+        emax = max((len(e) for e in edges), default=1) or 1
+        vmax = max((len(v) for v in verts), default=1) or 1
+        Q = len(self.geoms)
+        self.edge_mat = np.full((Q, emax, 4), np.nan)
+        self.vert_mat = np.full((Q, vmax, 2), np.nan)
+        for i, (e, v) in enumerate(zip(edges, verts)):
+            self.edge_mat[i, : len(e)] = e
+            self.vert_mat[i, : len(v)] = v
+
+
+def _geom_is_axis_aligned_rect(geom: dict, bbox: np.ndarray) -> bool:
+    if geom["type"] != "Polygon" or len(geom["coordinates"]) != 1:
+        return False
+    ring = np.asarray(geom["coordinates"][0], dtype=np.float64)
+    if len(ring) >= 2 and np.allclose(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) != 4:
+        return False
+    on_x = np.isclose(ring[:, 0], bbox[0]) | np.isclose(ring[:, 0], bbox[2])
+    on_y = np.isclose(ring[:, 1], bbox[1]) | np.isclose(ring[:, 1], bbox[3])
+    return bool(on_x.all() and on_y.all())
 
 
 class _BroadcastJoiner:
     """Actor-pool stage: exact intersects against the broadcast probe index.
 
-    ``__init__`` runs once per actor (fetches the prepared index from the
-    object store); ``__call__`` runs per Arrow batch and is fully
-    vectorized: one bbox-overlap mask + one exact quad test per *candidate*
-    query, where candidates come from the cell inverted index.
+    ``__init__`` runs once per actor (fetches the small prepared index from
+    the object store — never re-shipped per batch). ``__call__`` is fully
+    vectorized: one broadcasted (Q, N) bbox-overlap matrix per batch; pairs
+    where both sides are axis-aligned rects come straight from ``nonzero``
+    (bbox overlap IS exact intersects there); only the remaining survivors
+    get per-query exact quad tests with lazily-built prepared geometries.
     """
 
-    def __init__(self, prepared_ref):
+    def __init__(self, prepared_ref, derive: bool = False):
         self.pq: PreparedQueries = ray.get(prepared_ref)
+        self.derive = derive
+        self._prepared: dict[int, PreparedGeometry] = {}
+
+    def _prep(self, qi: int) -> PreparedGeometry:
+        pg = self._prepared.get(qi)
+        if pg is None:
+            pg = self._prepared[qi] = PreparedGeometry(self.pq.geoms[qi])
+        return pg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.derive:
+            batch = derive_footprints(batch)
         pq_ = self.pq
         xmin = batch["fp_xmin"].to_numpy()
         ymin = batch["fp_ymin"].to_numpy()
         xmax = batch["fp_xmax"].to_numpy()
         ymax = batch["fp_ymax"].to_numpy()
-        corners = (
-            batch["fp_corners"].combine_chunks().flatten().to_numpy().reshape(-1, 4, 2)
-            if isinstance(batch["fp_corners"], pa.ChunkedArray)
-            else batch["fp_corners"].flatten().to_numpy().reshape(-1, 4, 2)
+        n = len(batch)
+        if n == 0:
+            return _EMPTY_PAIRS
+        col = batch["fp_corners"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        corners = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4, 2)
+        # footprint is an axis-aligned rect ⇔ every corner sits on its bbox
+        cx = corners[:, :, 0]
+        cy = corners[:, :, 1]
+        eps = 1e-12
+        img_rect = (
+            ((np.abs(cx - xmin[:, None]) < eps) | (np.abs(cx - xmax[:, None]) < eps)).all(1)
+            & ((np.abs(cy - ymin[:, None]) < eps) | (np.abs(cy - ymax[:, None]) < eps)).all(1)
         )
-        # candidate queries = union over cells covered by this batch's extent
-        row_idx, cover = cells.cover_bbox_many(
-            np.array([xmin.min()]) if len(xmin) else np.empty(0),
-            np.array([ymin.min()]) if len(xmin) else np.empty(0),
-            np.array([xmax.max()]) if len(xmin) else np.empty(0),
-            np.array([ymax.max()]) if len(xmin) else np.empty(0),
-            pq_.res,
+        qb = pq_.bboxes  # (Q,4)
+        # --- cell-prefilter: candidate (row, query) pairs via the inverted
+        # cell index — work scales with matches, never with Q×N
+        er, ec = cells.cover_bbox_many(xmin, ymin, xmax, ymax, pq_.res)
+        lo = np.searchsorted(pq_.cells_sorted, ec, "left")
+        hi = np.searchsorted(pq_.cells_sorted, ec, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return _EMPTY_PAIRS
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        cand_q = pq_.q_sorted[np.repeat(lo, cnt) + offs]
+        cand_r = np.repeat(er, cnt)
+        # dedup pairs found via multiple shared cells; key sorted by (q, row)
+        key = cand_q.astype(np.int64) * np.int64(n) + cand_r
+        key = np.unique(key)
+        cand_q = (key // n).astype(np.int64)
+        cand_r = (key % n).astype(np.int64)
+        # --- bbox test per candidate pair (vectorized gathers)
+        ok = (
+            (xmin[cand_r] <= qb[cand_q, 2]) & (xmax[cand_r] >= qb[cand_q, 0])
+            & (ymin[cand_r] <= qb[cand_q, 3]) & (ymax[cand_r] >= qb[cand_q, 1])
         )
-        cand: set[int] = set()
-        for c in cover.tolist():
-            qs = pq_.cell_to_queries.get(c)
-            if qs is not None:
-                cand.update(qs.tolist())
-        img_out, q_out = [], []
-        ids = batch["image_id"]
-        for qi in sorted(cand):
-            qb = pq_.bboxes[qi]
-            mask = (xmin <= qb[2]) & (xmax >= qb[0]) & (ymin <= qb[3]) & (ymax >= qb[1])
-            if not mask.any():
-                continue
-            sel = np.nonzero(mask)[0]
-            hit = pq_.prepared[qi].intersects_quads(corners[sel])
-            matched = sel[hit]
-            if len(matched):
-                img_out.append(ids.take(pa.array(matched)))
-                q_out.append(pa.array([pq_.query_ids[qi]] * len(matched), pa.string()))
-        if not img_out:
-            return pa.table(
-                {"image_id": pa.array([], pa.string()), "query_id": pa.array([], pa.string())}
+        cand_q, cand_r = cand_q[ok], cand_r[ok]
+        # --- exact phase, all pairwise-vectorized:
+        # rect×rect pairs are already exact; point queries use the per-row
+        # quad-containment kernel; everything else one padded pairwise pass
+        easy = pq_.is_rect[cand_q] & img_rect[cand_r]
+        pointq = pq_.is_point[cand_q] & ~easy
+        hard = ~easy & ~pointq
+        keep_parts_q = [cand_q[easy]]
+        keep_parts_r = [cand_r[easy]]
+        if pointq.any():
+            qp, rp = cand_q[pointq], cand_r[pointq]
+            hit = quads_contain_points(
+                corners[rp], pq_.point_x[qp], pq_.point_y[qp]
             )
+            keep_parts_q.append(qp[hit])
+            keep_parts_r.append(rp[hit])
+        if hard.any():
+            qh, rh = cand_q[hard], cand_r[hard]
+            em = pq_.edge_mat[qh]  # (P,E,4)
+            vm = pq_.vert_mat[qh]  # (P,V,2)
+            hit = pairwise_quad_poly_intersects(
+                corners[rh],
+                em[:, :, 0], em[:, :, 1], em[:, :, 2], em[:, :, 3],
+                vm[:, :, 0], vm[:, :, 1],
+            )
+            keep_parts_q.append(qh[hit])
+            keep_parts_r.append(rh[hit])
+        qidx = np.concatenate(keep_parts_q)
+        ridx = np.concatenate(keep_parts_r)
+        if len(qidx) == 0:
+            return _EMPTY_PAIRS
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                "image_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in img_out]),
-                "query_id": pa.concat_arrays(q_out),
+                "image_id": ids.take(pa.array(ridx)),
+                "query_id": pa.array(pq_.query_ids[qidx], type=pa.string()),
             }
         )
+
+
+_EMPTY_PAIRS = pa.table(
+    {"image_id": pa.array([], pa.string()), "query_id": pa.array([], pa.string())}
+)
 
 
 def broadcast_spatial_join(
@@ -142,17 +257,19 @@ def broadcast_spatial_join(
     *,
     res: int = DEFAULT_JOIN_RES,
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     footprints_derived: bool = False,
 ) -> "ray.data.Dataset":
-    """images × queries → (image_id, query_id), broadcast strategy."""
+    """images × queries → (image_id, query_id), broadcast strategy.
+
+    When footprints aren't pre-derived, derivation happens INSIDE the
+    joiner actor (one fused stage: no intermediate corner columns through
+    the object store). ``batch_size=None`` = one task per input block, so
+    map parallelism follows the read fan-out with no re-bundling barrier."""
     prepared_ref = ray.put(PreparedQueries(query_table, res))
-    ds = images_ds
-    if not footprints_derived:
-        ds = ds.map_batches(derive_footprints, batch_format="pyarrow", batch_size=batch_size)
-    return ds.map_batches(
+    return images_ds.map_batches(
         _BroadcastJoiner,
-        fn_constructor_args=(prepared_ref,),
+        fn_constructor_args=(prepared_ref, not footprints_derived),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -290,6 +290,66 @@ def build_query_tables(nq: int, seed: int = SEED) -> tuple[pa.Table, pa.Table]:
     return geoms, boxes
 
 
+def build_images_meta_table(n: int, seed: int = SEED) -> pa.Table:
+    """Metadata-only image table (no payload) for large-scale benches.
+
+    Same distribution as build_images_table (placement incl. the 5% hot box,
+    sizes, transforms, datetimes, collections) but skips pixel generation /
+    encoding so 10^6+-row tables synthesize in seconds. The join/tiling/kNN
+    pipelines only ever read these columns (bytes are pruned at the read),
+    so benching on this table measures the same work.
+    """
+    rng = np.random.default_rng(seed)
+    w_choices = np.array([16, 24, 32], dtype=np.int32)
+    w = w_choices[np.arange(n) % 3]
+    h = w_choices[(np.arange(n) + 1) % 3]
+    hot = rng.random(n) < 0.05
+    lon = rng.uniform(LON0, LON1 - 0.5, n)
+    lat = rng.uniform(LAT0 + 0.5, LAT1, n)
+    lon[hot] = rng.uniform(HOT_BOX[0], HOT_BOX[2] - 0.02, hot.sum())
+    lat[hot] = rng.uniform(HOT_BOX[1] + 0.02, HOT_BOX[3], hot.sum())
+    res = rng.uniform(0.002, 0.005, n)
+    transform = np.zeros((n, 6))
+    transform[:, 0] = res
+    transform[:, 2] = lon
+    transform[:, 4] = -res
+    transform[:, 5] = lat
+    dt = _EPOCH_2024 + (np.arange(n, dtype="int64") * 300_000)
+    collections = np.array(["landsat-c2", "sentinel-2a", "naip"], dtype=object)[
+        np.arange(n) % 3
+    ]
+    ids = np.array([f"img-{i:08d}" for i in range(n)], dtype=object)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(w, pa.int32()),
+            pa.array(h, pa.int32()),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(transform.ravel(), pa.float64()), 6
+            ).cast(pa.list_(pa.float64(), 6)),
+            pa.array(dt).cast(pa.timestamp("ms")),
+            pa.array(collections, pa.string()),
+        ],
+        names=["image_id", "w", "h", "transform", "datetime", "collection"],
+    )
+
+
+def ensure_bench_meta(n_rows: int) -> str:
+    """Write (once) the n-row metadata bench table; returns its path."""
+    path = os.path.join(FIXTURE_ROOT, f"bench_meta_{n_rows}.parquet")
+    if os.path.exists(path):
+        return path
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(
+        build_images_meta_table(n_rows), tmp, compression="zstd", row_group_size=50_000
+    )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.unlink(tmp)
+    return path
+
+
 def build_query_points(geoms: pa.Table) -> pa.Table:
     """Flat (query_id, x, y, k) table of the point probes (kNN oracle side)."""
     from .geo.wkb import decode_geometry
