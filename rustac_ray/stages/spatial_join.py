@@ -147,7 +147,10 @@ class _BroadcastJoiner:
     """
 
     def __init__(self, prepared_ref, derive: bool = False):
-        self.pq: PreparedQueries = ray.get(prepared_ref)
+        # map_batches passes the raw ObjectRef; plain ray actors auto-resolve
+        self.pq: PreparedQueries = (
+            prepared_ref if isinstance(prepared_ref, PreparedQueries) else ray.get(prepared_ref)
+        )
         self.derive = derive
         self._prepared: dict[int, PreparedGeometry] = {}
 
