@@ -57,6 +57,11 @@ def run_bench() -> dict:
     n_images = synth.tier_for(sf_dir)["images"]
     n_blocks = num_cpus * 4
 
+    # leave ~1/4 of the CPUs for read tasks; a pool equal to num_cpus
+    # starves the read stage (deadlocks outright at num_cpus=2)
+    pool_fraction = float(os.environ.get("GRAFT_POOL_FRACTION", "0.75"))
+    joiner_actors = max(1, int(num_cpus * pool_fraction))
+
     def bench_meta_ds():
         return rd.read_parquet(bench_path, override_num_blocks=n_blocks)
 
@@ -71,7 +76,7 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     join_ds = broadcast_spatial_join(
-        bench_meta_ds(), bench_queries, concurrency=max(2, num_cpus - 1)
+        bench_meta_ds(), bench_queries, concurrency=joiner_actors
     )
     n_pairs = join_ds.count()
     timings["spatial_join"] = time.perf_counter() - t0
@@ -82,28 +87,30 @@ def run_bench() -> dict:
     n_tiles = assign_tiles(bench_meta_ds(), z=8, refine_threshold=None).count()
     timings["tile_assignment"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    tile_counts(assign_tiles(bench_meta_ds(), z=8, refine_threshold=20_000)).count()
-    timings["tile_counts_refined"] = time.perf_counter() - t0
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE") == "1"
+    if not headline_only:
+        t0 = time.perf_counter()
+        tile_counts(assign_tiles(bench_meta_ds(), z=8, refine_threshold=20_000)).count()
+        timings["tile_counts_refined"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    from rustac_ray.stages.knn import knn_join
-    from rustac_ray.synth import build_query_points
+        t0 = time.perf_counter()
+        from rustac_ray.stages.knn import knn_join
+        from rustac_ray.synth import build_query_points
 
-    pts = build_query_points(bench_queries)
-    probes = {
-        q: (x, y)
-        for q, x, y in zip(
-            pts["query_id"].to_pylist(), pts["x"].to_pylist(), pts["y"].to_pylist()
-        )
-    }
-    knn_join(bench_meta_ds(), probes, k=10, concurrency=max(2, num_cpus - 1)).count()
-    timings["knn"] = time.perf_counter() - t0
+        pts = build_query_points(bench_queries)
+        probes = {
+            q: (x, y)
+            for q, x, y in zip(
+                pts["query_id"].to_pylist(), pts["x"].to_pylist(), pts["y"].to_pylist()
+            )
+        }
+        knn_join(bench_meta_ds(), probes, k=10, concurrency=joiner_actors).count()
+        timings["knn"] = time.perf_counter() - t0
 
-    # correctness-tier pipeline (payload-carrying fixture table) for reference
-    t0 = time.perf_counter()
-    flagship.run_spatial_join(sf_dir, concurrency=max(2, num_cpus // 2)).count()
-    timings["spatial_join_sf_tier"] = time.perf_counter() - t0
+        # correctness-tier pipeline (payload-carrying fixture table)
+        t0 = time.perf_counter()
+        flagship.run_spatial_join(sf_dir, concurrency=max(2, num_cpus // 2)).count()
+        timings["spatial_join_sf_tier"] = time.perf_counter() - t0
 
     headline = timings["spatial_join"] + timings["tile_assignment"]
     result = {
@@ -129,12 +136,15 @@ def run_scaling() -> dict:
     VM), so the two levels are run INTERLEAVED for `reps` rounds and the
     per-level minimum (least-throttled observation) is reported.
     """
-    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(lo_cpus * 4)))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE="1")
+        env.setdefault("GRAFT_BENCH_ROWS", "4000000")
+        # pool = cpus/2 so the worker-count ratio equals the CPU ratio
+        env.setdefault("GRAFT_POOL_FRACTION", "0.5")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -198,7 +198,7 @@ def pairwise_quad_poly_intersects(
     by: np.ndarray,
     vx: np.ndarray,
     vy: np.ndarray,
-    chunk: int = 65536,
+    chunk: int = 8192,
 ) -> np.ndarray:
     """Fully-vectorized PAIRWISE exact intersects: quad i vs polygon i.
 
@@ -209,6 +209,9 @@ def pairwise_quad_poly_intersects(
 
     One call replaces P tiny ``PreparedGeometry.intersects_quads`` calls —
     the per-call numpy overhead was the hot cost in the join's exact phase.
+    ``chunk`` keeps the (chunk,4,E) temporaries L3-resident: measured 2.8x
+    aggregate throughput over 64k chunks when 8 workers run concurrently
+    (DRAM-bandwidth-bound otherwise).
     """
     P = corners.shape[0]
     out = np.empty(P, dtype=bool)

@@ -153,6 +153,9 @@ class _BroadcastJoiner:
         )
         self.derive = derive
         self._prepared: dict[int, PreparedGeometry] = {}
+        # Arrow copy of the query-id column: output assembly is one C++
+        # pc.take instead of per-row Python string handling
+        self._qid_arr = pa.array(self.pq.query_ids, type=pa.string())
 
     def _prep(self, qi: int) -> PreparedGeometry:
         pg = self._prepared.get(qi)
@@ -241,10 +244,12 @@ class _BroadcastJoiner:
         ids = batch["image_id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        import pyarrow.compute as pc
+
         return pa.table(
             {
                 "image_id": ids.take(pa.array(ridx)),
-                "query_id": pa.array(pq_.query_ids[qidx], type=pa.string()),
+                "query_id": pc.take(self._qid_arr, pa.array(qidx)),
             }
         )
 
