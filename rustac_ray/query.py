@@ -59,6 +59,7 @@ class QuerySpec:
     fields: str | None = None  # "+a,-b"
     sortby: str | None = None  # "-field,+other"
     limit: int | None = None
+    offset: int | None = None  # page offset (duckdb client.rs:309-316)
     query: dict | None = None  # legacy; always errors if set
     extra: dict = field(default_factory=dict)
 
@@ -257,6 +258,34 @@ def _postprocess(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
     if spec.sortby:
         keys = parse_sortby(spec.sortby)
         ds = ds.sort([k for k, _ in keys], descending=[d for _, d in keys])
+    if spec.offset:
+        # offset pagination (reference duckdb client.rs:309-316 / memory.rs
+        # skip tokens): meaningful only on sorted output; pages are small,
+        # so take offset+limit and drop the head driver-side
+        import pyarrow as pa
+        from ray.data import DataContext
+
+        n = spec.offset + (spec.limit or 0)
+        ctx = DataContext.get_current()
+        prev = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            head = ds.limit(n) if spec.limit is not None else ds
+            tbl = pa.concat_tables(
+                list(head.iter_batches(batch_format="pyarrow", batch_size=None))
+            )
+        finally:
+            ctx.execution_options.preserve_order = prev
+        ds = ray.data.from_arrow(tbl.slice(spec.offset))
+        if spec.limit is not None:
+            ds = ds.limit(spec.limit)
+        if spec.fields:
+            inc, exc = parse_fields(spec.fields)
+            if inc:
+                return ds.select_columns(inc)
+            if exc:
+                return ds.select_columns([c for c in ds.schema().names if c not in exc])
+        return ds
     if spec.limit is not None:
         ds = ds.limit(spec.limit)
     if spec.fields:

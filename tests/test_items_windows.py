@@ -1,0 +1,157 @@
+"""Item transforms (flatten/migrate/absolutize/validate), window aggregates,
+translate pipeline, offset pagination."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from rustac_ray.stages import items, windows
+from rustac_ray.query import QuerySpec, search
+
+
+def test_flatten_unflatten_roundtrip():
+    df = pd.DataFrame(
+        {
+            "id": ["a", "b"],
+            "collection": ["c1", "c1"],
+            "properties": [
+                {"datetime": "2024-01-01T00:00:00Z", "eo:cloud_cover": 10.5},
+                {"datetime": "2024-01-02T00:00:00Z", "eo:cloud_cover": 20.0},
+            ],
+        }
+    )
+    flat = items.flatten_items(df.copy())
+    assert "eo:cloud_cover" in flat.columns and "properties" not in flat.columns
+    back = items.unflatten_items(flat)
+    assert back["properties"].iloc[0]["eo:cloud_cover"] == 10.5
+
+
+def test_flatten_collision_errors():
+    df = pd.DataFrame({"id": ["a"], "properties": [{"id": "evil"}]})
+    with pytest.raises(ValueError):
+        items.flatten_items(df.copy(), on_conflict="error")
+    ok = items.flatten_items(df.copy(), on_conflict="drop")
+    assert ok["id"].iloc[0] == "a"  # top-level id wins (item.rs:16-25 drop)
+
+
+def test_migrate_band_merge_and_majority_lift():
+    """Mirrors the reference migration fixture semantics (migrate.rs:155-185):
+    pairwise eo:bands+raster:bands merge; values shared by a majority of
+    bands lift to the asset."""
+    assets = {
+        "data": {
+            "href": "x.tif",
+            "eo:bands": [{"name": "B1", "common_name": "red"}, {"name": "B2"}],
+            "raster:bands": [
+                {"data_type": "uint16", "nodata": 0},
+                {"data_type": "uint16", "nodata": 0},
+            ],
+        }
+    }
+    df = pd.DataFrame({"id": ["i1"], "stac_version": ["1.0.0"], "assets": [assets]})
+    out = items.migrate_items(df)
+    a = out["assets"].iloc[0]["data"]
+    assert out["stac_version"].iloc[0] == "1.1.0"
+    assert "eo:bands" not in a and "raster:bands" not in a
+    # data_type + nodata shared by 2/2 bands → lifted to asset level
+    assert a["data_type"] == "uint16" and a["nodata"] == 0
+    assert a["bands"][0]["name"] == "B1" and a["bands"][0]["common_name"] == "red"
+    assert "data_type" not in a["bands"][0]
+
+
+def test_absolutize_links():
+    df = pd.DataFrame(
+        {
+            "id": ["a"],
+            "links": [[{"href": "./item.json", "rel": "self"}]],
+            "assets": [{"thumb": {"href": "thumb.png"}}],
+        }
+    )
+    out = items.absolutize_links(df, "https://example.com/catalog/")
+    assert out["links"].iloc[0][0]["href"] == "https://example.com/catalog/item.json"
+    assert out["assets"].iloc[0]["thumb"]["href"] == "https://example.com/catalog/thumb.png"
+
+
+def test_validator(fixtures_dir):
+    ds = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+    out = ds.map_batches(items.ItemValidator, batch_format="pandas", concurrency=1).to_pandas()
+    assert out["valid"].all()
+    bad = pd.DataFrame(
+        {
+            "type": ["NotAFeature"],
+            "id": [""],
+            "bbox": [{"xmin": 5.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0}],
+            "geometry": [b"\x01\x99\x00\x00\x00"],
+        }
+    )
+    v = items.ItemValidator()
+    errs = v(bad)
+    assert not errs["valid"].iloc[0]
+    assert "type" in errs["errors"].iloc[0]
+    assert "min > max" in errs["errors"].iloc[0]
+
+
+def test_tumbling_matches_pandas(sf_dir):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = windows.tumbling(ev, 600).to_pandas()
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    df["window_start"] = df["ts"].dt.floor("600s")
+    exp = (
+        df.groupby(["window_start", "event_type"])["value"]
+        .agg(["count", "sum"])
+        .reset_index()
+    )
+    merged = out.merge(exp, on=["window_start", "event_type"])
+    assert len(merged) == len(exp) == len(out)
+    assert (merged["n_events"] == merged["count"]).all()
+    np.testing.assert_allclose(merged["sum_value"], merged["sum"], rtol=1e-9)
+
+
+def test_sliding_window_coverage(sf_dir):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = windows.sliding(ev, 600, 200).to_pandas()
+    n_events = pq.read_table(f"{sf_dir}/events.parquet").num_rows
+    # each event appears in exactly size/step = 3 windows
+    assert out["n_events"].sum() == 3 * n_events
+
+
+def test_session_windows(sf_dir):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    out = windows.session_windows(ev, gap_s=1800).to_pandas()
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    assert out["n_events"].sum() == len(df)
+    # session invariant: end - start never exceeds total span, gaps split
+    one = df[df["user_id"] == df["user_id"].iloc[0]].sort_values("ts")
+    gaps = one["ts"].diff().dt.total_seconds().fillna(0)
+    expected_sessions = int((gaps > 1800).sum()) + 1
+    got = len(out[out["user_id"] == df["user_id"].iloc[0]])
+    assert got == expected_sessions
+
+
+def test_offset_pagination(fixtures_dir):
+    ds = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+    page1 = search(ds, QuerySpec(sortby="datetime", limit=10)).to_pandas()
+    page2 = search(ds, QuerySpec(sortby="datetime", limit=10, offset=10)).to_pandas()
+    assert len(page2) == 10
+    assert set(page1["id"]).isdisjoint(set(page2["id"]))
+    both = pd.concat([page1, page2])
+    full = search(ds, QuerySpec(sortby="datetime", limit=20)).to_pandas()
+    assert list(both["id"]) == list(full["id"])
+
+
+def test_translate_roundtrip(tmp_path, fixtures_dir):
+    from rustac_ray.pipelines.translate import crawl_write, translate
+
+    out = str(tmp_path / "translated")
+    translate(f"{fixtures_dir}/stac_items.parquet", out, out_fmt="parquet")
+    back = rd.read_parquet(out)
+    assert back.count() == 100
+
+    crawl_dir = str(tmp_path / "by_collection")
+    crawl_write(rd.read_parquet(out), crawl_dir)
+    import os
+
+    subdirs = [d for d in os.listdir(crawl_dir) if d.startswith("collection=")]
+    assert len(subdirs) == 2  # one partition per collection (K5)
