@@ -45,6 +45,7 @@ __all__ = [
     "PreparedQueries",
     "broadcast_spatial_join",
     "partitioned_spatial_join",
+    "hash_spatial_join",
     "DEFAULT_JOIN_RES",
 ]
 
@@ -434,3 +435,107 @@ def partitioned_spatial_join(
         return pd.DataFrame({"image_id": out_i, "query_id": out_q})
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
+
+
+def hash_spatial_join(
+    images_ds: "ray.data.Dataset",
+    queries_ds: "ray.data.Dataset",
+    *,
+    res: int = DEFAULT_JOIN_RES,
+    num_partitions: int = 32,
+    batch_size: int = 8192,
+    footprints_derived: bool = False,
+) -> "ray.data.Dataset":
+    """Large×large strategy using Ray Data's native hash join on the cell key.
+
+    explode both sides to cover cells → ``Dataset.join`` (hash-partitioned
+    on ``cell``, ``num_partitions`` aggregators) → vectorized bbox + exact
+    filter with canonical-cell pair dedup. Same output as the other two
+    strategies; preferred when both sides are too big to broadcast AND the
+    per-cell group sizes are too skewed for map_groups.
+    """
+    ds = images_ds
+    if not footprints_derived:
+        ds = ds.map_batches(derive_footprints, batch_format="pyarrow", batch_size=batch_size)
+
+    def explode_and_split(b: pa.Table) -> pa.Table:
+        # Acero hash join rejects fixed_size_list payload columns → split
+        # the corner quad into 8 scalar columns for the shuffle
+        t = _explode_images(b, res)
+        col = t["fp_corners"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 8)
+        t = t.drop_columns(["fp_corners"])
+        for i in range(8):
+            t = t.append_column(f"fp_c{i}", pa.array(flat[:, i], pa.float64()))
+        return t
+
+    img_cells = ds.map_batches(
+        explode_and_split, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def explode_queries(batch: pa.Table) -> pa.Table:
+        wkbs = batch["geometry"].to_pylist()
+        bb = decode_bboxes(wkbs)
+        row_idx, cover = cells.cover_bbox_many(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res)
+        take = pa.array(row_idx)
+        return pa.table(
+            {
+                "cell": pa.array(cover, pa.int64()),
+                "query_id": batch["query_id"].take(take),
+                "geometry": batch["geometry"].take(take),
+                "q_xmin": pa.array(bb[row_idx, 0], pa.float64()),
+                "q_ymin": pa.array(bb[row_idx, 1], pa.float64()),
+                "q_xmax": pa.array(bb[row_idx, 2], pa.float64()),
+                "q_ymax": pa.array(bb[row_idx, 3], pa.float64()),
+            }
+        )
+
+    q_cells = queries_ds.map_batches(explode_queries, batch_format="pyarrow")
+    joined = img_cells.join(
+        q_cells,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell",),
+    )
+
+    def exact(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return _EMPTY_PAIRS
+        xmin = batch["fp_xmin"].to_numpy()
+        ymin = batch["fp_ymin"].to_numpy()
+        xmax = batch["fp_xmax"].to_numpy()
+        ymax = batch["fp_ymax"].to_numpy()
+        ok = (
+            (xmin <= batch["q_xmax"].to_numpy()) & (xmax >= batch["q_xmin"].to_numpy())
+            & (ymin <= batch["q_ymax"].to_numpy()) & (ymax >= batch["q_ymin"].to_numpy())
+        )
+        # canonical-cell dedup (pair may match in several shared cells)
+        ll_x = np.maximum(xmin, batch["q_xmin"].to_numpy())
+        ll_y = np.maximum(ymin, batch["q_ymin"].to_numpy())
+        cell_col = batch["cell"].to_numpy()
+        res_arr = cells.cell_res(cell_col)
+        canon = cells.cell_encode(ll_x, ll_y, int(res_arr[0]) if n else 0)
+        ok &= canon == cell_col
+        if not ok.any():
+            return _EMPTY_PAIRS
+        idx = np.nonzero(ok)[0]
+        sub = batch.take(pa.array(idx))
+        corners = np.stack(
+            [sub[f"fp_c{i}"].to_numpy() for i in range(8)], axis=1
+        ).reshape(-1, 4, 2)
+        keep = np.zeros(len(sub), dtype=bool)
+        geoms = sub["geometry"].to_pylist()
+        pg_cache: dict[bytes, PreparedGeometry] = {}
+        for i, g in enumerate(geoms):
+            g = bytes(g)
+            pg = pg_cache.get(g)
+            if pg is None:
+                pg = pg_cache[g] = PreparedGeometry(g)
+            keep[i] = pg.intersects_quads(corners[i : i + 1])[0]
+        out = sub.filter(pa.array(keep))
+        return out.select(["image_id", "query_id"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")

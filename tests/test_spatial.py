@@ -57,6 +57,16 @@ def test_partitioned_join_matches_bruteforce(fixtures_dir, expected_pairs):
     assert len(res) == len(got)
 
 
+def test_hash_join_matches_bruteforce(fixtures_dir, expected_pairs):
+    qds = rd.read_parquet(f"{fixtures_dir}/query_geoms.parquet")
+    res = spatial_join.hash_spatial_join(
+        _images_ds(fixtures_dir), qds, num_partitions=4
+    ).to_pandas()
+    got = set(zip(res["image_id"], res["query_id"]))
+    assert got == expected_pairs
+    assert len(res) == len(got)
+
+
 def test_tile_assignment_matches_bruteforce(fixtures_dir, corpus):
     _, corners, ids = corpus
     xmin, ymin, xmax, ymax = affine.corners_bbox(corners)
