@@ -53,16 +53,29 @@ class _PartialTopK:
                     "dist": pa.array([], pa.float64()),
                 }
             )
-        # (Q, N) squared planar distance — vectorized; Q is small (broadcast side)
-        d2 = (cx[None, :] - self.px[:, None]) ** 2 + (cy[None, :] - self.py[:, None]) ** 2
         k = min(self.k, n)
-        part = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (Q,k) local winners
-        rows = part.ravel()
-        qidx = np.repeat(np.arange(len(self.qids)), k)
-        dist = np.sqrt(d2[qidx, rows])
+        nq = len(self.qids)
+        rows_parts, qidx_parts, dist_parts = [], [], []
+        # probe-chunked so the (chunk, N) distance matrix stays L3-resident
+        # (same lesson as the join's exact kernel — see BENCH/BASELINE.md)
+        chunk = max(1, 4_000_000 // max(n, 1))
+        for s in range(0, nq, chunk):
+            e = min(s + chunk, nq)
+            d2 = (cx[None, :] - self.px[s:e, None]) ** 2 + (
+                cy[None, :] - self.py[s:e, None]
+            ) ** 2
+            part = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (q,k) local winners
+            rows = part.ravel()
+            qidx = np.repeat(np.arange(s, e), k)
+            rows_parts.append(rows)
+            qidx_parts.append(qidx)
+            dist_parts.append(np.sqrt(d2[np.repeat(np.arange(e - s), k), rows]))
+        rows = np.concatenate(rows_parts)
+        qidx = np.concatenate(qidx_parts)
+        dist = np.concatenate(dist_parts)
         return pa.table(
             {
-                "query_id": pa.array([self.qids[i] for i in qidx], pa.string()),
+                "query_id": pa.array(np.asarray(self.qids, dtype=object)[qidx], pa.string()),
                 "image_id": batch["image_id"].take(pa.array(rows)),
                 "dist": pa.array(dist, pa.float64()),
             }
