@@ -1,0 +1,194 @@
+"""CLI entry points — the Ray-native analogue of the reference CLI
+(crates/cli/src/lib.rs: translate / search / crawl / validate; `serve` has
+no analogue — there is no server in scope, SURVEY.md §3.3).
+
+    python -m rustac_ray search ITEMS.parquet --bbox -106.1,40.5,-106.0,40.6 --limit 10 [-o OUT]
+    python -m rustac_ray translate IN OUT [--migrate]
+    python -m rustac_ray crawl ITEMS.parquet OUT_DIR
+    python -m rustac_ray validate ITEMS.parquet
+    python -m rustac_ray join IMAGES.parquet QUERIES.parquet [-o OUT]
+    python -m rustac_ray tiles IMAGES.parquet [-z 8] [-o OUT]
+
+Owns its Ray session (guarded init), unlike the library code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+_OWNS_SESSION = False
+
+
+def _ensure_ray():
+    global _OWNS_SESSION
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        _OWNS_SESSION = True
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _emit(ds, out: str | None, limit_stdout: int = 20):
+    if out:
+        from .sources.io import write_items
+
+        write_items(ds, out)
+        print(f"wrote {out}")
+    else:
+        df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+        for rec in df.head(limit_stdout).to_dict("records"):
+            print(json.dumps(rec, default=str))
+        if len(df) > limit_stdout:
+            print(f"... ({len(df)} rows total)", file=sys.stderr)
+
+
+def cmd_search(args):
+    _ensure_ray()
+    from .query import QuerySpec, search
+    from .sources.io import read_items
+
+    spec = QuerySpec(
+        ids=args.ids.split(",") if args.ids else None,
+        collections=args.collections.split(",") if args.collections else None,
+        bbox=[float(x) for x in args.bbox.split(",")] if args.bbox else None,
+        intersects=json.loads(args.intersects) if args.intersects else None,
+        datetime=args.datetime,
+        filter=args.filter,
+        fields=args.fields,
+        sortby=args.sortby,
+        limit=args.limit,
+        offset=args.offset,
+    )
+    ds = search(read_items(args.input), spec)
+    if args.count:
+        print(ds.count())
+    else:
+        _emit(ds.drop_columns([c for c in ("geometry",) if c in ds.schema().names]), args.output)
+
+
+def cmd_translate(args):
+    _ensure_ray()
+    from .pipelines.translate import translate
+
+    translate(args.input, args.output, migrate=args.migrate)
+    print(f"wrote {args.output}")
+
+
+def cmd_crawl(args):
+    _ensure_ray()
+    from .pipelines.translate import crawl_write
+    from .sources.io import read_items
+
+    crawl_write(read_items(args.input), args.output)
+    print(f"wrote {args.output} (partitioned by collection)")
+
+
+def cmd_validate(args):
+    _ensure_ray()
+    from .sources.io import read_items
+    from .stages.items import ItemValidator
+
+    out = read_items(args.input).map_batches(
+        ItemValidator, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    bad = out[~out["valid"]]
+    print(f"{len(out) - len(bad)}/{len(out)} valid")
+    for _, row in bad.head(20).iterrows():
+        print(f"INVALID {row['id']}: {row['errors']}")
+    sys.exit(1 if len(bad) else 0)
+
+
+def cmd_join(args):
+    _ensure_ray()
+    import pyarrow.parquet as pq
+
+    from .sources.io import read_items
+    from .stages.spatial_join import broadcast_spatial_join
+
+    queries = pq.read_table(args.queries)
+    ds = broadcast_spatial_join(read_items(args.input), queries, concurrency=args.concurrency)
+    _emit(ds, args.output)
+
+
+def cmd_tiles(args):
+    _ensure_ray()
+    from .sources.io import read_items
+    from .stages.tiling import assign_tiles
+
+    ds = assign_tiles(
+        read_items(args.input), z=args.zoom,
+        refine_threshold=args.refine_threshold,
+    ).drop_columns(["tile_key"])
+    _emit(ds, args.output)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rustac_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("search", help="item search over a flat items table")
+    s.add_argument("input")
+    s.add_argument("--ids")
+    s.add_argument("--collections")
+    s.add_argument("--bbox")
+    s.add_argument("--intersects", help="GeoJSON geometry string")
+    s.add_argument("--datetime")
+    s.add_argument("--filter", help="CQL2 text or json")
+    s.add_argument("--fields")
+    s.add_argument("--sortby")
+    s.add_argument("--limit", type=int)
+    s.add_argument("--offset", type=int)
+    s.add_argument("--count", action="store_true")
+    s.add_argument("-o", "--output")
+    s.set_defaults(fn=cmd_search)
+
+    t = sub.add_parser("translate", help="format conversion (+ optional migrate)")
+    t.add_argument("input")
+    t.add_argument("output")
+    t.add_argument("--migrate", action="store_true")
+    t.set_defaults(fn=cmd_translate)
+
+    c = sub.add_parser("crawl", help="partition items by collection on disk")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.set_defaults(fn=cmd_crawl)
+
+    v = sub.add_parser("validate", help="structural validation")
+    v.add_argument("input")
+    v.set_defaults(fn=cmd_validate)
+
+    j = sub.add_parser("join", help="spatial join images x query geometries")
+    j.add_argument("input")
+    j.add_argument("queries")
+    j.add_argument("--concurrency", type=int, default=4)
+    j.add_argument("-o", "--output")
+    j.set_defaults(fn=cmd_join)
+
+    ti = sub.add_parser("tiles", help="web-mercator tile assignment")
+    ti.add_argument("input")
+    ti.add_argument("-z", "--zoom", type=int, default=8)
+    ti.add_argument("--refine-threshold", type=int, default=None)
+    ti.add_argument("-o", "--output")
+    ti.set_defaults(fn=cmd_tiles)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    if _OWNS_SESSION:  # don't tear down a session someone else owns (tests)
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

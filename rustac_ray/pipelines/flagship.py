@@ -17,7 +17,13 @@ from .. import synth
 from ..stages import spatial_join, tiling
 from ..stages.footprint import derive_footprints
 
-__all__ = ["read_images_metadata", "run_spatial_join", "run_tile_assignment", "flagship"]
+__all__ = [
+    "read_images_metadata",
+    "run_spatial_join",
+    "run_tile_assignment",
+    "flagship",
+    "run_checkpointed",
+]
 
 # the join/tiling path needs only geometry metadata — pruning `bytes` and
 # `caption` at the read keeps 95+% of the table's byte weight off the wire
@@ -87,3 +93,23 @@ def flagship(sf_dir: str, *, concurrency: int | tuple[int, int] = 8, batch_size:
         with_fp, z=8, refine_threshold=None, footprints_derived=True
     )
     return join_ds, tiles_ds
+
+
+def run_checkpointed(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    concurrency: int | tuple[int, int] = 8,
+    resume: bool = True,
+) -> list[dict]:
+    """Flagship join with resumable partitioned output + lineage manifest
+    (north rule: 'resumable from checkpoint with per-partition lineage +
+    metrics'). Completed partitions recorded in ``_manifest.jsonl`` are
+    skipped on rerun; returns the manifest records.
+    """
+    from ..state.manifest import write_partitioned
+
+    join_ds = run_spatial_join(sf_dir, concurrency=concurrency)
+    return write_partitioned(
+        join_ds, out_dir, resume=resume, digest_cols=["image_id", "query_id"]
+    )

@@ -42,10 +42,34 @@ IMAGES_SCHEMA = pa.schema(
     ]
 )
 
+LINK_STRUCT = pa.struct(
+    [
+        pa.field("href", pa.string()),
+        pa.field("rel", pa.string()),
+        pa.field("type", pa.string()),
+    ]
+)
+
+ASSET_STRUCT = pa.struct(
+    [
+        pa.field(
+            "data",
+            pa.struct(
+                [
+                    pa.field("href", pa.string()),
+                    pa.field("type", pa.string()),
+                    pa.field("roles", pa.list_(pa.string())),
+                ]
+            ),
+        )
+    ]
+)
+
 STAC_ITEMS_SCHEMA = pa.schema(
     [
         pa.field("type", pa.string()),
         pa.field("stac_version", pa.string()),
+        pa.field("stac_extensions", pa.list_(pa.string())),
         pa.field("id", pa.string()),
         pa.field("geometry", pa.binary()),
         pa.field("bbox", BBOX_STRUCT),
@@ -55,6 +79,8 @@ STAC_ITEMS_SCHEMA = pa.schema(
         pa.field("collection", pa.string()),
         pa.field("eo:cloud_cover", pa.float64()),
         pa.field("sat:relative_orbit", pa.int64()),
+        pa.field("links", pa.list_(LINK_STRUCT)),
+        pa.field("assets", ASSET_STRUCT),
     ]
 )
 

@@ -25,6 +25,7 @@ __all__ = [
     "write_items",
     "write_stac_geoparquet",
     "read_stac_geoparquet_table",
+    "dictionary_encode_columns",
     "ROW_GROUP_SIZE",
 ]
 
@@ -67,6 +68,24 @@ def write_items(ds, path: str, fmt: str | None = None, **kwargs):
     if fmt == "ndjson":
         return ds.write_json(path, **kwargs)
     raise ValueError(fmt)
+
+
+def dictionary_encode_columns(batch: pa.Table, columns: list[str]) -> pa.Table:
+    """Dictionary-encode low-cardinality string columns (the reference
+    dict-encodes type/stac_version/collection, geoarrow/mod.rs:31-32,205-226).
+    Shrinks blocks through shuffles; parquet writes them as dictionary pages."""
+    import pyarrow.compute as pc
+
+    out = batch
+    for col in columns:
+        if col in out.column_names:
+            i = out.schema.get_field_index(col)
+            c = out[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            if not pa.types.is_dictionary(c.type):
+                out = out.set_column(i, col, pc.dictionary_encode(c))
+    return out
 
 
 def _bbox_covering_metadata(bbox_column: str = "bbox") -> dict:

@@ -194,11 +194,32 @@ def build_stac_items_table(n: int, seed: int = SEED) -> pa.Table:
     orbit = np.where(i % 100 < 49, 98, 11).astype(np.int64)  # 49 per 100 → ref 49
     cloud = np.round(rng.uniform(0, 100, n), 2)
     collection = np.where(i % 2 == 0, "sentinel-2a", "sentinel-2b")
+    links = pa.array(
+        [
+            [{"href": f"./items/{ids[k]}.json", "rel": "self", "type": "application/geo+json"}]
+            for k in range(n)
+        ],
+        pa.list_(sch.LINK_STRUCT),
+    )
+    assets = pa.array(
+        [
+            {
+                "data": {
+                    "href": f"./data/{ids[k]}.tif",
+                    "type": "image/tiff; application=geotiff",
+                    "roles": ["data"],
+                }
+            }
+            for k in range(n)
+        ],
+        sch.ASSET_STRUCT,
+    )
 
     return pa.Table.from_arrays(
         [
             pa.array(["Feature"] * n),
             pa.array(["1.1.0"] * n),
+            pa.array([["https://stac-extensions.github.io/eo/v1.1.0/schema.json"]] * n, pa.list_(pa.string())),
             pa.array(ids, pa.string()),
             pa.array(wkbs, pa.binary()),
             pa.StructArray.from_arrays(
@@ -211,6 +232,8 @@ def build_stac_items_table(n: int, seed: int = SEED) -> pa.Table:
             pa.array(collection, pa.string()),
             pa.array(cloud, pa.float64()),
             pa.array(orbit, pa.int64()),
+            links,
+            assets,
         ],
         schema=sch.STAC_ITEMS_SCHEMA,
     )

@@ -1,0 +1,37 @@
+"""CLI integration (reference pattern: assert_cmd end-to-end invocations,
+crates/cli/tests/test_cli.rs) — run in-process against the session Ray."""
+
+import json
+
+import pytest
+
+from rustac_ray.__main__ import main
+
+
+def test_cli_search_count(fixtures_dir, capsys):
+    main(["search", f"{fixtures_dir}/stac_items.parquet",
+          "--bbox=-106.1,40.5,-106.0,40.6", "--count"])
+    assert capsys.readouterr().out.strip() == "50"
+
+
+def test_cli_search_filter_sort(fixtures_dir, capsys):
+    main(["search", f"{fixtures_dir}/stac_items.parquet",
+          "--filter", '"sat:relative_orbit" = 98',
+          "--sortby=-datetime", "--limit", "1", "--fields", "+id"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[0])["id"] == "item-00048"  # latest orbit-98 item
+
+
+def test_cli_validate_ok(fixtures_dir, capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["validate", f"{fixtures_dir}/stac_items.parquet"])
+    assert e.value.code == 0
+    assert "100/100 valid" in capsys.readouterr().out
+
+
+def test_cli_translate(fixtures_dir, tmp_path, capsys):
+    out = str(tmp_path / "out_parquet")
+    main(["translate", f"{fixtures_dir}/stac_items.parquet", out])
+    import ray.data as rd
+
+    assert rd.read_parquet(out).count() == 100
