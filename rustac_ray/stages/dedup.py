@@ -223,6 +223,117 @@ def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def connected_components(pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 10):
+    """Cluster near-dup pairs into components via iterative min-label
+    propagation — each round is one groupby (label = min over neighbors),
+    converging in O(diameter) rounds; no driver-side union-find, so it
+    scales to candidate graphs that don't fit one machine.
+
+    Input: Dataset of (id_a, id_b) edges. Output: (node, component) where
+    component = min node id in the component.
+
+    Partitioning assumption: the label table (distinct nodes appearing in
+    candidate PAIRS — a small fraction of the corpus) fits on the driver
+    for the per-round convergence check; the propagation join itself is
+    distributed. For huge candidate graphs, replace the check with a
+    changed-row count aggregate.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    a, b = id_cols
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        # undirected: emit both directions
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch[a].combine_chunks() if isinstance(batch[a], pa.ChunkedArray) else batch[a],
+                     batch[b].combine_chunks() if isinstance(batch[b], pa.ChunkedArray) else batch[b]]
+                ),
+                "nbr": pa.concat_arrays(
+                    [batch[b].combine_chunks() if isinstance(batch[b], pa.ChunkedArray) else batch[b],
+                     batch[a].combine_chunks() if isinstance(batch[a], pa.ChunkedArray) else batch[a]]
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    id_type = edges.schema().base_schema.field("node").type
+    lbl_schema = pa.schema([("node", id_type), ("lbl", id_type)])
+    nbr_schema = pa.schema([("nbr", id_type), ("lbl", id_type)])
+
+    def _norm(batch: pa.Table, schema: pa.Schema, rename=None) -> pa.Table:
+        # hash aggregates emit EMPTY blocks with an empty schema; every
+        # stage re-normalizes so the next join sees one stable schema
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        if rename:
+            batch = batch.rename_columns(
+                [rename.get(c, c) for c in batch.column_names]
+            )
+        return batch.select(schema.names).cast(schema)
+
+    # label(node) = min(node, min(nbr labels)); iterate until fixpoint
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+
+    def self_min(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = _norm(batch, lbl_schema)
+        if batch.num_rows == 0:
+            return batch
+        return pa.table(
+            {"node": batch["node"], "lbl": pc.min_element_wise(batch["node"], batch["lbl"])}
+        )
+
+    import ray.data as rd
+
+    # per the documented assumption the label table is driver-small: pin a
+    # clean-schema Arrow copy each round (hash-aggregate outputs carry
+    # empty blocks with empty schemas that would poison the next join,
+    # and empty blocks bypass map_batches UDFs, so re-pinning is the
+    # robust normalization)
+    labels_tbl = (
+        pa.concat_tables(
+            [
+                _norm(b, lbl_schema)
+                for b in labels.map_batches(self_min, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+                if b.num_rows
+            ]
+            or [lbl_schema.empty_table()]
+        )
+    )
+    old: dict | None = None
+    for _ in range(max_rounds):
+        nbr_labels = rd.from_arrow(
+            labels_tbl.rename_columns(["nbr", "lbl"])
+        )
+        prop = edges.join(nbr_labels, join_type="inner", num_partitions=8, on=("nbr",))
+        new_labels = (
+            prop.map_batches(lambda b: _norm(b, lbl_schema), batch_format="pyarrow")
+            .union(rd.from_arrow(labels_tbl))
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+        )
+        parts = [
+            _norm(b, lbl_schema)
+            for b in new_labels.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        labels_tbl = pa.concat_tables(parts or [lbl_schema.empty_table()])
+        new = dict(
+            zip(labels_tbl["node"].to_pylist(), labels_tbl["lbl"].to_pylist())
+        )
+        if old == new:
+            break
+        old = new
+
+    return rd.from_arrow(labels_tbl.rename_columns(["node", "component"]))
+
+
 def phash_near_dup(
     ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 512
 ):

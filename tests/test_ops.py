@@ -50,6 +50,25 @@ def test_minhash_finds_planted_near_dups():
     assert abs(est - exact) < 0.25
 
 
+def test_connected_components():
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 5], "id_b": [2, 3, 11, 3]})
+    out = (
+        dedup.connected_components(rd.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("node")
+    )
+    comp = dict(zip(out["node"], out["component"]))
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges():
+    # path graph needs multiple propagation rounds
+    pairs = pd.DataFrame({"id_a": [101, 102, 103, 104], "id_b": [102, 103, 104, 105]})
+    out = dedup.connected_components(rd.from_pandas(pairs)).to_pandas()
+    assert set(out["component"]) == {101}
+    assert len(out) == 5
+
+
 def test_simhash_near_for_similar_docs():
     s = dedup.SimHasher()
     a = s.simhash("the quick brown fox jumps over the lazy dog near the river")
