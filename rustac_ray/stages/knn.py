@@ -29,7 +29,7 @@ import ray
 from ..geo import cells
 from .footprint import derive_footprints
 
-__all__ = ["knn_join", "CellKNNIndex"]
+__all__ = ["knn_join", "CellKNNIndex", "ShardedKNNIndex"]
 
 
 class _PartialTopK:
@@ -169,3 +169,74 @@ class CellKNNIndex:
         kk = min(k, len(d))
         top = np.argsort(d, kind="stable")[:kk]
         return self.ids[rows[top]], d[top]
+
+
+@ray.remote
+class _KNNShard:
+    """One index shard: a CellKNNIndex over the rows whose cell hashes to
+    this shard. The 'raw actor' case of SURVEY.md §2.4 — a shared queryable
+    index the Dataset API can't express."""
+
+    def __init__(self, res: int):
+        self._parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._index: CellKNNIndex | None = None
+        self._res = res
+
+    def add(self, ids, cx, cy) -> int:
+        self._parts.append((np.asarray(ids), np.asarray(cx), np.asarray(cy)))
+        self._index = None
+        return sum(len(p[0]) for p in self._parts)
+
+    def _built(self) -> CellKNNIndex:
+        if self._index is None:
+            ids = np.concatenate([p[0] for p in self._parts])
+            cx = np.concatenate([p[1] for p in self._parts])
+            cy = np.concatenate([p[2] for p in self._parts])
+            self._index = CellKNNIndex(ids, cx, cy, res=self._res)
+        return self._index
+
+    def query(self, x: float, y: float, k: int):
+        ids, d = self._built().query(x, y, k)
+        return list(ids), list(d)
+
+
+class ShardedKNNIndex:
+    """Scatter-gather kNN over cell-sharded index actors.
+
+    Build: one streaming pass over the footprint Dataset routes each row's
+    (id, center) to the shard owning its cell (``cell % num_shards``) — the
+    per-shard slice is what a node would hold at cluster scale. Query:
+    probe all shards (k results each) and merge the global top-k on the
+    driver. With range-sharding the probe set narrows to the shards whose
+    cell ranges intersect the probe ring; modulo-sharding (here) trades
+    that for perfect balance.
+    """
+
+    def __init__(self, images_ds, *, num_shards: int = 4, res: int = 6,
+                 footprints_derived: bool = False):
+        from .footprint import derive_footprints as _derive
+
+        ds = images_ds
+        if not footprints_derived:
+            ds = ds.map_batches(_derive, batch_format="pyarrow")
+        self.res = res
+        self.shards = [_KNNShard.remote(res) for _ in range(num_shards)]
+        pending = []
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=32768):
+            cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+            cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+            ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+            cell = cells.cell_encode(cx, cy, res)
+            shard_of = (cell % num_shards).astype(np.int64)
+            for s in range(num_shards):
+                m = shard_of == s
+                if m.any():
+                    pending.append(self.shards[s].add.remote(ids[m], cx[m], cy[m]))
+        ray.get(pending)
+
+    def query(self, x: float, y: float, k: int):
+        results = ray.get([s.query.remote(x, y, k) for s in self.shards])
+        ids = np.concatenate([np.asarray(r[0], dtype=object) for r in results])
+        d = np.concatenate([np.asarray(r[1], dtype=np.float64) for r in results])
+        top = np.argsort(d, kind="stable")[: min(k, len(d))]
+        return ids[top], d[top]

@@ -115,6 +115,18 @@ def test_cell_knn_index_matches_bruteforce(corpus):
         assert list(got_ids) == list(expected)
 
 
+def test_sharded_knn_index(fixtures_dir, corpus):
+    _, corners, ids = corpus
+    cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
+    cy = (corners[:, :, 1].min(1) + corners[:, :, 1].max(1)) / 2
+    idx = knn.ShardedKNNIndex(_images_ds(fixtures_dir), num_shards=3)
+    for px, py, k in [(-100.0, 35.0, 5), (-118.0, 48.0, 9)]:
+        got_ids, got_d = idx.query(px, py, k)
+        d = np.hypot(cx - px, cy - py)
+        expected = ids[np.argsort(d, kind="stable")[:k]]
+        assert list(got_ids) == list(expected)
+
+
 def test_join_result_deterministic(fixtures_dir):
     qt = pq.read_table(f"{fixtures_dir}/query_geoms.parquet")
     a = spatial_join.broadcast_spatial_join(
