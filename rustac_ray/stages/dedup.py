@@ -25,6 +25,8 @@ import pyarrow as pa
 
 __all__ = [
     "exact_dedup",
+    "simhash_near_dup",
+    "connected_components",
     "MinHasher",
     "minhash_lsh_candidates",
     "SimHasher",
@@ -334,8 +336,20 @@ def connected_components(pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 1
     return rd.from_arrow(labels_tbl.rename_columns(["node", "component"]))
 
 
+def simhash_near_dup(
+    ds, max_hamming: int = 6, id_col: str = "doc_id", concurrency: int | tuple = 4,
+):
+    """Document near-dup via simhash hamming-LSH (same banding machinery as
+    phash_near_dup, over the 64-bit simhash column computed per batch)."""
+    sigged = ds.map_batches(SimHasher, batch_format="pandas", concurrency=concurrency)
+    return phash_near_dup(
+        sigged, max_hamming=max_hamming, id_col=id_col, hash_col="simhash"
+    )
+
+
 def phash_near_dup(
-    ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 512
+    ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 512,
+    hash_col: str = "phash",
 ):
     """Image near-dup via phash hamming-LSH: band the 64-bit phash into 4
     16-bit bands; two images within hamming ≤ 4 of each other share at
@@ -349,7 +363,7 @@ def phash_near_dup(
     from ..imaging.phash import hamming64
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ph = batch[hash_col].to_numpy().astype(np.int64).view(np.uint64)
         out = []
         for band in range(4):
             bh = ((ph >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
@@ -359,7 +373,7 @@ def phash_near_dup(
                         "band_id": band,
                         "band_hash": bh,
                         id_col: batch[id_col].to_numpy(),
-                        "phash": batch["phash"].to_numpy(),
+                        "phash": batch[hash_col].to_numpy(),
                     }
                 )
             )

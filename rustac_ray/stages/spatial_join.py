@@ -288,15 +288,50 @@ def broadcast_spatial_join(
 # ------------------------------------------------------- partitioned path ---
 
 
-def _explode_images(batch: pa.Table, res: int) -> pa.Table:
-    """flat_map row→(cell,row) for the image side (metadata only)."""
-    row_idx, cover = cells.cover_bbox_many(
-        batch["fp_xmin"].to_numpy(),
-        batch["fp_ymin"].to_numpy(),
-        batch["fp_xmax"].to_numpy(),
-        batch["fp_ymax"].to_numpy(),
-        res,
+def _refine_cover(
+    row_idx: np.ndarray,
+    cover: np.ndarray,
+    xmin, ymin, xmax, ymax,
+    res: int,
+    hot_arr: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hot-cell refinement (north rule / SURVEY.md §4a): entries landing on
+    a hot base cell are re-encoded one resolution deeper — only the res+1
+    children of THAT hot cell that the row's bbox overlaps. Bounds the max
+    co-group size of the groupby-cell shuffle."""
+    if len(hot_arr) == 0:
+        return row_idx, cover
+    is_hot = np.isin(cover, hot_arr)
+    if not is_hot.any():
+        return row_idx, cover
+    keep_rows, keep_cells = row_idx[~is_hot], cover[~is_hot]
+    h_rows, h_cells = row_idx[is_hot], cover[is_hot]
+    # cover each hot entry's row bbox at res+1, keep children of its hot cell
+    sub_rows, sub_cells = cells.cover_bbox_many(
+        np.asarray(xmin)[h_rows], np.asarray(ymin)[h_rows],
+        np.asarray(xmax)[h_rows], np.asarray(ymax)[h_rows], res + 1,
     )
+    parent = cells.cell_parent(sub_cells)
+    ok = parent == h_cells[sub_rows]
+    return (
+        np.concatenate([keep_rows, h_rows[sub_rows[ok]]]),
+        np.concatenate([keep_cells, sub_cells[ok]]),
+    )
+
+
+def _explode_images(
+    batch: pa.Table, res: int, hot_arr: np.ndarray | None = None
+) -> pa.Table:
+    """flat_map row→(cell,row) for the image side (metadata only)."""
+    xmin = batch["fp_xmin"].to_numpy()
+    ymin = batch["fp_ymin"].to_numpy()
+    xmax = batch["fp_xmax"].to_numpy()
+    ymax = batch["fp_ymax"].to_numpy()
+    row_idx, cover = cells.cover_bbox_many(xmin, ymin, xmax, ymax, res)
+    if hot_arr is not None:
+        row_idx, cover = _refine_cover(
+            row_idx, cover, xmin, ymin, xmax, ymax, res, hot_arr
+        )
     take = pa.array(row_idx)
     return pa.table(
         {
@@ -311,6 +346,30 @@ def _explode_images(batch: pa.Table, res: int) -> pa.Table:
     )
 
 
+def hot_cell_set(images_with_fp, res: int, threshold: int) -> set[int]:
+    """Pre-pass (combiner-first): base cells whose image count > threshold."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ri, cover = cells.cover_bbox_many(
+            batch["fp_xmin"].to_numpy(), batch["fp_ymin"].to_numpy(),
+            batch["fp_xmax"].to_numpy(), batch["fp_ymax"].to_numpy(), res,
+        )
+        uniq, cnt = np.unique(cover, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    agg = (
+        images_with_fp.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n_total"))
+    )
+    return {
+        int(r["cell"]) for r in agg.filter(lambda r: r["n_total"] > threshold).take_all()
+    }
+
+
 def partitioned_spatial_join(
     images_ds: "ray.data.Dataset",
     queries_ds: "ray.data.Dataset",
@@ -318,6 +377,7 @@ def partitioned_spatial_join(
     res: int = DEFAULT_JOIN_RES,
     batch_size: int = 8192,
     footprints_derived: bool = False,
+    refine_threshold: int | None = None,
 ) -> "ray.data.Dataset":
     """Large×large co-shuffled cell join (groupby-cell, canonical-cell dedup).
 
@@ -326,20 +386,36 @@ def partitioned_spatial_join(
     them; each group joins locally with exact tests. Pairs are emitted only
     from the canonical cell of the pair (cell containing the lower-left
     corner of the bbox intersection) — a shuffle-free dedup.
+
+    ``refine_threshold``: hot base cells (> threshold image rows) are split
+    to res+1 children on BOTH sides before the shuffle (north-rule skew
+    handling); the canonical-cell rule refines identically, so dedup stays
+    exact across mixed resolutions.
     """
     import pandas as pd
 
     ds = images_ds
     if not footprints_derived:
         ds = ds.map_batches(derive_footprints, batch_format="pyarrow", batch_size=batch_size)
+
+    hot: set[int] = set()
+    if refine_threshold is not None:
+        hot = hot_cell_set(ds, res, refine_threshold)
+    hot_arr = np.fromiter(hot, dtype=np.int64) if hot else np.empty(0, np.int64)
+
     img_cells = ds.map_batches(
-        lambda b: _explode_images(b, res), batch_format="pyarrow", batch_size=batch_size
+        lambda b: _explode_images(b, res, hot_arr),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
     def explode_queries(batch: pa.Table) -> pa.Table:
         wkbs = batch["geometry"].to_pylist()
         bb = decode_bboxes(wkbs)
         row_idx, cover = cells.cover_bbox_many(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res)
+        row_idx, cover = _refine_cover(
+            row_idx, cover, bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res, hot_arr
+        )
         take = pa.array(row_idx)
         return pa.table(
             {
@@ -417,10 +493,17 @@ def partitioned_spatial_join(
             )
             if not mask.any():
                 continue
-            # canonical-cell dedup: lower-left corner of bbox∩bbox must be here
+            # canonical-cell dedup: lower-left corner of bbox∩bbox must be
+            # here; canonical refines to res+1 exactly where cells did
             ll_x = np.maximum(ixmin, q["q_xmin"])
             ll_y = np.maximum(iymin, q["q_ymin"])
-            canon = cells.cell_encode(ll_x, ll_y, cells.cell_res(np.int64(cell)))
+            c0 = cells.cell_encode(ll_x, ll_y, res)
+            if len(hot_arr):
+                canon = np.where(
+                    np.isin(c0, hot_arr), cells.cell_encode(ll_x, ll_y, res + 1), c0
+                )
+            else:
+                canon = c0
             mask &= canon == cell
             if not mask.any():
                 continue

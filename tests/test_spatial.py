@@ -137,3 +137,20 @@ def test_join_result_deterministic(fixtures_dir):
     ).to_pandas()
     key = lambda df: sorted(zip(df["image_id"], df["query_id"]))
     assert key(a) == key(b)
+
+
+def test_partitioned_join_hot_cell_refinement(fixtures_dir, expected_pairs):
+    """Refined (skew-split) join must produce the identical pair set."""
+    qds = rd.read_parquet(f"{fixtures_dir}/query_geoms.parquet")
+    res = spatial_join.partitioned_spatial_join(
+        _images_ds(fixtures_dir), qds, refine_threshold=20
+    ).to_pandas()
+    got = set(zip(res["image_id"], res["query_id"]))
+    assert got == expected_pairs
+    assert len(res) == len(got)
+    # and the hot pre-pass actually fires at this threshold (hot box ~5%)
+    from rustac_ray.stages.footprint import derive_footprints
+
+    ds = _images_ds(fixtures_dir).map_batches(derive_footprints, batch_format="pyarrow")
+    hot = spatial_join.hot_cell_set(ds, spatial_join.DEFAULT_JOIN_RES, 20)
+    assert len(hot) > 0
