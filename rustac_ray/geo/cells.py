@@ -157,6 +157,8 @@ def cover_bbox_many(
     nx = x1 - x0 + 1
     ny = y1 - y0 + 1
     counts = nx * ny
+    if len(counts) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     total = int(counts.sum())
     row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     # within-row flat offset 0..counts[i]-1, vectorized

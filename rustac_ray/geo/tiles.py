@@ -76,6 +76,8 @@ def cover_bbox_tiles(
     nx = x1 - x0 + 1
     ny = y1 - y0 + 1
     counts = nx * ny
+    if len(counts) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     total = int(counts.sum())
     row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])

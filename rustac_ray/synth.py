@@ -39,6 +39,8 @@ from . import schema as sch
 
 SEED = 42
 FIXTURE_ROOT = "/tmp/rustac_fixtures"
+# bump when generation logic changes — stale cached fixtures regenerate
+FIXTURE_VERSION = "3"
 
 _TIERS = {
     "sf0.001": dict(images=1_000, items=100, queries=20),
@@ -408,7 +410,10 @@ def ensure_fixtures(sf_dir: str) -> str:
     out = fixture_dir(sf_dir)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
-        return out
+        with open(done) as f:
+            if f.read().strip() == FIXTURE_VERSION:
+                return out
+        shutil.rmtree(out, ignore_errors=True)  # stale version → regenerate
     tier = tier_for(sf_dir)
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -428,7 +433,7 @@ def ensure_fixtures(sf_dir: str) -> str:
     pq.write_table(boxes, os.path.join(tmp, "query_boxes.parquet"))
     pq.write_table(build_query_points(geoms), os.path.join(tmp, "query_points.parquet"))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok\n")
+        f.write(FIXTURE_VERSION + "\n")
     try:
         os.rename(tmp, out)
     except OSError:
