@@ -112,7 +112,26 @@ def run_bench() -> dict:
         flagship.run_spatial_join(sf_dir, concurrency=max(2, num_cpus // 2)).count()
         timings["spatial_join_sf_tier"] = time.perf_counter() - t0
 
+        # multimodal decode throughput over the payload-carrying table
+        # (small batches: rows are KBs of binary each — memory-aware sizing)
+        from rustac_ray.stages.multimodal import DEFAULT_IMAGE_BATCH, DecodeStats
+
+        t0 = time.perf_counter()
+        n_decoded = (
+            rd.read_parquet(f"{fdir}/images.parquet", override_num_blocks=n_blocks)
+            .map_batches(
+                DecodeStats,
+                batch_format="pyarrow",
+                batch_size=DEFAULT_IMAGE_BATCH,
+                concurrency=max(2, num_cpus - 1),
+            )
+            .count()
+        )
+        timings["decode_stats"] = time.perf_counter() - t0
+        result_extra = {"decoded_rows": n_decoded}
+
     headline = timings["spatial_join"] + timings["tile_assignment"]
+    result_extra = locals().get("result_extra", {})
     result = {
         "metric": "spatial-join + tile-assignment wall time (1M-row metadata bench table)",
         "value": round(headline, 3),
@@ -124,6 +143,7 @@ def run_bench() -> dict:
         "join_pairs": n_pairs,
         "tile_rows": n_tiles,
         "rows_per_sec": round(2 * bench_rows / headline, 1),
+        **result_extra,
     }
     ray.shutdown()
     return result

@@ -18,14 +18,18 @@ def average_hash(pixels: np.ndarray) -> np.int64:
     """uint8 (H,W,3) → 64-bit average hash (as signed int64 for Arrow)."""
     gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
-    # box downsample to 8x8 via integer bucket means
-    ys = (np.arange(h) * 8) // h
-    xs = (np.arange(w) * 8) // w
-    small = np.zeros((8, 8))
-    counts = np.zeros((8, 8))
-    np.add.at(small, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
-    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
-    small /= np.maximum(counts, 1.0)
+    if h % 8 == 0 and w % 8 == 0:
+        # fast path: reshape box mean (identical buckets to the generic path)
+        small = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        # generic integer-bucket means
+        ys = (np.arange(h) * 8) // h
+        xs = (np.arange(w) * 8) // w
+        small = np.zeros((8, 8))
+        counts = np.zeros((8, 8))
+        np.add.at(small, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+        np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
+        small /= np.maximum(counts, 1.0)
     bits = (small.ravel() > small.mean()).astype(np.int64)
     # assemble with wraparound-safe int64 arithmetic
     return np.int64(np.bitwise_or.reduce(np.where(bits == 1, _BITS, np.int64(0))))
