@@ -156,7 +156,7 @@ def run_scaling() -> dict:
     VM), so the two levels are run INTERLEAVED for `reps` rounds and the
     per-level minimum (least-throttled observation) is reported.
     """
-    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(lo_cpus * 4)))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
 
