@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the geometry kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rustac_ray.geo import affine, cells, tiles, wkb
+from rustac_ray.geo.pip import PreparedGeometry, pairwise_quad_poly_intersects
+
+coord = st.floats(-170, 170, allow_nan=False, width=64)
+lat = st.floats(-85, 85, allow_nan=False, width=64)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(coord, lat), min_size=1, max_size=20))
+def test_cell_encode_bounds_roundtrip(points):
+    lon = np.array([p[0] for p in points])
+    la = np.array([p[1] for p in points])
+    for res in (3, 9, 15):
+        c = cells.cell_encode(lon, la, res)
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        assert ((lon >= x0 - 1e-9) & (lon <= x1 + 1e-9)).all()
+        assert ((la >= y0 - 1e-9) & (la <= y1 + 1e-9)).all()
+        assert (cells.cell_parent(cells.cell_encode(lon, la, res + 1)) ==
+                cells.cell_encode(lon, la, res)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(coord, lat, st.floats(0.01, 5), st.floats(0.01, 5))
+def test_cover_contains_encode(cx, cy, w, h):
+    xmin, ymin, xmax, ymax = cx - w, cy - h, cx + w, cy + h
+    ri, cover = cells.cover_bbox_many(
+        np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]), 8
+    )
+    # the cell of any point inside the bbox must be in the cover
+    for fx, fy in [(0.1, 0.1), (0.5, 0.5), (0.9, 0.9)]:
+        px = np.clip(xmin + fx * (xmax - xmin), -180, 180 - 1e-9)
+        py = np.clip(ymin + fy * (ymax - ymin), -90, 90 - 1e-9)
+        c = cells.cell_encode(np.array([px]), np.array([py]), 8)[0]
+        assert c in set(cover.tolist())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(coord, lat), min_size=3, max_size=8), coord, lat)
+def test_pip_matches_matplotlib_free_raycast(ring_pts, px, py):
+    """Even-odd PIP must agree with an independent scalar ray-cast."""
+    ring = [list(p) for p in ring_pts] + [list(ring_pts[0])]
+    pg = PreparedGeometry({"type": "Polygon", "coordinates": [ring]})
+    got = bool(pg.contains_points(np.array([px]), np.array([py]))[0])
+
+    # independent scalar even-odd (no shared code)
+    inside = False
+    n = len(ring_pts)
+    for i in range(n):
+        x1, y1 = ring_pts[i]
+        x2, y2 = ring_pts[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    # boundary tolerance: only assert when clearly off-boundary
+    d_edges = []
+    for i in range(n):
+        a = np.array(ring_pts[i]); b = np.array(ring_pts[(i + 1) % n])
+        ab = b - a
+        t = np.clip(np.dot([px, py] - a, ab) / max(np.dot(ab, ab), 1e-12), 0, 1)
+        d_edges.append(np.linalg.norm(np.array([px, py]) - (a + t * ab)))
+    if min(d_edges) > 1e-6:
+        assert got == inside
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 300), st.integers(1, 300), coord, lat,
+       st.floats(0.0001, 0.01), st.floats(0.0001, 0.01))
+def test_footprint_wkb_roundtrip(w, h, x0, y0, a, e):
+    t = np.array([[a, 0.0, x0, 0.0, -e, y0]])
+    corners = affine.footprint_corners(np.array([w]), np.array([h]), t)
+    back = wkb.decode_quads(wkb.encode_quads(corners))
+    np.testing.assert_allclose(back, corners)
+    # bbox containment of all corners
+    xmin, ymin, xmax, ymax = affine.corners_bbox(corners)
+    assert xmin <= corners[0, :, 0].min() + 1e-12
+    assert xmax >= corners[0, :, 0].max() - 1e-12
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(coord, lat), min_size=3, max_size=7),
+       coord, lat, st.floats(0.01, 2), st.floats(0.01, 2))
+def test_pairwise_kernel_matches_prepared(ring_pts, qx, qy, qw, qh):
+    """The NaN-padded pairwise kernel must agree with the per-geometry
+    PreparedGeometry path for the same (quad, polygon) pair."""
+    ring = [list(p) for p in ring_pts] + [list(ring_pts[0])]
+    poly = {"type": "Polygon", "coordinates": [ring]}
+    pg = PreparedGeometry(poly)
+    quad = np.array(
+        [[[qx - qw, qy - qh], [qx + qw, qy - qh], [qx + qw, qy + qh], [qx - qw, qy + qh]]]
+    )
+    expected = pg.intersects_quads(quad)[0]
+    r = np.asarray([p for p in ring_pts], dtype=np.float64)
+    nxt = np.roll(r, -1, axis=0)
+    E = len(r)
+    em = np.full((1, E, 4), np.nan)
+    em[0, :, 0] = r[:, 0]; em[0, :, 1] = r[:, 1]
+    em[0, :, 2] = nxt[:, 0]; em[0, :, 3] = nxt[:, 1]
+    vm = np.full((1, E, 2), np.nan)
+    vm[0, :, 0] = r[:, 0]; vm[0, :, 1] = r[:, 1]
+    got = pairwise_quad_poly_intersects(
+        quad, em[:, :, 0], em[:, :, 1], em[:, :, 2], em[:, :, 3],
+        vm[:, :, 0], vm[:, :, 1],
+    )[0]
+    assert got == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(coord, lat, st.integers(0, 14))
+def test_tile_roundtrip(lon, la, z):
+    x, y = tiles.lonlat_to_tile(np.array([lon]), np.array([la]), z)
+    w, s, e, n = tiles.tile_bounds(z, x, y)
+    assert w - 1e-9 <= lon <= e + 1e-9
+    if -85 <= la <= 85:
+        assert s - 1e-6 <= la <= n + 1e-6
+    k = tiles.tile_key(np.array([z]), x, y)
+    z2, x2, y2 = tiles.tile_unkey(k)
+    assert (z2[0], x2[0], y2[0]) == (z, x[0], y[0])
