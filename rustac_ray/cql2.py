@@ -167,7 +167,40 @@ class _TextParser:
         if k == "word" and v.upper() == "LIKE":
             self.eat("word")
             return {"op": "like", "args": [left, self.operand()]}
+        if k == "word" and v.upper() == "BETWEEN":
+            self.eat("word")
+            lo = self.operand()
+            self.eat("word", "AND")
+            hi = self.operand()
+            return {"op": "between", "args": [left, lo, hi]}
+        if k == "word" and v.upper() == "NOT":
+            # A NOT BETWEEN/LIKE/IN ...
+            self.eat("word")
+            inner = self.predicate_tail(left)
+            return {"op": "not", "args": [inner]}
         raise ValueError(f"bad predicate near {k}:{v}")
+
+    def predicate_tail(self, left):
+        k, v = self.peek()
+        if k == "word" and v.upper() == "BETWEEN":
+            self.eat("word")
+            lo = self.operand()
+            self.eat("word", "AND")
+            hi = self.operand()
+            return {"op": "between", "args": [left, lo, hi]}
+        if k == "word" and v.upper() == "LIKE":
+            self.eat("word")
+            return {"op": "like", "args": [left, self.operand()]}
+        if k == "word" and v.upper() == "IN":
+            self.eat("word")
+            self.eat("lpar")
+            vals = [self.operand()]
+            while self.peek()[0] == "comma":
+                self.eat("comma")
+                vals.append(self.operand())
+            self.eat("rpar")
+            return {"op": "in", "args": [left, vals]}
+        raise ValueError(f"bad NOT-predicate near {k}:{v}")
 
     def geom_literal(self):
         # accept GeoJSON-ish inline: we only need it from json filters or
@@ -320,11 +353,24 @@ class Cql2Predicate:
                 for j in np.nonzero(cand)[0]:
                     out[valid[j]] = _geom_intersects(pg, wkbs[valid[j]])
             return out
+        if op == "between":
+            col = self._value(args[0], batch)
+            lo = self._value(args[1], batch)
+            hi = self._value(args[2], batch)
+            res = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+            return pc.fill_null(res, False).to_numpy(zero_copy_only=False)
+        if op in ("+", "-", "*", "/"):
+            afn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}[op]
+            return afn(self._value(args[0], batch), self._value(args[1], batch))
         # comparison ops
         left = self._value(args[0], batch)
         right = self._value(args[1], batch)
         fn = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
               ">": pc.greater, ">=": pc.greater_equal}[op]
+        if isinstance(left, dict) and "op" in left:
+            left = self._eval(left, batch)
+        if isinstance(right, dict) and "op" in right:
+            right = self._eval(right, batch)
         res = fn(left, right)
         return pc.fill_null(res, False).to_numpy(zero_copy_only=False)
 

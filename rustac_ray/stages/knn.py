@@ -85,27 +85,36 @@ class _PartialTopK:
 def knn_join(
     images_ds: "ray.data.Dataset",
     probes: dict[str, tuple[float, float]],
-    k: int,
+    k: int | dict[str, int],
     *,
     batch_size: int = 8192,
     concurrency: int | tuple[int, int] = 4,
     footprints_derived: bool = False,
 ) -> "ray.data.Dataset":
-    """→ (query_id, image_id, dist): global k nearest per probe point."""
+    """→ (query_id, image_id, dist): global k nearest per probe point.
+
+    ``k`` may be a single int or a per-query dict {query_id: k}; the
+    per-batch partial keeps max(k) per probe, the final per-query group
+    trims to that probe's own k.
+    """
+    per_query_k = k if isinstance(k, dict) else {q: k for q in probes}
+    kmax = max(per_query_k.values()) if per_query_k else 0
     probes_ref = ray.put(probes)
+    k_ref = ray.put(per_query_k)
     ds = images_ds
     if not footprints_derived:
         ds = ds.map_batches(derive_footprints, batch_format="pyarrow", batch_size=batch_size)
     partials = ds.map_batches(
         _PartialTopK,
-        fn_constructor_args=(probes_ref, k),
+        fn_constructor_args=(probes_ref, kmax),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(k, "dist")
+        kk = ray.get(k_ref)[g["query_id"].iloc[0]]
+        return g.nsmallest(kk, "dist")
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 

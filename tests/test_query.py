@@ -198,6 +198,25 @@ def test_cql2_eval_ops():
     assert Cql2Predicate("NOT a = 2").mask(t).tolist() == [True, False, True, True]
 
 
+def test_cql2_between_and_not(items):
+    n = search(items, QuerySpec(filter='"eo:cloud_cover" BETWEEN 0 AND 100')).count()
+    assert n == 100
+    n2 = search(items, QuerySpec(filter="collection NOT IN ('sentinel-2b')")).count()
+    assert n2 == 50
+    nb = search(
+        items, QuerySpec(filter='"eo:cloud_cover" NOT BETWEEN 0 AND 100')
+    ).count()
+    assert nb == 0
+
+
+def test_cql2_json_arithmetic():
+    t = pa.table({"a": [1.0, 2.0, 3.0], "b": [2.0, 2.0, 2.0]})
+    pred = Cql2Predicate(
+        {"op": ">", "args": [{"op": "*", "args": [{"property": "a"}, {"property": "b"}]}, 4]}
+    )
+    assert pred.mask(t).tolist() == [False, False, True]
+
+
 def test_cql2_s_intersects(items):
     n = search(
         items, QuerySpec(filter="S_INTERSECTS(geometry, POINT(-106.0 40.5))")
