@@ -141,6 +141,16 @@ class _TextParser:
             geom = self.geom_literal()
             self.eat("rpar")
             return {"op": "s_intersects", "args": [a, geom]}
+        if k == "word" and v.upper() in ("T_INTERSECTS", "T_DURING", "ANYINTERACTS"):
+            name = v.upper()
+            self.eat("word")
+            self.eat("lpar")
+            a = self.operand()
+            self.eat("comma")
+            iv = self.interval_literal()
+            self.eat("rpar")
+            return {"op": {"T_INTERSECTS": "t_intersects", "ANYINTERACTS": "t_intersects",
+                           "T_DURING": "t_during"}[name], "args": [a, iv]}
         left = self.operand()
         k, v = self.peek()
         if k == "op":
@@ -201,6 +211,16 @@ class _TextParser:
             self.eat("rpar")
             return {"op": "in", "args": [left, vals]}
         raise ValueError(f"bad NOT-predicate near {k}:{v}")
+
+    def interval_literal(self):
+        """INTERVAL('start','end') with '..' for open ends (cql2 temporal)."""
+        self.eat("word", "INTERVAL")
+        self.eat("lpar")
+        a = self.operand()
+        self.eat("comma")
+        b = self.operand()
+        self.eat("rpar")
+        return {"interval": [a, b]}
 
     def geom_literal(self):
         # accept GeoJSON-ish inline: we only need it from json filters or
@@ -353,6 +373,40 @@ class Cql2Predicate:
                 for j in np.nonzero(cand)[0]:
                     out[valid[j]] = _geom_intersects(pg, wkbs[valid[j]])
             return out
+        if op in ("t_intersects", "t_during"):
+            # item interval = [coalesce(start_datetime, col), coalesce(end_datetime, col)]
+            # vs the literal interval; inclusive ends (reference P5 semantics,
+            # duckdb client.rs:361-385). t_during = item interval ⊆ literal.
+            from .query import normalize_datetime
+
+            iv = args[1]["interval"]
+            q_start = None if iv[0] in ("..", "") else normalize_datetime(str(iv[0]))[0]
+            q_end = None if iv[1] in ("..", "") else normalize_datetime(str(iv[1]))[1]
+            colname = args[0].get("property", "datetime") if isinstance(args[0], dict) else "datetime"
+            dt = batch[colname].to_numpy(zero_copy_only=False)
+            names = batch.column_names
+            sdt = (
+                batch["start_datetime"].to_numpy(zero_copy_only=False)
+                if "start_datetime" in names else np.full(n, np.datetime64("NaT"))
+            )
+            edt = (
+                batch["end_datetime"].to_numpy(zero_copy_only=False)
+                if "end_datetime" in names else np.full(n, np.datetime64("NaT"))
+            )
+            istart = np.where(np.isnat(sdt), dt, sdt)
+            iend = np.where(np.isnat(edt), dt, edt)
+            ok = ~np.isnat(istart) | ~np.isnat(iend)
+            if op == "t_intersects":
+                if q_start is not None:
+                    ok &= iend >= q_start
+                if q_end is not None:
+                    ok &= istart <= q_end
+            else:  # t_during: contained in the literal interval
+                if q_start is not None:
+                    ok &= istart >= q_start
+                if q_end is not None:
+                    ok &= iend <= q_end
+            return ok
         if op == "between":
             col = self._value(args[0], batch)
             lo = self._value(args[1], batch)

@@ -209,6 +209,21 @@ def test_cql2_between_and_not(items):
     assert nb == 0
 
 
+def test_cql2_temporal_ops(items):
+    n = search(
+        items,
+        QuerySpec(filter="T_INTERSECTS(datetime, INTERVAL('2024-12-02','..'))"),
+    ).count()
+    assert n == 1  # matches the datetime open-range golden
+    n2 = search(
+        items,
+        QuerySpec(filter="T_DURING(datetime, INTERVAL('2024-01-01','2024-11-30'))"),
+    ).count()
+    # range items (start-1d/end+1d) near the edges may fall out of DURING,
+    # but the bulk of the Nov block is contained
+    assert 80 <= n2 <= 99
+
+
 def test_cql2_json_arithmetic():
     t = pa.table({"a": [1.0, 2.0, 3.0], "b": [2.0, 2.0, 2.0]})
     pred = Cql2Predicate(
