@@ -34,6 +34,8 @@ __all__ = [
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 
 # one polygon, one ring, 5 points (closed quad):
@@ -111,6 +113,16 @@ def encode_geometry(geom: dict) -> bytes:
         for poly in c:
             parts.append(encode_geometry({"type": "Polygon", "coordinates": poly}))
         return b"".join(parts)
+    if t == "MultiPoint":
+        parts = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(c))]
+        for p in c:
+            parts.append(encode_geometry({"type": "Point", "coordinates": p}))
+        return b"".join(parts)
+    if t == "MultiLineString":
+        parts = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(c))]
+        for ls in c:
+            parts.append(encode_geometry({"type": "LineString", "coordinates": ls}))
+        return b"".join(parts)
     raise ValueError(f"unsupported geometry type for WKB encode: {t}")
 
 
@@ -145,6 +157,15 @@ def _decode_at(buf: bytes, off: int) -> tuple[dict, int]:
             rings.append(arr.reshape(n, 2).tolist())
             off += 16 * n
         return {"type": "Polygon", "coordinates": rings}, off
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING):
+        (nparts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _decode_at(buf, off)
+            parts.append(g["coordinates"])
+        name = "MultiPoint" if gtype == WKB_MULTIPOINT else "MultiLineString"
+        return {"type": name, "coordinates": parts}, off
     if gtype == WKB_MULTIPOLYGON:
         (npolys,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
@@ -169,4 +190,8 @@ def _all_coords(geom: dict) -> np.ndarray:
         return np.concatenate(
             [np.asarray(r, dtype=np.float64) for poly in c for r in poly]
         )
+    if t == "MultiPoint":
+        return np.asarray(c, dtype=np.float64)
+    if t == "MultiLineString":
+        return np.concatenate([np.asarray(ls, dtype=np.float64) for ls in c])
     raise ValueError(t)
