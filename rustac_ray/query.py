@@ -159,12 +159,26 @@ def _bbox_struct_arrays(batch: pa.Table):
 
 def _item_geoms_intersect(batch: pa.Table, pg: PreparedGeometry, prefilter: np.ndarray) -> np.ndarray:
     """Exact geometry∩geometry on prefilter survivors; null geometry → False
-    (reference search.rs:236-251)."""
+    (reference search.rs:236-251).
+
+    Fast path: when every surviving geometry is a single-ring quad polygon
+    (the stac-geoparquet common case — scene footprints), decode all WKBs
+    in one vectorized pass and run one prepared quad test."""
     out = np.zeros(len(batch), dtype=bool)
     idx = np.nonzero(prefilter)[0]
     if len(idx) == 0:
         return out
     geoms = batch["geometry"].take(pa.array(idx)).to_pylist()
+    from .geo.wkb import _QUAD_HEADER, _QUAD_WKB_LEN, decode_quads
+
+    if all(
+        g is not None and len(g) == _QUAD_WKB_LEN and bytes(g[:13]) == _QUAD_HEADER
+        for g in geoms
+    ):
+        corners = decode_quads([bytes(g) for g in geoms])
+        out[idx] = pg.intersects_quads(corners)
+        return out
+
     from .cql2 import _geom_intersects
 
     for j, g in zip(idx, geoms):

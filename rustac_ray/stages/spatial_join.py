@@ -485,6 +485,7 @@ def partitioned_spatial_join(
         iymin = imgs["fp_ymin"].to_numpy()
         ixmax = imgs["fp_xmax"].to_numpy()
         iymax = imgs["fp_ymax"].to_numpy()
+        img_ids = imgs["image_id"].to_numpy()
         out_i, out_q = [], []
         for _, q in qrys.iterrows():
             mask = (
@@ -510,12 +511,15 @@ def partitioned_spatial_join(
             sel = np.nonzero(mask)[0]
             pg = PreparedGeometry(bytes(q["geometry"]))
             hit = pg.intersects_quads(corners[sel])
-            for ix in sel[hit]:
-                out_i.append(imgs["image_id"].iloc[ix])
-                out_q.append(q["query_id"])
+            matched = sel[hit]
+            if len(matched):
+                out_i.append(img_ids[matched])
+                out_q.append(np.full(len(matched), q["query_id"], dtype=object))
         if not out_i:
             return empty
-        return pd.DataFrame({"image_id": out_i, "query_id": out_q})
+        return pd.DataFrame(
+            {"image_id": np.concatenate(out_i), "query_id": np.concatenate(out_q)}
+        )
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
 
