@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-__all__ = ["brute_force_topk", "lsh_topk", "embedding_near_dup"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "embedding_near_dup"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -243,3 +243,108 @@ def embedding_near_dup(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------------- IVF ----
+
+
+def train_ivf_centroids(
+    ds, n_centroids: int = 16, *, vec_col: str = "embedding",
+    sample_rows: int = 10_000, iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: numpy k-means (cosine / normalized
+    L2) on a driver-side sample. At 10^12 scale the sample is a
+    ``random_sample`` of the dataset — the quantizer itself stays tiny."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+class _IvfTopK:
+    """Score only rows whose nearest centroid is among the query's
+    ``nprobe`` closest centroids — the classic IVF shortlist."""
+
+    def __init__(self, queries_ref, centroids_ref, k, nprobe, id_col, vec_col):
+        q = ray.get(queries_ref)
+        self.qids = list(q.keys())
+        self.qm = _normalize(np.asarray(list(q.values()), dtype=np.float64))
+        self.centroids = ray.get(centroids_ref)
+        sims = self.qm @ self.centroids.T  # (Q, C)
+        np_ = min(nprobe, sims.shape[1])
+        self.q_lists = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]  # (Q, nprobe)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float64))
+        assign = np.argmax(m @ self.centroids.T, axis=1)  # (N,)
+        out_q, out_rows, out_sim = [], [], []
+        for qi in range(len(self.qids)):
+            cand = np.nonzero(np.isin(assign, self.q_lists[qi]))[0]
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ self.qm[qi]
+            k = min(self.k, len(cand))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_rows.append(cand[top])
+            out_sim.append(sims[top])
+        if not out_rows:
+            return pa.table(
+                {"query_id": pa.array([], pa.string()),
+                 self.id_col: pa.array([], batch[self.id_col].type),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        rows = np.concatenate(out_rows)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                self.id_col: batch[self.id_col].take(pa.array(rows)),
+                "cosine": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+
+def ivf_topk(
+    ds,
+    queries: dict[str, np.ndarray],
+    k: int,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    batch_size: int = 4096,
+    concurrency: int | tuple[int, int] = 4,
+):
+    """IVF approximate top-k: train centroids (driver sample), broadcast
+    them, shortlist per batch by centroid membership, partial top-k +
+    final per-query trim. The scale path of similarity search."""
+    import pandas as pd
+
+    centroids = train_ivf_centroids(ds, n_centroids, vec_col=vec_col, seed=seed)
+    qref = ray.put(queries)
+    cref = ray.put(centroids)
+    partials = ds.map_batches(
+        _IvfTopK,
+        fn_constructor_args=(qref, cref, k, nprobe, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "cosine")
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")

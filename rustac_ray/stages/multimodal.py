@@ -145,3 +145,51 @@ class VerifyPayload:
                 "phash_ok": pa.array(phash_ok),
             }
         )
+
+
+class FrameSample:
+    """Video frame-sampling stage (STUB — no video codec in this container,
+    per task instructions). The Ray-side plumbing is real: actor pool,
+    small payload batches, (media_id, frame_idx, frame_png) output schema.
+    ``decode_frame`` raises LossyCodecUnavailable until a codec library is
+    present; tests exercise the plumbing via the error path."""
+
+    OUTPUT_SCHEMA = pa.schema(
+        [
+            ("media_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("frame_png", pa.binary()),
+        ]
+    )
+
+    def __init__(self, every_n_frames: int = 30):
+        self.every_n = every_n_frames
+
+    def decode_frame(self, payload: bytes, fmt: str, frame_idx: int) -> np.ndarray:
+        raise LossyCodecUnavailable(
+            f"video codec for {fmt!r} not available in this environment"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_idx, out_png = [], [], []
+        for mid, payload, fmt in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            try:
+                frame = self.decode_frame(payload, fmt, 0)
+            except LossyCodecUnavailable:
+                continue  # stubbed: no frames emitted for codec-less formats
+            from ..imaging.codec import encode_png
+
+            out_ids.append(mid)
+            out_idx.append(0)
+            out_png.append(encode_png(frame))
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame_png": pa.array(out_png, pa.binary()),
+            }
+        )

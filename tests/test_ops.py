@@ -216,3 +216,29 @@ def test_verify_payload_stage(fixtures_dir):
     assert out["psnr_ok"].all()
     assert out["caption_ok"].all()
     assert out["phash_ok"].all()
+
+
+def test_ivf_topk_recall(sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = {"q0": m[0], "q3": m[3]}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = embed.ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=4, concurrency=1).to_pandas()
+    for qid, vec in queries.items():
+        v = vec / np.linalg.norm(vec)
+        exp = set(ids[np.argsort(-(mn @ v), kind="stable")[:10]])
+        got = set(res[res["query_id"] == qid]["vec_id"])
+        assert int(qid[1:]) in got  # self-hit guaranteed
+        assert len(exp & got) >= 5  # decent approximate recall
+
+
+def test_frame_sample_stub(fixtures_dir):
+    """Stubbed video stage: plumbing runs, codec-less formats yield zero
+    frames, output schema is stable."""
+    ds = rd.read_parquet(f"{fixtures_dir}/images.parquet").limit(16)
+    out = ds.map_batches(
+        multimodal.FrameSample, batch_format="pyarrow", batch_size=8, concurrency=1
+    )
+    assert out.count() == 0
