@@ -127,6 +127,12 @@ class _TextParser:
             if v.upper() in ("TRUE", "FALSE"):
                 self.eat("word")
                 return v.upper() == "TRUE"
+            if v.upper() == "CASEI":  # case-insensitive comparison wrapper
+                self.eat("word")
+                self.eat("lpar")
+                inner = self.operand()
+                self.eat("rpar")
+                return {"op": "casei", "args": [inner]}
             self.eat("word")
             return {"property": v}
         raise ValueError(f"bad operand {k}:{v}")
@@ -326,6 +332,11 @@ class Cql2Predicate:
             return batch[node["property"]]
         if isinstance(node, dict) and "timestamp" in node:
             return np.datetime64(node["timestamp"].rstrip("Z"), "ms")
+        if isinstance(node, dict) and node.get("op") == "casei":
+            inner = self._value(node["args"][0], batch)
+            if isinstance(inner, str):
+                return inner.lower()
+            return pc.utf8_lower(inner)
         return node
 
     def _eval(self, node, batch: pa.Table) -> np.ndarray:

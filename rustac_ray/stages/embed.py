@@ -194,7 +194,6 @@ def embedding_near_dup(
     land in the same bucket w.h.p.; each bucket verifies exactly.
     """
     planes_holder: dict[str, np.ndarray] = {}
-    rng = np.random.default_rng(seed)
 
     def bucket(batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, vec_col).astype(np.float32))

@@ -263,3 +263,11 @@ def test_parse_sortby():
 
 def test_parse_fields():
     assert parse_fields("+id,-geometry,datetime") == (["id", "datetime"], ["geometry"])
+
+
+def test_cql2_casei():
+    import pyarrow as pa
+
+    t = pa.table({"collection": ["SENTINEL-2A", "sentinel-2a", "other"]})
+    m = Cql2Predicate("CASEI(collection) = CASEI('Sentinel-2A')").mask(t)
+    assert m.tolist() == [True, True, False]
