@@ -46,3 +46,28 @@ def test_reference_sortby_fields(ref_items):
     out = search(ref_items, QuerySpec(sortby="datetime", fields="+id", limit=1)).to_pandas()
     assert list(out.columns) == ["id"]
     assert len(out) == 1
+
+
+def test_reference_sortby_exact_ids(ref_items):
+    """Exact first-item ids from the reference sortby goldens
+    (duckdb client.rs search_sortby test)."""
+    asc = search(ref_items, QuerySpec(sortby="datetime", limit=1)).to_pandas()
+    assert asc["id"].iloc[0] == "S2A_MSIL2A_20240326T174951_R141_T13TDE_20240329T224429"
+    desc = search(ref_items, QuerySpec(sortby="-datetime", limit=1)).to_pandas()
+    assert desc["id"].iloc[0] == "S2B_MSIL2A_20241203T174629_R098_T13TDE_20241203T211406"
+
+
+def test_reference_offset_exact_id(ref_items):
+    """Reference search_offset golden: limit=1 offset=1 in file order."""
+    out = search(ref_items, QuerySpec(limit=1, offset=1)).to_pandas()
+    assert out["id"].iloc[0] == "S2A_MSIL2A_20241201T175721_R141_T13TDE_20241201T213150"
+
+
+def test_reference_unknown_filter_empty(ref_items):
+    """filter_no_column golden: unknown property → empty result set."""
+    assert search(ref_items, QuerySpec(filter="foo:bar = 42")).count() == 0
+
+
+def test_reference_sortby_property(ref_items):
+    """sortby_property golden: sorting on an extension column works."""
+    assert search(ref_items, QuerySpec(sortby="eo:cloud_cover")).count() == 100
