@@ -71,3 +71,22 @@ def test_reference_unknown_filter_empty(ref_items):
 def test_reference_sortby_property(ref_items):
     """sortby_property golden: sorting on an extension column works."""
     assert search(ref_items, QuerySpec(sortby="eo:cloud_cover")).count() == 100
+
+
+def test_reference_geoparquet_roundtrip(tmp_path):
+    """Format-roundtrip golden (reference geoparquet.rs:819-827 pattern):
+    reference fixture → our stac-geoparquet writer → read → identical
+    content + `geo` covering metadata present."""
+    import pyarrow.parquet as pq
+
+    from rustac_ray.sources.io import read_stac_geoparquet_table, write_stac_geoparquet
+
+    src = pq.read_table(REF_FIXTURE)
+    out = str(tmp_path / "roundtrip.parquet")
+    write_stac_geoparquet(src, out)
+    back, geo = read_stac_geoparquet_table(out)
+    assert back.num_rows == src.num_rows
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    # content equality on the stable columns
+    for col in ("id", "collection", "sat:relative_orbit", "geometry"):
+        assert back[col].equals(src[col]) or back[col].to_pylist() == src[col].to_pylist()
