@@ -77,14 +77,33 @@ def unflatten_items(batch: pd.DataFrame, keep: tuple = TOP_LEVEL_KEYS) -> pd.Dat
     return out
 
 
+# fields that became CORE band fields in STAC 1.1 (stay unprefixed on
+# migration); everything else keeps its extension namespace — matches the
+# reference's bands-v1.0.0 → bands-v1.1.0 fixture exactly
+_CORE_BAND_FIELDS = {
+    "name", "description", "nodata", "data_type", "statistics", "unit",
+}
+
+
 def _merge_bands(asset: dict) -> dict:
-    """eo:bands + raster:bands → bands, majority-value lift (migrate.rs:155-185)."""
+    """eo:bands + raster:bands → bands, majority-value lift (migrate.rs:155-185).
+
+    Non-core band fields are re-namespaced (``common_name`` →
+    ``eo:common_name``, ``spatial_resolution`` → ``raster:spatial_resolution``)
+    per the v1.1 band model."""
     eo = asset.pop("eo:bands", None)
     raster = asset.pop("raster:bands", None)
     if eo is None and raster is None:
         return asset
-    eo = eo or []
-    raster = raster or []
+
+    def prefixed(band: dict, ns: str) -> dict:
+        return {
+            (k if (k in _CORE_BAND_FIELDS or ":" in k) else f"{ns}:{k}"): v
+            for k, v in band.items()
+        }
+
+    eo = [prefixed(b, "eo") for b in (eo or [])]
+    raster = [prefixed(b, "raster") for b in (raster or [])]
     n = max(len(eo), len(raster))
     bands = []
     for i in range(n):

@@ -57,7 +57,7 @@ def test_migrate_band_merge_and_majority_lift():
     assert "eo:bands" not in a and "raster:bands" not in a
     # data_type + nodata shared by 2/2 bands → lifted to asset level
     assert a["data_type"] == "uint16" and a["nodata"] == 0
-    assert a["bands"][0]["name"] == "B1" and a["bands"][0]["common_name"] == "red"
+    assert a["bands"][0]["name"] == "B1" and a["bands"][0]["eo:common_name"] == "red"
     assert "data_type" not in a["bands"][0]
 
 

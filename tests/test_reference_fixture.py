@@ -90,3 +90,23 @@ def test_reference_geoparquet_roundtrip(tmp_path):
     # content equality on the stable columns
     for col in ("id", "collection", "sat:relative_orbit", "geometry"):
         assert back[col].equals(src[col]) or back[col].to_pylist() == src[col].to_pylist()
+
+
+def test_reference_bands_migration_fixture():
+    """Exact parity with the reference migration golden
+    (migrate.rs:254-279: bands-v1.0.0.json → bands-v1.1.0.json)."""
+    import json
+
+    import pandas as pd
+
+    from rustac_ray.stages.items import migrate_items
+
+    base = "/root/reference/crates/core/data"
+    if not os.path.exists(f"{base}/bands-v1.0.0.json"):
+        pytest.skip("migration fixtures not present")
+    src = json.load(open(f"{base}/bands-v1.0.0.json"))
+    exp = json.load(open(f"{base}/bands-v1.1.0.json"))
+    out = migrate_items(pd.DataFrame([dict(src)]))
+    got = out["assets"].iloc[0]["example"]
+    assert got == exp["assets"]["example"]
+    assert out["stac_version"].iloc[0] == "1.1.0"
