@@ -110,3 +110,75 @@ def test_reference_bands_migration_fixture():
     got = out["assets"].iloc[0]["example"]
     assert got == exp["assets"]["example"]
     assert out["stac_version"].iloc[0] == "1.1.0"
+
+
+DATA_DIR = "/root/reference/crates/core/data"
+
+
+def test_reference_ndjson_ingest():
+    """The reference's own items.ndjson through our NDJSON → flat-Arrow
+    ingest edge (core/src/ndjson.rs one-item-per-line semantics)."""
+    import json
+
+    from rustac_ray.stages.geojson import from_geojson_records
+
+    path = f"{DATA_DIR}/items.ndjson"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    records = [json.loads(line) for line in open(path) if line.strip()]
+    table = from_geojson_records(records)
+    assert table.num_rows == len(records) >= 1
+    assert "id" in table.column_names
+
+
+def test_reference_invalid_item_flagged():
+    """invalid-item.json (empty id) must fail our structural validator."""
+    import json
+
+    import pandas as pd
+
+    from rustac_ray.stages.items import ItemValidator
+
+    path = f"{DATA_DIR}/invalid-item.json"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    doc = json.load(open(path))
+    res = ItemValidator()(pd.DataFrame([doc]))
+    assert not res["valid"].iloc[0]
+    assert "id" in res["errors"].iloc[0]
+
+
+def test_reference_multipolygon_roundtrip():
+    """multi-polygons.json geometries survive our WKB encode/decode and
+    bbox derivation (geoparquet multipolygon golden, geoparquet.rs tests)."""
+    import json
+
+    import numpy as np
+
+    from rustac_ray.geo.wkb import decode_bboxes, decode_geometry, encode_geometry
+
+    path = f"{DATA_DIR}/multi-polygons.json"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    fc = json.load(open(path))
+    for feat in fc["features"]:
+        g = feat["geometry"]
+        if g is None:
+            continue
+        wkb = encode_geometry(g)
+        back = decode_geometry(wkb)
+        assert back["type"] == g["type"]
+        bb = decode_bboxes([wkb])[0]
+        assert bb[0] <= bb[2] and bb[1] <= bb[3]
+
+
+def test_reference_extended_item_parquet():
+    """The reference's extended-item.parquet reads through our source layer
+    and searches by id."""
+    path = f"{DATA_DIR}/extended-item.parquet"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    ds = rd.read_parquet(path)
+    item_id = ds.to_pandas()["id"].iloc[0]
+    out = search(ds, QuerySpec(ids=[item_id]))
+    assert out.count() == 1
