@@ -8,10 +8,11 @@ trusting any round-N perf conclusion (see NOTES.md).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _work(args):
