@@ -148,13 +148,21 @@ def cover_bbox_many(
     the bbox of input row ``row_idx[i]`` (a row expands to one entry per
     covered cell). This is the flat_map row→(cell,row) step of the
     cell-prefilter join (SURVEY.md J2) done as one numpy pass.
+
+    Antimeridian: a bbox with ``xmin > xmax`` (legal per the STAC spec,
+    bbox.rs:42-50 TODO notes the reference skips this) wraps across ±180°
+    and covers the two spans [xmin,180] ∪ [-180,xmax] — handled here by a
+    modulo x walk, still one vectorized pass.
     """
     n = 1 << res
-    x0 = np.clip(((np.asarray(xmin) + 180.0) / _LON_SPAN * n).astype(np.int64), 0, n - 1)
-    x1 = np.clip(((np.asarray(xmax) + 180.0) / _LON_SPAN * n).astype(np.int64), 0, n - 1)
+    xmin = np.asarray(xmin, dtype=np.float64)
+    xmax = np.asarray(xmax, dtype=np.float64)
+    x0 = np.clip((((xmin) + 180.0) / _LON_SPAN * n).astype(np.int64), 0, n - 1)
+    x1 = np.clip((((xmax) + 180.0) / _LON_SPAN * n).astype(np.int64), 0, n - 1)
     y0 = np.clip(((np.asarray(ymin) + 90.0) / _LAT_SPAN * n).astype(np.int64), 0, n - 1)
     y1 = np.clip(((np.asarray(ymax) + 90.0) / _LAT_SPAN * n).astype(np.int64), 0, n - 1)
-    nx = x1 - x0 + 1
+    wrap = xmin > xmax
+    nx = np.where(wrap, np.minimum(n - x0 + x1 + 1, n), x1 - x0 + 1)
     ny = y1 - y0 + 1
     counts = nx * ny
     if len(counts) == 0:
@@ -167,7 +175,7 @@ def cover_bbox_many(
     nx_r = np.repeat(nx, counts)
     dx = flat % nx_r
     dy = flat // nx_r
-    cx = np.repeat(x0, counts) + dx
+    cx = (np.repeat(x0, counts) + dx) % n  # modulo wraps x past the antimeridian
     cy = np.repeat(y0, counts) + dy
     cells = (np.int64(res) << _RES_SHIFT) | (cy << _Y_SHIFT) | cx
     return row_idx, cells

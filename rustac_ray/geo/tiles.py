@@ -66,14 +66,19 @@ def cover_bbox_tiles(
     """Vectorized bbox → overlapping (z,x,y) tile keys.
 
     Returns (row_idx, keys) parallel arrays like cells.cover_bbox_many.
+    An antimeridian-crossing bbox (xmin > xmax) covers the wrapped x span
+    via a modulo walk, same as cells.cover_bbox_many.
     """
     n = 1 << z
+    xmin = np.asarray(xmin, dtype=np.float64)
+    xmax = np.asarray(xmax, dtype=np.float64)
     x0 = np.clip((_xfrac(xmin) * n).astype(np.int64), 0, n - 1)
     x1 = np.clip((_xfrac(xmax) * n).astype(np.int64), 0, n - 1)
     # mercator y is flipped: ymax (north) → smaller tile y
     y0 = np.clip((_yfrac(ymax) * n).astype(np.int64), 0, n - 1)
     y1 = np.clip((_yfrac(ymin) * n).astype(np.int64), 0, n - 1)
-    nx = x1 - x0 + 1
+    wrap = xmin > xmax
+    nx = np.where(wrap, np.minimum(n - x0 + x1 + 1, n), x1 - x0 + 1)
     ny = y1 - y0 + 1
     counts = nx * ny
     if len(counts) == 0:
@@ -83,6 +88,6 @@ def cover_bbox_tiles(
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     flat = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     nx_r = np.repeat(nx, counts)
-    tx = np.repeat(x0, counts) + flat % nx_r
+    tx = (np.repeat(x0, counts) + flat % nx_r) % n
     ty = np.repeat(y0, counts) + flat // nx_r
     return row_idx, tile_key(z, tx, ty)

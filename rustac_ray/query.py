@@ -195,10 +195,21 @@ def _compile_mask(spec: QuerySpec, cql: Cql2Predicate | None):
         x0, y0, x1, y1 = spec.bbox[:4] if len(spec.bbox) == 4 else (
             spec.bbox[0], spec.bbox[1], spec.bbox[3], spec.bbox[4]
         )
-        pg_bbox = PreparedGeometry(
-            {"type": "Polygon",
-             "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]}
-        )
+        if x0 > x1:
+            # antimeridian-crossing bbox (legal per STAC; bbox.rs:42-50 TODO
+            # in the reference): split into the two non-wrapping halves
+            pg_bbox = PreparedGeometry(
+                {"type": "MultiPolygon",
+                 "coordinates": [
+                     [[[x0, y0], [180.0, y0], [180.0, y1], [x0, y1], [x0, y0]]],
+                     [[[-180.0, y0], [x1, y0], [x1, y1], [-180.0, y1], [-180.0, y0]]],
+                 ]}
+            )
+        else:
+            pg_bbox = PreparedGeometry(
+                {"type": "Polygon",
+                 "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]}
+            )
     pg_int = PreparedGeometry(spec.intersects) if spec.intersects is not None else None
     dt_range = normalize_datetime(spec.datetime) if spec.datetime else None
 

@@ -119,6 +119,19 @@ def write_stac_geoparquet(
     }
     meta = dict(table.schema.metadata or {})
     meta[b"geo"] = json.dumps(geo_meta).encode()
+    # reference also writes the 'stac-geoparquet' footer key
+    # (geoparquet.rs:32-35,537) so outputs round-trip with its reader;
+    # collections map is keyed by the distinct collection ids present
+    collections: dict[str, dict] = {}
+    if "collection" in table.column_names:
+        import pyarrow.compute as pc
+
+        for c in pc.unique(table["collection"]).to_pylist():
+            if c is not None:
+                collections[c] = {}
+    meta[b"stac-geoparquet"] = json.dumps(
+        {"version": "1.0.0", "collections": collections}
+    ).encode()
     pq.write_table(
         table.replace_schema_metadata(meta),
         path,

@@ -84,9 +84,15 @@ def from_geojson_records(records: list[dict]) -> pa.Table:
             if k == "geometry" and isinstance(v, dict):
                 row["geometry"] = encode_geometry(v)
             elif k == "bbox" and isinstance(v, (list, tuple)):
+                # 6-element bbox = [xmin,ymin,zmin,xmax,ymax,zmax]
+                # (bbox.rs:8-14 untagged [f64;4] | [f64;6]); index by length
+                if len(v) == 6:
+                    xmax, ymax = float(v[3]), float(v[4])
+                else:
+                    xmax, ymax = float(v[2]), float(v[3])
                 row["bbox"] = {
                     "xmin": float(v[0]), "ymin": float(v[1]),
-                    "xmax": float(v[-2]), "ymax": float(v[-1]),
+                    "xmax": xmax, "ymax": ymax,
                 }
             else:
                 row[k] = v

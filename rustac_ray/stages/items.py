@@ -77,33 +77,31 @@ def unflatten_items(batch: pd.DataFrame, keep: tuple = TOP_LEVEL_KEYS) -> pd.Dat
     return out
 
 
-# fields that became CORE band fields in STAC 1.1 (stay unprefixed on
-# migration); everything else keeps its extension namespace — matches the
-# reference's bands-v1.0.0 → bands-v1.1.0 fixture exactly
-_CORE_BAND_FIELDS = {
-    "name", "description", "nodata", "data_type", "statistics", "unit",
-}
+# band-field prefix rules on v1.0.0→v1.1.0 migration (migrate.rs:121-155):
+# eo bands keep only 'name' unprefixed; raster bands keep
+# nodata/data_type/statistics/unit unprefixed; everything else gets its
+# extension namespace prefix.
+_EO_UNPREFIXED = {"name"}
+_RASTER_UNPREFIXED = {"nodata", "data_type", "statistics", "unit"}
 
 
 def _merge_bands(asset: dict) -> dict:
-    """eo:bands + raster:bands → bands, majority-value lift (migrate.rs:155-185).
-
-    Non-core band fields are re-namespaced (``common_name`` →
-    ``eo:common_name``, ``spatial_resolution`` → ``raster:spatial_resolution``)
-    per the v1.1 band model."""
+    """eo:bands + raster:bands → bands, most-common-value lift
+    (migrate.rs:119-192): per key, the most frequent value is hoisted to the
+    asset level whenever its count > 1 (only bands carrying exactly that
+    value drop the key)."""
     eo = asset.pop("eo:bands", None)
     raster = asset.pop("raster:bands", None)
     if eo is None and raster is None:
         return asset
 
-    def prefixed(band: dict, ns: str) -> dict:
+    def prefixed(band: dict, ns: str, unprefixed: set) -> dict:
         return {
-            (k if (k in _CORE_BAND_FIELDS or ":" in k) else f"{ns}:{k}"): v
-            for k, v in band.items()
+            (k if k in unprefixed else f"{ns}:{k}"): v for k, v in band.items()
         }
 
-    eo = [prefixed(b, "eo") for b in (eo or [])]
-    raster = [prefixed(b, "raster") for b in (raster or [])]
+    eo = [prefixed(b, "eo", _EO_UNPREFIXED) for b in (eo or [])]
+    raster = [prefixed(b, "raster", _RASTER_UNPREFIXED) for b in (raster or [])]
     n = max(len(eo), len(raster))
     bands = []
     for i in range(n):
@@ -113,39 +111,81 @@ def _merge_bands(asset: dict) -> dict:
         if i < len(raster):
             band.update(raster[i])
         bands.append(band)
-    # lift values shared by a MAJORITY of bands to the asset level
     if bands:
-        key_values = Counter()
+        # per key: count identical values (repr as the canonical form), lift
+        # the most common one when its count > 1 (migrate.rs:169-185);
+        # first-seen order breaks ties deterministically
+        per_key: dict[str, Counter] = {}
         for b in bands:
             for k, v in b.items():
-                try:
-                    key_values[(k, repr(v))] += 1
-                except TypeError:
-                    pass
-        for (k, vr), cnt in key_values.items():
-            if cnt > len(bands) / 2:
+                per_key.setdefault(k, Counter())[repr(v)] += 1
+        for k, cnt in per_key.items():
+            vr, c = cnt.most_common(1)[0]
+            if c > 1:
                 sample = next(b[k] for b in bands if k in b and repr(b[k]) == vr)
                 asset[k] = sample
                 for b in bands:
                     if k in b and repr(b[k]) == vr:
                         del b[k]
-        bands = [b for b in bands]
         if any(b for b in bands):
             asset["bands"] = bands
     return asset
 
 
+def _migrate_links(links, base_is_windows=None):
+    """Self-link href absolutization (migrate.rs:195-235): a 'self' link
+    whose href is an absolute posix path becomes a file:// URL."""
+    if links is None or (np.isscalar(links) and pd.isna(links)):
+        return links
+    out = []
+    for ln in links:
+        if (
+            isinstance(ln, dict)
+            and ln.get("rel") == "self"
+            and isinstance(ln.get("href"), str)
+        ):
+            href = ln["href"]
+            if href.startswith("/"):
+                ln = {**ln, "href": f"file://{href}"}
+            elif len(href) >= 3 and href[1] == ":" and href[2] in ("\\", "/") and href[0].isalpha():
+                # windows absolute path → file URL (href.rs is_windows_absolute_path)
+                ln = {**ln, "href": "file:///" + href.replace("\\", "/")}
+        out.append(ln)
+    return out
+
+
+_LEGACY_LICENSES = {"proprietary", "various"}
+
+
 def migrate_items(batch: pd.DataFrame, to_version: str = "1.1.0") -> pd.DataFrame:
-    """v1.0.0 → v1.1.0 migration; row-local (no shuffle)."""
+    """v1.0.0 → v1.1.0 migration; row-local (no shuffle).
+
+    Full step parity with migrate.rs:85-118: band merge + most-common lift,
+    self-link rewrite, license normalization ('proprietary'/'various' →
+    'other' — for Feature rows the license lives among the flattened
+    property columns), then the stac_version bump. Rows already at the
+    target version pass through untouched.
+    """
     out = batch.copy()
-    if "assets" in out.columns:
-        out["assets"] = out["assets"].map(
-            lambda assets: {
-                name: _merge_bands(dict(a)) for name, a in (assets or {}).items()
-            }
-        )
     if "stac_version" in out.columns:
-        out["stac_version"] = to_version
+        todo = out["stac_version"] == "1.0.0"
+    else:
+        todo = pd.Series(True, index=out.index)
+    if not todo.any():
+        return out
+    if "assets" in out.columns:
+        out.loc[todo, "assets"] = out.loc[todo, "assets"].map(
+            lambda assets: assets
+            if assets is None or (np.isscalar(assets) and pd.isna(assets))
+            else {name: _merge_bands(dict(a)) for name, a in assets.items()}
+        )
+    if "links" in out.columns:
+        out.loc[todo, "links"] = out.loc[todo, "links"].map(_migrate_links)
+    if "license" in out.columns:
+        fix = todo & out["license"].isin(_LEGACY_LICENSES)
+        out.loc[fix, "license"] = "other"
+    if "stac_version" in out.columns:
+        out.loc[todo, "stac_version"] = to_version
     return out
 
 

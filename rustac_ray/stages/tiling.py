@@ -74,9 +74,13 @@ def hot_tile_set(
         lambda b: _partial_tile_counts(b, z), batch_format="pyarrow"
     )
     agg = partials.groupby("tile_key").aggregate(Sum("n", alias_name="n_total"))
-    hot = agg.filter(
-        lambda row: row["n_total"] > threshold
-    )
+
+    def over(b: pa.Table) -> pa.Table:  # vectorized threshold, no row lambda
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b["n_total"], threshold))
+
+    hot = agg.map_batches(over, batch_format="pyarrow")
     return {int(r["tile_key"]) for r in hot.take_all()}
 
 
@@ -118,13 +122,34 @@ def assign_tiles(
             if len(hot_rows) == 0:
                 res = cold
             else:
-                refined = _explode_tiles(hot_rows, z + refine_levels)
-                # keep only children inside the hot parent tile
-                rz, rx, ry = tiles.tile_unkey(refined["tile_key"].to_numpy())
+                # re-cover each hot entry at z+refine and keep ONLY the
+                # children of that entry's OWN originating tile — a footprint
+                # overlapping N hot tiles must emit each refined child once,
+                # under its one parent (mirrors _refine_cover in
+                # spatial_join.py; cf. ADVICE r01)
+                r_idx, r_keys = tiles.cover_bbox_tiles(
+                    hot_rows["fp_xmin"].to_numpy(),
+                    hot_rows["fp_ymin"].to_numpy(),
+                    hot_rows["fp_xmax"].to_numpy(),
+                    hot_rows["fp_ymax"].to_numpy(),
+                    z + refine_levels,
+                )
+                rz, rx, ry = tiles.tile_unkey(r_keys)
                 parent = tiles.tile_key(
                     rz - refine_levels, rx >> refine_levels, ry >> refine_levels
                 )
-                refined = refined.filter(pa.array(np.isin(parent, hot_arr)))
+                own = parent == hot_rows["tile_key"].to_numpy()[r_idx]
+                take = pa.array(r_idx[own])
+                refined = pa.table(
+                    {
+                        "tile_key": pa.array(r_keys[own], pa.int64()),
+                        "image_id": hot_rows["image_id"].take(take),
+                        "fp_xmin": hot_rows["fp_xmin"].take(take),
+                        "fp_ymin": hot_rows["fp_ymin"].take(take),
+                        "fp_xmax": hot_rows["fp_xmax"].take(take),
+                        "fp_ymax": hot_rows["fp_ymax"].take(take),
+                    }
+                )
                 res = pa.concat_tables([cold, refined])
         tz, tx, ty = tiles.tile_unkey(res["tile_key"].to_numpy())
         return pa.table(

@@ -165,6 +165,33 @@ def test_cover_bbox_many():
     assert len(np.unique(ri)) == 2
 
 
+def test_cover_bbox_antimeridian():
+    """ADVICE r01: xmin > xmax (legal STAC bbox) wraps across ±180° —
+    covered cells are the union of [xmin,180] and [-180,xmax] spans."""
+    ri, cc = cells.cover_bbox_many(
+        np.array([170.0]), np.array([10.0]), np.array([-170.0]), np.array([12.0]), 6
+    )
+    assert len(cc) > 0 and (ri == 0).all()
+    xmin, ymin, xmax, ymax = cells.cell_bounds(cc)
+    # every covered cell lies in one of the two half-spans
+    assert (((xmax > 169.9) & (xmin < 180.0)) | ((xmin < -169.9) & (xmax > -180.1))).all()
+    # both sides of the antimeridian are present
+    assert (xmin >= 160).any() and (xmax <= -160).any()
+    # equivalent two-bbox cover must be identical
+    ri2, c2 = cells.cover_bbox_many(
+        np.array([170.0, -180.0]), np.array([10.0, 10.0]),
+        np.array([180.0, -170.0]), np.array([12.0, 12.0]), 6,
+    )
+    assert set(cc.tolist()) == set(c2.tolist())
+
+    # tile cover wraps identically
+    ti, tk = tiles.cover_bbox_tiles(
+        np.array([179.0]), np.array([10.0]), np.array([-179.0]), np.array([11.0]), 6
+    )
+    _, tx, _ = tiles.tile_unkey(tk)
+    assert (tx == 63).any() and (tx == 0).any() and len(tk) > 0
+
+
 def test_tiles_known_values():
     # classic slippy-map check: (0,0) at z=1 → tile (1,1)... actually (1.0)
     x, y = tiles.lonlat_to_tile(np.array([0.0]), np.array([0.0]), 1)

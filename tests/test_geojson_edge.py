@@ -35,6 +35,20 @@ def test_roundtrip_via_geojson(fixtures_dir):
     )
 
 
+def test_ingest_3d_bbox():
+    """ADVICE r01: a 6-element bbox is [xmin,ymin,zmin,xmax,ymax,zmax]
+    (bbox.rs:8-14) — xmax/ymax are positions 3/4, not the last two."""
+    rec = {
+        "type": "Feature",
+        "id": "threed",
+        "bbox": [-10.0, 20.0, 100.0, -5.0, 25.0, 200.0],
+        "properties": {},
+    }
+    t = from_geojson_records([rec])
+    b = t.to_pandas()["bbox"].iloc[0]
+    assert b == {"xmin": -10.0, "ymin": 20.0, "xmax": -5.0, "ymax": 25.0}
+
+
 def test_permissive_datetime_parse():
     s = pd.Series(
         [

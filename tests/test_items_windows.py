@@ -61,6 +61,74 @@ def test_migrate_band_merge_and_majority_lift():
     assert "data_type" not in a["bands"][0]
 
 
+def test_migrate_most_common_lift_count_gt_1():
+    """migrate.rs:169-185 lifts the MOST-COMMON value whenever its count > 1
+    (not only strict majorities): 2 of 4 bands sharing a value lift it."""
+    assets = {
+        "data": {
+            "eo:bands": [
+                {"name": "r", "center_wavelength": 0.6},
+                {"name": "g", "center_wavelength": 0.6},
+                {"name": "b", "center_wavelength": 0.4},
+                {"name": "nir", "center_wavelength": 0.8},
+            ],
+        }
+    }
+    df = pd.DataFrame({"id": ["i1"], "stac_version": ["1.0.0"], "assets": [assets]})
+    a = items.migrate_items(df)["assets"].iloc[0]["data"]
+    # 0.6 appears twice → lifted; only the two matching bands lose the key
+    assert a["eo:center_wavelength"] == 0.6
+    kept = [b.get("eo:center_wavelength") for b in a["bands"]]
+    assert kept == [None, None, 0.4, 0.8]
+    # eo band fields other than 'name' are prefixed (migrate.rs:126-133)
+    assert all("name" in b for b in a["bands"])
+
+
+def test_migrate_eo_description_prefixed():
+    """Reference keeps only 'name' unprefixed for eo bands — 'description'
+    becomes 'eo:description' (migrate.rs:126-133), while for raster bands
+    nodata/data_type/statistics/unit stay unprefixed (migrate.rs:144-151)."""
+    assets = {
+        "d": {
+            "eo:bands": [{"name": "B1", "description": "red band"}],
+            "raster:bands": [{"unit": "m", "scale": 2.0}],
+        }
+    }
+    df = pd.DataFrame({"id": ["i"], "stac_version": ["1.0.0"], "assets": [assets]})
+    a = items.migrate_items(df)["assets"].iloc[0]["d"]
+    band = a["bands"][0]
+    assert band["eo:description"] == "red band"
+    assert band["unit"] == "m"
+    assert band["raster:scale"] == 2.0
+    assert "description" not in band and "scale" not in band
+
+
+def test_migrate_links_and_license():
+    """Self-link absolute-path rewrite (migrate.rs:195-235) + license
+    'proprietary'/'various' → 'other' (migrate.rs:237-244; its own test
+    asserts collection.license == 'other', migrate.rs:255-272)."""
+    df = pd.DataFrame(
+        {
+            "id": ["a", "b"],
+            "stac_version": ["1.0.0", "1.1.0"],
+            "license": ["proprietary", "various"],
+            "links": [
+                [{"rel": "self", "href": "/an/absolute/href"},
+                 {"rel": "parent", "href": "/not/rewritten"}],
+                [{"rel": "self", "href": "/untouched/already-1.1.0"}],
+            ],
+        }
+    )
+    out = items.migrate_items(df)
+    assert out["links"].iloc[0][0]["href"] == "file:///an/absolute/href"
+    assert out["links"].iloc[0][1]["href"] == "/not/rewritten"  # non-self kept
+    assert out["license"].iloc[0] == "other"
+    # rows already at the target version are untouched
+    assert out["links"].iloc[1][0]["href"] == "/untouched/already-1.1.0"
+    assert out["license"].iloc[1] == "various"
+    assert out["stac_version"].tolist() == ["1.1.0", "1.1.0"]
+
+
 def test_absolutize_links():
     df = pd.DataFrame(
         {

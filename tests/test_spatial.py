@@ -90,6 +90,40 @@ def test_tile_refinement_bounds_group_size(fixtures_dir):
     assert base["n_scenes"].max() <= 30
 
 
+def test_tile_refinement_no_duplicates_and_exact(fixtures_dir, corpus):
+    """ADVICE r01 (high): a footprint overlapping N hot tiles must emit each
+    refined child exactly once, under its own parent. Verify no duplicate
+    (image_id, tile_key) rows and exact equality with a brute-force
+    per-parent refinement."""
+    _, corners, ids = corpus
+    ds = _images_ds(fixtures_dir)
+    asn = tiling.assign_tiles(ds, z=8, refine_threshold=30, refine_levels=1).to_pandas()
+    assert not asn.duplicated(["image_id", "tile_key"]).any()
+
+    # brute-force: base cover; rows in hot tiles → children of that hot tile
+    xmin, ymin, xmax, ymax = affine.corners_bbox(corners)
+    ri, keys = tiles.cover_bbox_tiles(xmin, ymin, xmax, ymax, 8)
+    import collections
+
+    counts = collections.Counter(keys.tolist())
+    hot = {k for k, c in counts.items() if c > 30}
+    expected = set()
+    for r, k in zip(ri.tolist(), keys.tolist()):
+        if k not in hot:
+            expected.add((ids[r], k))
+            continue
+        sri, skeys = tiles.cover_bbox_tiles(
+            xmin[r : r + 1], ymin[r : r + 1], xmax[r : r + 1], ymax[r : r + 1], 9
+        )
+        for sk in skeys.tolist():
+            sz, sx, sy = tiles.tile_unkey(np.array([sk]))
+            parent = int(tiles.tile_key(sz - 1, sx >> 1, sy >> 1)[0])
+            if parent == k:
+                expected.add((ids[r], sk))
+    got = set(zip(asn["image_id"], asn["tile_key"]))
+    assert got == expected
+
+
 def test_knn_matches_bruteforce(fixtures_dir, corpus):
     _, corners, ids = corpus
     cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
