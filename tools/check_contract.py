@@ -33,6 +33,21 @@ def to_pandas(res):
     return res
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class for driver-hash compatibility: the driver hashes
+    raw values, so an int64 engine column vs a float64 oracle column (e.g.
+    DuckDB HUGEINT sums) hash-mismatches even when values are equal."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -68,7 +83,8 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got_raw = to_pandas(fn(sf_dir))
+            got = canon(got_raw)
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             n_fail += 1
@@ -78,13 +94,25 @@ def main():
             n_weak += 1
             continue
         try:
-            exp = canon(con.sql(oracles[name]).df())
+            exp_raw = con.sql(oracles[name]).df()
+            exp = canon(exp_raw)
         except Exception as e:
             print(f"FAIL {name}: oracle raised {e}")
             n_fail += 1
             continue
         ok_rows = len(got) == len(exp)
         ok_cols = list(got.columns) == list(exp.columns)
+        if ok_cols:
+            # driver-hash faithfulness: dtype classes must match exactly
+            bad = [
+                (c, dtype_kind(got_raw[c]), dtype_kind(exp_raw[c]))
+                for c in got.columns
+                if dtype_kind(got_raw[c]) != dtype_kind(exp_raw[c])
+            ]
+            if bad:
+                print(f"FAIL {name}: driver-hash dtype mismatch {bad}")
+                n_fail += 1
+                continue
         ok_vals = False
         if ok_rows and ok_cols:
             try:
