@@ -1,0 +1,441 @@
+"""Independent naive re-implementations used ONLY as test oracles.
+
+NOT part of the engine. The driver's correctness gate compares every
+``queries()`` entry against ``oracle_sql()`` via DuckDB; operators whose
+semantics aren't SQL-expressible (exact intersects on concave polygons,
+LSH near-dup, stopword language-ID, simhash) are oracled by precomputing
+the EXPECTED result here — with deliberately plain, per-row scalar code,
+structured nothing like the engine's vectorized/distributed paths — into
+fixture parquet that the oracle SQL simply SELECTs from. A bug in the
+engine's vectorization, banding, shuffling, or dedup then shows up as a
+driver hash mismatch.
+
+Everything is deterministic (pure function of the sf input tables +
+seed), so fixture generation races are benign. ``ensure_derived_fixtures``
+is called from ``oracle_sql()``; files land next to the synth fixtures
+under /tmp/rustac_fixtures/<tag>/.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import synth
+
+DERIVED_VERSION = "2"
+
+_U64 = 1 << 64
+_MERSENNE = (1 << 61) - 1
+
+
+# ----------------------------------------------------- spatial join oracle --
+
+
+def _point_on_ring_edge(px: float, py: float, ring: list) -> bool:
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if (
+            min(x1, x2) - 1e-12 <= px <= max(x1, x2) + 1e-12
+            and min(y1, y2) - 1e-12 <= py <= max(y1, y2) + 1e-12
+            and abs(cross) < 1e-9
+        ):
+            return True
+    return False
+
+
+def _point_in_ring(px: float, py: float, ring: list) -> bool:
+    """Plain scalar crossing-number test (even-odd); edges excluded here."""
+    n = len(ring)
+    inside = False
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _point_in_polygon(px, py, geom) -> bool:
+    """Even-odd over each polygon's rings (holes subtract); any edge hit
+    counts as inside (DE-9IM intersects is inclusive of boundaries)."""
+    polys = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
+    for rings in polys:
+        if any(_point_on_ring_edge(px, py, r) for r in rings):
+            return True
+        if sum(_point_in_ring(px, py, r) for r in rings) % 2 == 1:
+            return True
+    return False
+
+
+def _segs_intersect(p1, p2, q1, q2) -> bool:
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    d1, d2 = orient(q1, q2, p1), orient(q1, q2, p2)
+    d3, d4 = orient(p1, p2, q1), orient(p1, p2, q2)
+    if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and (
+        (d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0
+    ):
+        # conservative inclusive test with bbox guard for collinear cases
+        if (
+            max(min(p1[0], p2[0]), min(q1[0], q2[0]))
+            <= min(max(p1[0], p2[0]), max(q1[0], q2[0])) + 1e-12
+            and max(min(p1[1], p2[1]), min(q1[1], q2[1]))
+            <= min(max(p1[1], p2[1]), max(q1[1], q2[1])) + 1e-12
+        ):
+            return True
+    return False
+
+
+def _rect_intersects_geom(xmin, ymin, xmax, ymax, geom) -> bool:
+    """Axis-aligned rect vs GeoJSON geometry, plain scalar logic."""
+    if geom["type"] == "Point":
+        px, py = geom["coordinates"][:2]
+        return xmin <= px <= xmax and ymin <= py <= ymax
+    rings = (
+        geom["coordinates"]
+        if geom["type"] == "Polygon"
+        else [r for poly in geom["coordinates"] for r in poly]
+    )
+    # any polygon vertex inside the rect
+    for ring in rings:
+        for v in ring:
+            if xmin <= v[0] <= xmax and ymin <= v[1] <= ymax:
+                return True
+    # any rect corner inside the polygon
+    for cx, cy in ((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)):
+        if _point_in_polygon(cx, cy, geom):
+            return True
+    # any edge pair crossing
+    rect = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)]
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            a = (ring[i][0], ring[i][1])
+            b = (ring[(i + 1) % n][0], ring[(i + 1) % n][1])
+            for j in range(4):
+                if _segs_intersect(rect[j], rect[(j + 1) % 4], a, b):
+                    return True
+    return False
+
+
+def _expected_join_pairs(fdir: str) -> pa.Table:
+    """Brute-force every (image, query) pair: synth footprints are
+    axis-aligned rects (synth.py transform has zero rotation), so the exact
+    predicate is rect ∩ geometry."""
+    from .geo.wkb import decode_geometry  # shared data-format codec only
+
+    imgs = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "w", "h", "transform"]
+    )
+    t = np.asarray(imgs["transform"].to_pylist(), dtype=np.float64)
+    w = imgs["w"].to_numpy().astype(np.float64)
+    h = imgs["h"].to_numpy().astype(np.float64)
+    xmin = t[:, 2]
+    xmax = t[:, 2] + t[:, 0] * w
+    ymax = t[:, 5]
+    ymin = t[:, 5] + t[:, 4] * h
+    ids = imgs["image_id"].to_pylist()
+    geoms = pq.read_table(os.path.join(fdir, "query_geoms.parquet"))
+    out_i, out_q = [], []
+    for qi in range(len(geoms)):
+        qid = geoms["query_id"][qi].as_py()
+        g = decode_geometry(bytes(geoms["geometry"][qi].as_py()))
+        for k in range(len(ids)):
+            if _rect_intersects_geom(xmin[k], ymin[k], xmax[k], ymax[k], g):
+                out_i.append(ids[k])
+                out_q.append(qid)
+    return pa.table(
+        {"image_id": pa.array(out_i, pa.string()), "query_id": pa.array(out_q, pa.string())}
+    )
+
+
+# --------------------------------------------------------- simhash oracle ---
+
+
+def _naive_simhash(text: str) -> int:
+    toks = set(re.findall(r"\w+", str(text).lower()))
+    acc = [0] * 64
+    for t in toks:
+        hv = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        for i in range(64):
+            acc[i] += 1 if (hv >> i) & 1 else -1
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v - _U64 if v >= (1 << 63) else v
+
+
+def _expected_simhash(docs: pa.Table) -> pa.Table:
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, docs["doc_id"].type),
+            "simhash": pa.array([_naive_simhash(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------- minhash oracle ---
+
+
+def _naive_minhash_pairs(
+    docs: pa.Table,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 4,
+    seed: int = 42,
+    threshold: float = 0.7,
+) -> pa.Table:
+    """All-pairs LSH semantics, computed directly: candidate iff any band of
+    the two signatures is elementwise-equal; keep iff estimated jaccard
+    (mean signature agreement) >= threshold. Per-doc scalar/loop structure,
+    nothing shared with the engine's explode/groupby path. The hash-family
+    parameters (a, b from the seeded rng) are part of the operator's
+    definition, reproduced here from the spec."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    a_i = [int(x) for x in a]
+    b_i = [int(x) for x in b]
+    weights = [pow(257, j) % _U64 for j in range(shingle)]
+
+    def signature(text: str) -> tuple:
+        data = str(text).lower().encode("utf-8", "ignore")
+        if len(data) < shingle:
+            data = data + b"\x00" * (shingle - len(data))
+        sh = set()
+        for i in range(len(data) - shingle + 1):
+            v = 0
+            for j in range(shingle):
+                v = (v + data[i + j] * weights[j]) % _U64
+            sh.add(v)
+        if not sh:
+            return tuple([0] * num_perm)
+        sig = []
+        sh_arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        for p in range(num_perm):
+            with np.errstate(over="ignore"):
+                vals = (np.uint64(a_i[p]) * sh_arr + np.uint64(b_i[p])) % np.uint64(
+                    _MERSENNE
+                )
+            sig.append(int(vals.min()))
+        return tuple(sig)
+
+    ids = docs["doc_id"].to_pylist()
+    sigs = [signature(t) for t in docs["text"].to_pylist()]
+    rows_per_band = num_perm // bands
+    out_a, out_b = [], []
+    order = np.argsort(np.asarray(ids))
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            si, sj = sigs[i], sigs[j]
+            shared_band = any(
+                si[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+                == sj[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+                for bnd in range(bands)
+            )
+            if not shared_band:
+                continue
+            est = sum(x == y for x, y in zip(si, sj)) / num_perm
+            if est >= threshold:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, docs["doc_id"].type),
+            "id_b": pa.array(out_b, docs["doc_id"].type),
+        }
+    )
+
+
+def _expected_components(pairs: pa.Table) -> pa.Table:
+    """Plain union-find over the expected pair set (component = min id)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        for v in (ia, ib):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pairs["id_a"].type),
+            "component": pa.array([find(n) for n in nodes], pairs["id_a"].type),
+        }
+    )
+
+
+# ---------------------------------------------------------- langid oracle ---
+
+
+def _expected_langid(docs: pa.Table) -> pa.Table:
+    """Plain scalar stopword voting (the spec of stages.text.LangId):
+    language with the strictly highest stopword hit count among the first
+    200 lowercase word tokens; ties and zero hits → 'und'."""
+    from .stages.text import _STOPWORDS  # the table IS the spec constant
+
+    token_re = re.compile(r"[a-zà-ÿ]+")
+    preds = []
+    for t in docs["text"].to_pylist():
+        toks = token_re.findall(str(t).lower())[:200]
+        best, best_n = "und", 0
+        for lang, table in _STOPWORDS.items():
+            n = sum(tok in table for tok in toks)
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"].to_pylist(), docs["doc_id"].type),
+            "lang_pred": pa.array(preds, pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------- embeddings near-dup fix --
+
+
+def _embeddings_with_planted_dups(
+    sf_dir: str, n_dups: int = 15, noise: float = 1e-3, seed: int = 7
+) -> pa.Table:
+    """sf embeddings + near-identical planted copies (cosine ≥ 0.999): the
+    near-dup operator's input fixture. Random vectors top out near cosine
+    0.5, so the planted pairs are exactly the expected output at any
+    realistic threshold."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    rng = np.random.default_rng(seed)
+    src = np.arange(n_dups)
+    dup_vecs = vecs[src] + rng.normal(0, noise, vecs[src].shape).astype(np.float32)
+    new_ids = ids.max() + 1 + np.arange(n_dups)
+    all_vecs = np.concatenate([vecs, dup_vecs])
+    dim = all_vecs.shape[1]
+    return pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, new_ids]), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(all_vecs.ravel(), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(
+                np.concatenate([labels, labels[src]]).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------- IVF oracle --
+
+
+def _ivf_fixture(
+    sf_dir: str, *, n_centroids: int = 8, nprobe: int = 4, k: int = 5, seed: int = 42
+) -> tuple[pa.Table, pa.Table]:
+    """(centroids table, expected top-k table). Plainly-coded k-means +
+    IVF shortlist; the query-side engine CONSUMES these centroids (the
+    offline-trained-quantizer pattern), so the driver comparison verifies
+    the whole distributed shortlist/partial-top-k machinery against this
+    scalar spec."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    m = vecs / np.maximum(norms, 1e-12)[:, None]
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=n_centroids, replace=False)].copy()
+    for _ in range(10):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(float(np.sqrt((v * v).sum())), 1e-12)
+    dim = cent.shape[1]
+    cent_table = pa.table(
+        {
+            "centroid_id": pa.array(np.arange(n_centroids), pa.int64()),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(cent.ravel(), pa.float64()), dim
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    assign = np.argmax(m @ cent.T, axis=1)
+    out_q, out_v = [], []
+    for qi in range(len(ids)):
+        if ids[qi] >= 3:
+            continue
+        sims_c = cent @ m[qi]
+        probes = set(np.argsort(-sims_c)[:nprobe].tolist())
+        cand = [j for j in range(len(ids)) if assign[j] in probes]
+        sims = sorted(
+            ((float(m[j] @ m[qi]), -int(ids[j]), j) for j in cand), reverse=True
+        )
+        for _, _, j in sims[:k]:
+            out_q.append(str(ids[qi]))
+            out_v.append(int(ids[j]))
+    expected = pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+    return cent_table, expected
+
+
+# ------------------------------------------------------------------ ensure --
+
+
+def ensure_derived_fixtures(sf_dir: str) -> str:
+    """Write (once, version-stamped) the expected-result fixtures derived
+    from the sf tables; returns the fixture dir."""
+    fdir = synth.ensure_fixtures(sf_dir)
+    done = os.path.join(fdir, "_DERIVED_DONE")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == DERIVED_VERSION:
+                return fdir
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def write(name: str, table: pa.Table):
+        tmp = os.path.join(fdir, f".{name}.tmp.{os.getpid()}")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(fdir, name))
+
+    write("expected_join_pairs.parquet", _expected_join_pairs(fdir))
+    write("expected_simhash.parquet", _expected_simhash(docs))
+    mh = _naive_minhash_pairs(docs, threshold=0.7)
+    write("expected_minhash_pairs.parquet", mh)
+    write("expected_components.parquet", _expected_components(mh))
+    write("expected_langid.parquet", _expected_langid(docs))
+    write("embeddings_neardup.parquet", _embeddings_with_planted_dups(sf_dir))
+    cent, ivf_expected = _ivf_fixture(sf_dir)
+    write("ivf_centroids.parquet", cent)
+    write("expected_ivf_topk.parquet", ivf_expected)
+    with open(done, "w") as f:
+        f.write(DERIVED_VERSION + "\n")
+    return fdir

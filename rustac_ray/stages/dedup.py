@@ -38,14 +38,13 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_text_column(batch: pd.DataFrame, col: str) -> pd.Series:
-    """Stable 64-bit content hash (pandas hash is seeded-stable per call)."""
-    import hashlib
-
-    return batch[col].map(
-        lambda s: np.int64(
-            int.from_bytes(hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "big")
-            - (1 << 63)
-        )
+    """Stable vectorized 64-bit content hash — a grouping key only (the
+    dedup groupby shuffles this key, never the text). pandas' siphash with
+    the default fixed hash_key is deterministic across runs and machines."""
+    return pd.Series(
+        pd.util.hash_pandas_object(batch[col].astype(str), index=False).to_numpy()
+        .view(np.int64),
+        index=batch.index,
     )
 
 
@@ -115,6 +114,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
     concurrency: int | tuple[int, int] = 4,
+    max_bucket: int = 4096,
 ):
     """documents → near-duplicate pairs (id_a < id_b, est_jaccard).
 
@@ -122,6 +122,10 @@ def minhash_lsh_candidates(
     groupby(band_id, band_hash) → pairs within each bucket verified by
     minhash-estimated Jaccard. Pairs may appear in several bands — they are
     deduped by the final groupby over (id_a, id_b).
+
+    Skew guard: a degenerate band bucket larger than ``max_bucket`` is
+    skipped rather than verified O(bucket²) (same reasoning as
+    phash_near_dup) — bounds the worst reducer group at scale.
     """
     rows_per_band = num_perm // bands
 
@@ -152,7 +156,7 @@ def minhash_lsh_candidates(
                 "est_jaccard": pd.Series(dtype=float),
             }
         )
-        if len(group) < 2:
+        if len(group) < 2 or len(group) > max_bucket:
             return empty
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
@@ -184,35 +188,75 @@ def minhash_lsh_candidates(
 
 
 class SimHasher:
-    """64-bit simhash from token hashes (majority vote per bit)."""
+    """64-bit simhash from token hashes (majority vote per bit).
+
+    Vectorized per batch: each distinct token across the batch is hashed
+    ONCE (blake2b over the batch vocabulary — typically 10-100× smaller
+    than the token stream), its ±1 bit-sign row looked up for every
+    (doc, token) occurrence, and the per-doc majority computed as one
+    ``np.add.at`` segment sum. Semantics identical to the per-doc scalar
+    definition (unique tokens of lowercase ``\\w+``; bit set iff vote > 0),
+    which is what tools/oracles.py re-implements naively as the test
+    oracle."""
 
     def __init__(self, seed: int = 42):
         import re
 
         self.token_re = re.compile(r"\w+")
         self.seed = seed
+        self._cache: dict[str, np.ndarray] = {}
 
     def simhash(self, text: str) -> np.int64:
+        """Scalar reference definition (the batched __call__ must agree)."""
         import hashlib
 
-        toks = self.token_re.findall(text.lower())
-        if not toks:
-            return np.int64(0)
+        toks = set(self.token_re.findall(text.lower()))
         acc = np.zeros(64, dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
-        for t in set(toks):
+        for t in toks:
             h = np.uint64(
                 int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
             )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = np.uint64(0)
-        for i in np.nonzero(acc > 0)[0]:
-            out |= np.uint64(1) << np.uint64(i)
-        return np.int64(out.astype(np.int64))
+            acc += np.where(((h >> shifts) & np.uint64(1)) == 1, 1, -1)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        v = int(((acc > 0).astype(np.uint64) * weights).sum())
+        return np.int64(v - (1 << 64)) if v >= (1 << 63) else np.int64(v)
+
+    def _vocab_signs(self, vocab: list[str]) -> np.ndarray:
+        """(V, 64) matrix of ±1 bit votes, one row per token."""
+        import hashlib
+
+        h = np.empty(len(vocab), dtype=np.uint64)
+        for i, t in enumerate(vocab):
+            h[i] = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        return np.where(bits == 1, 1, -1).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = batch["text"].astype(str).map(self.simhash)
+        doc_tokens = [
+            sorted(set(self.token_re.findall(str(t).lower())))
+            for t in batch["text"]
+        ]
+        vocab = sorted({t for toks in doc_tokens for t in toks})
+        index = {t: i for i, t in enumerate(vocab)}
+        signs = self._vocab_signs(vocab)  # (V, 64)
+        n = len(batch)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        doc_ids = np.concatenate(
+            [np.full(len(toks), d, dtype=np.int64) for d, toks in enumerate(doc_tokens)]
+        ) if doc_tokens else np.empty(0, np.int64)
+        tok_ids = np.fromiter(
+            (index[t] for toks in doc_tokens for t in toks),
+            dtype=np.int64,
+            count=int(doc_ids.shape[0]),
+        )
+        np.add.at(acc, doc_ids, signs[tok_ids])
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        sim = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+        batch["simhash"] = sim.view(np.int64)
         return batch
 
 
@@ -348,25 +392,32 @@ def simhash_near_dup(
 
 
 def phash_near_dup(
-    ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 512,
-    hash_col: str = "phash",
+    ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 4096,
+    hash_col: str = "phash", n_bands: int = 8,
 ):
-    """Image near-dup via phash hamming-LSH: band the 64-bit phash into 4
-    16-bit bands; two images within hamming ≤ 4 of each other share at
-    least one identical band w.h.p. → groupby band, verify hamming.
+    """Image near-dup via phash hamming-LSH: band the 64-bit phash into
+    ``n_bands`` equal bands. With 8×8-bit bands any pair within hamming ≤ 7
+    shares at least one identical band (pigeonhole: ≤7 differing bits can
+    touch at most 7 of 8 bands), so for max_hamming ≤ 7 the candidate set
+    provably contains every true pair — the output is EXACT, which is what
+    lets the driver compare it against a brute-force SQL oracle.
 
     Skew guard: a band bucket larger than ``max_bucket`` (a degenerate
     band value — e.g. the all-zeros band of flat images) is SKIPPED rather
-    than verified O(n²); such images still pair up via their other three
-    bands unless all four are degenerate. This bounds the worst group cost
-    at scale, the same reasoning as hot-cell refinement (SURVEY.md §4)."""
+    than verified O(n²); such images still pair up via their other bands
+    unless all are degenerate. This bounds the worst group cost at scale,
+    the same reasoning as hot-cell refinement (SURVEY.md §4)."""
     from ..imaging.phash import hamming64
+
+    assert 64 % n_bands == 0
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ph = batch[hash_col].to_numpy().astype(np.int64).view(np.uint64)
         out = []
-        for band in range(4):
-            bh = ((ph >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+        for band in range(n_bands):
+            bh = ((ph >> np.uint64(band * band_bits)) & band_mask).astype(np.int64)
             out.append(
                 pd.DataFrame(
                     {

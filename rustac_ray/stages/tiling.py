@@ -155,7 +155,7 @@ def assign_tiles(
         return pa.table(
             {
                 "image_id": res["image_id"],
-                "tile_z": pa.array(tz, pa.int32()),
+                "tile_z": pa.array(tz, pa.int64()),
                 "tile_x": pa.array(tx, pa.int64()),
                 "tile_y": pa.array(ty, pa.int64()),
                 "tile_key": res["tile_key"],
