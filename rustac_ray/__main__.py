@@ -98,9 +98,12 @@ def cmd_validate(args):
     _ensure_ray()
     from .sources.io import read_items
     from .stages.items import ItemValidator
+    from .validate import SchemaValidator
 
+    # --structural = cheap shape checks only; default = full JSON-Schema
+    cls = ItemValidator if getattr(args, "structural", False) else SchemaValidator
     out = read_items(args.input).map_batches(
-        ItemValidator, batch_format="pandas", concurrency=2
+        cls, batch_format="pandas", concurrency=2
     ).to_pandas()
     bad = out[~out["valid"]]
     print(f"{len(out) - len(bad)}/{len(out)} valid")
@@ -164,8 +167,10 @@ def main(argv=None):
     c.add_argument("output")
     c.set_defaults(fn=cmd_crawl)
 
-    v = sub.add_parser("validate", help="structural validation")
+    v = sub.add_parser("validate", help="JSON-Schema validation (STAC core schemas)")
     v.add_argument("input")
+    v.add_argument("--structural", action="store_true",
+                   help="cheap structural checks only (no JSON-Schema)")
     v.set_defaults(fn=cmd_validate)
 
     j = sub.add_parser("join", help="spatial join images x query geometries")

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "2"
+DERIVED_VERSION = "3"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -407,6 +407,55 @@ def _ivf_fixture(
     return cent_table, expected
 
 
+# ------------------------------------------------------- validation oracle --
+
+
+def _validation_fixture(fdir: str) -> pa.Table:
+    """stac_items with planted spec violations + expected_valid known BY
+    CONSTRUCTION (each planted class is an unambiguous STAC-spec fact, not
+    an output of the validator under test):
+
+    - ``type`` ≠ Feature/Catalog/Collection → invalid (core schema const);
+    - ``stac_version`` 0.9.0 → invalid (no such core schema);
+    - null ``datetime`` with no start/end range → invalid (item-spec
+      datetime-null requires start_datetime+end_datetime).
+    """
+    items = pq.read_table(os.path.join(fdir, "stac_items.parquet"))
+    n = items.num_rows
+    idx = np.arange(n)
+    bad_type = idx % 97 == 3
+    bad_version = (idx % 89 == 5) & ~bad_type
+    bad_datetime = (idx % 83 == 7) & ~bad_type & ~bad_version
+    # planting null datetime only works where no start/end range exists
+    has_range = ~np.asarray(
+        [v is None for v in items["start_datetime"].to_pylist()]
+    )
+    bad_datetime &= ~has_range
+
+    type_col = np.asarray(items["type"].to_pylist(), dtype=object)
+    type_col[bad_type] = "NotAFeature"
+    ver_col = np.asarray(items["stac_version"].to_pylist(), dtype=object)
+    ver_col[bad_version] = "0.9.0"
+    dt = items["datetime"].to_pylist()
+    dt = [None if bad_datetime[i] else dt[i] for i in range(n)]
+
+    out = items.set_column(
+        items.schema.get_field_index("type"), "type", pa.array(type_col, pa.string())
+    )
+    out = out.set_column(
+        out.schema.get_field_index("stac_version"),
+        "stac_version",
+        pa.array(ver_col, pa.string()),
+    )
+    out = out.set_column(
+        out.schema.get_field_index("datetime"),
+        "datetime",
+        pa.array(dt, items["datetime"].type),
+    )
+    expected_valid = ~(bad_type | bad_version | bad_datetime)
+    return out.append_column("expected_valid", pa.array(expected_valid))
+
+
 # ------------------------------------------------------------------ ensure --
 
 
@@ -436,6 +485,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     cent, ivf_expected = _ivf_fixture(sf_dir)
     write("ivf_centroids.parquet", cent)
     write("expected_ivf_topk.parquet", ivf_expected)
+    write("stac_items_validate.parquet", _validation_fixture(fdir))
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir

@@ -38,6 +38,22 @@ def _rfc3339(ts) -> str | None:
     return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
 
 
+def _plain(v):
+    """Deep-convert pandas/numpy containers to plain JSON-shaped Python
+    (np.ndarray → list, np scalars → Python scalars) — parquet list/struct
+    columns come back as numpy arrays nested inside dicts, which JSON-Schema
+    validation and json serialization both reject."""
+    if isinstance(v, np.ndarray):
+        return [_plain(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def to_geojson_records(batch: pa.Table) -> list[dict]:
     """Flat Arrow batch → GeoJSON-shaped item dicts (output edge only)."""
     df = batch.to_pandas()
@@ -56,11 +72,16 @@ def to_geojson_records(batch: pa.Table) -> list[dict]:
                 else:
                     item["bbox"] = list(val)
             elif col in _DT_COLS:
-                props[col] = _rfc3339(val)
+                # absent timestamp (NaT) → omit the key entirely; emitting
+                # start/end_datetime: null is a schema violation. A null
+                # datetime proper is kept (legal with a start/end range).
+                s = _rfc3339(val)
+                if s is not None or col == "datetime":
+                    props[col] = s
             elif col in TOP_LEVEL_KEYS:
-                item[col] = val
+                item[col] = _plain(val)
             else:
-                props[col] = val
+                props[col] = _plain(val)
         item["properties"] = props
         records.append(item)
     return records

@@ -40,7 +40,7 @@ from . import schema as sch
 SEED = 42
 FIXTURE_ROOT = "/tmp/rustac_fixtures"
 # bump when generation logic changes — stale cached fixtures regenerate
-FIXTURE_VERSION = "3"
+FIXTURE_VERSION = "4"
 
 _TIERS = {
     "sf0.001": dict(images=1_000, items=100, queries=20),
@@ -196,9 +196,14 @@ def build_stac_items_table(n: int, seed: int = SEED) -> pa.Table:
     orbit = np.where(i % 100 < 49, 98, 11).astype(np.int64)  # 49 per 100 → ref 49
     cloud = np.round(rng.uniform(0, 100, n), 2)
     collection = np.where(i % 2 == 0, "sentinel-2a", "sentinel-2b")
+    # a rel="collection" link is REQUIRED by the item schema whenever the
+    # `collection` field is set (item.json core if/then/else condition)
     links = pa.array(
         [
-            [{"href": f"./items/{ids[k]}.json", "rel": "self", "type": "application/geo+json"}]
+            [
+                {"href": f"./items/{ids[k]}.json", "rel": "self", "type": "application/geo+json"},
+                {"href": f"./{collection[k]}.json", "rel": "collection", "type": "application/json"},
+            ]
             for k in range(n)
         ],
         pa.list_(sch.LINK_STRUCT),

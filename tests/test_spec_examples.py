@@ -41,6 +41,78 @@ def test_spec_item_examples_ingest_and_validate():
     assert res["valid"].all(), res[~res["valid"]]["errors"].tolist()
 
 
+def test_spec_examples_full_json_schema():
+    """Every v1.0.0 + v1.1.0 spec-example validates against its vendored
+    core schema (mirror of reference validate/tests/examples.rs:6-18)."""
+    from rustac_ray.validate import validate_value
+
+    n = 0
+    for base in (SPEC_DIR, SPEC_DIR.replace("v1.0.0", "v1.1.0")):
+        for path in sorted(glob.glob(f"{base}/**/*.json", recursive=True)):
+            with open(path) as f:
+                doc = json.load(f)
+            if not isinstance(doc, dict) or doc.get("type") not in (
+                "Feature", "Catalog", "Collection",
+            ):
+                continue
+            errs = validate_value(doc)
+            assert errs == [], (path, errs)
+            n += 1
+    assert n >= 15
+
+
+def test_json_schema_catches_planted_violations():
+    from rustac_ray.validate import validate_value
+
+    with open(f"{SPEC_DIR}/simple-item.json") as f:
+        base = json.load(f)
+    cases = [
+        ("missing id", lambda d: d.pop("id")),
+        ("null datetime without range",
+         lambda d: d["properties"].__setitem__("datetime", None)),
+        ("bad bbox arity", lambda d: d.__setitem__("bbox", [1.0, 2.0])),
+        ("collection without collection link",
+         lambda d: (
+             d.__setitem__(
+                 "links",
+                 [l for l in d.get("links", []) if l.get("rel") != "collection"],
+             ),
+             d.__setitem__("collection", "c1"),
+         )),
+        ("non-string license",
+         lambda d: d["properties"].__setitem__("license", 42)),
+    ]
+    for name, mutate in cases:
+        doc = json.loads(json.dumps(base))
+        mutate(doc)
+        assert validate_value(doc) != [], name
+    # full validator flags what the structural subset cannot
+    doc = json.loads(json.dumps(base))
+    doc["properties"]["datetime"] = "not-a-date"
+    assert any("datetime" in e for e in validate_value(doc))
+
+
+def test_schema_validator_stage_over_fixture(sf_dir):
+    """The actor-pool stage agrees with the construction-known verdicts of
+    the planted-violation fixture."""
+    import ray.data as rd
+
+    from rustac_ray.oracles import ensure_derived_fixtures
+    from rustac_ray.validate import SchemaValidator
+
+    fdir = ensure_derived_fixtures(sf_dir)
+    ds = rd.read_parquet(f"{fdir}/stac_items_validate.parquet")
+    expected = ds.to_pandas()[["id", "expected_valid"]]
+    out = (
+        ds.drop_columns(["expected_valid"])
+        .map_batches(SchemaValidator, batch_format="pandas", concurrency=2)
+        .to_pandas()
+    )
+    m = out.merge(expected, on="id")
+    assert (m["valid"] == m["expected_valid"]).all()
+    assert (~m["valid"]).sum() > 0  # the fixture does plant invalids
+
+
 def test_spec_item_roundtrip_preserves_keys():
     examples = _item_examples()
     records = [doc for _, doc in examples]
