@@ -36,8 +36,9 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,)
       | (?P<op><>|<=|>=|=|<|>)
+      | (?P<arith>[+\-*/%^])
       | (?P<str>'(?:[^']|'')*')
-      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<qword>"[^"]*")
       | (?P<word>[A-Za-z_][A-Za-z0-9_:.]*)
     )""",
@@ -115,8 +116,45 @@ class _TextParser:
             return node
         return self.predicate()
 
+    # operand ← additive; text-form arithmetic with standard precedence
+    # (^ over * / % over + -), per the cql2 text grammar
     def operand(self):
+        return self.additive()
+
+    def additive(self):
+        node = self.multiplicative()
+        while self.peek() == ("arith", "+") or self.peek() == ("arith", "-"):
+            op = self.eat("arith")
+            node = {"op": op, "args": [node, self.multiplicative()]}
+        return node
+
+    def multiplicative(self):
+        node = self.power()
+        while self.peek()[0] == "arith" and self.peek()[1] in ("*", "/", "%"):
+            op = self.eat("arith")
+            node = {"op": op, "args": [node, self.power()]}
+        return node
+
+    def power(self):
+        node = self.atom()
+        if self.peek() == ("arith", "^"):
+            self.eat("arith")
+            return {"op": "^", "args": [node, self.power()]}  # right-assoc
+        return node
+
+    def atom(self):
         k, v = self.peek()
+        if k == "arith" and v == "-":  # unary minus
+            self.eat("arith")
+            inner = self.atom()
+            if isinstance(inner, (int, float)):
+                return -inner
+            return {"op": "*", "args": [-1, inner]}
+        if k == "lpar":  # parenthesized arithmetic sub-expression
+            self.eat("lpar")
+            node = self.additive()
+            self.eat("rpar")
+            return node
         if k == "str":
             self.eat("str")
             return v[1:-1].replace("''", "'")
@@ -127,12 +165,13 @@ class _TextParser:
             if v.upper() in ("TRUE", "FALSE"):
                 self.eat("word")
                 return v.upper() == "TRUE"
-            if v.upper() == "CASEI":  # case-insensitive comparison wrapper
+            if v.upper() in ("CASEI", "ACCENTI"):  # insensitivity wrappers
+                name = v.upper().lower()
                 self.eat("word")
                 self.eat("lpar")
                 inner = self.operand()
                 self.eat("rpar")
-                return {"op": "casei", "args": [inner]}
+                return {"op": name, "args": [inner]}
             self.eat("word")
             return {"property": v}
         raise ValueError(f"bad operand {k}:{v}")
@@ -157,6 +196,17 @@ class _TextParser:
             self.eat("rpar")
             return {"op": {"T_INTERSECTS": "t_intersects", "ANYINTERACTS": "t_intersects",
                            "T_DURING": "t_during"}[name], "args": [a, iv]}
+        if k == "word" and v.upper() in (
+            "A_EQUALS", "A_CONTAINS", "A_CONTAINEDBY", "A_OVERLAPS",
+        ):
+            name = v.lower()
+            self.eat("word")
+            self.eat("lpar")
+            a = self.array_operand()
+            self.eat("comma")
+            b = self.array_operand()
+            self.eat("rpar")
+            return {"op": name, "args": [a, b]}
         left = self.operand()
         k, v = self.peek()
         if k == "op":
@@ -218,6 +268,18 @@ class _TextParser:
             return {"op": "in", "args": [left, vals]}
         raise ValueError(f"bad NOT-predicate near {k}:{v}")
 
+    def array_operand(self):
+        """('a', 'b', ...) array literal, or a property/scalar operand."""
+        if self.peek()[0] == "lpar":
+            self.eat("lpar")
+            vals = [self.operand()]
+            while self.peek()[0] == "comma":
+                self.eat("comma")
+                vals.append(self.operand())
+            self.eat("rpar")
+            return {"array": vals}
+        return self.operand()
+
     def interval_literal(self):
         """INTERVAL('start','end') with '..' for open ends (cql2 temporal)."""
         self.eat("word", "INTERVAL")
@@ -252,30 +314,68 @@ class _TextParser:
                 "type": "Polygon",
                 "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
             }
-        if k == "word" and v.upper() == "POLYGON":
+        if k == "word" and v.upper() == "LINESTRING":
+            self.eat("word")
+            return {"type": "LineString", "coordinates": self._pos_list()}
+        if k == "word" and v.upper() == "MULTIPOINT":
             self.eat("word")
             self.eat("lpar")
-            rings = []
+            pts = []
             while True:
-                self.eat("lpar")
-                ring = []
-                while True:
-                    x = self.operand()
-                    y = self.operand()
-                    ring.append([x, y])
-                    if self.peek()[0] == "comma":
-                        self.eat("comma")
-                    else:
-                        break
-                self.eat("rpar")
-                rings.append(ring)
+                if self.peek()[0] == "lpar":  # both (x y),(x y) and x y, x y
+                    self.eat("lpar")
+                    pts.append([self.operand(), self.operand()])
+                    self.eat("rpar")
+                else:
+                    pts.append([self.operand(), self.operand()])
                 if self.peek()[0] == "comma":
                     self.eat("comma")
                 else:
                     break
             self.eat("rpar")
-            return {"type": "Polygon", "coordinates": rings}
+            return {"type": "MultiPoint", "coordinates": pts}
+        if k == "word" and v.upper() == "MULTILINESTRING":
+            self.eat("word")
+            self.eat("lpar")
+            lines = [self._pos_list()]
+            while self.peek()[0] == "comma":
+                self.eat("comma")
+                lines.append(self._pos_list())
+            self.eat("rpar")
+            return {"type": "MultiLineString", "coordinates": lines}
+        if k == "word" and v.upper() == "POLYGON":
+            self.eat("word")
+            return {"type": "Polygon", "coordinates": self._ring_list()}
+        if k == "word" and v.upper() == "MULTIPOLYGON":
+            self.eat("word")
+            self.eat("lpar")
+            polys = [self._ring_list()]
+            while self.peek()[0] == "comma":
+                self.eat("comma")
+                polys.append(self._ring_list())
+            self.eat("rpar")
+            return {"type": "MultiPolygon", "coordinates": polys}
         raise ValueError(f"unsupported geometry literal near {v}")
+
+    def _pos_list(self) -> list:
+        """( x y, x y, ... ) — one parenthesized coordinate sequence."""
+        self.eat("lpar")
+        pts = [[self.operand(), self.operand()]]
+        while self.peek()[0] == "comma":
+            self.eat("comma")
+            pts.append([self.operand(), self.operand()])
+        self.eat("rpar")
+        return pts
+
+    def _ring_list(self) -> list:
+        """( ( x y, ... ), ( x y, ... ) ) — one polygon's ring sequence."""
+        self.eat("lpar")
+        rings = [self._pos_list()]
+        while self.peek()[0] == "comma":
+            self.eat("comma")
+            rings.append(self._pos_list())
+        self.eat("rpar")
+        return rings
 
 
 def parse_cql2(filter_expr: str | dict) -> dict:
@@ -297,9 +397,20 @@ def _collect_properties(node, out: set[str]):
             out.add(node["property"])
         for a in node.get("args", []):
             _collect_properties(a, out)
+        for a in node.get("array", []):
+            _collect_properties(a, out)
     elif isinstance(node, list):
         for a in node:
             _collect_properties(a, out)
+
+
+def _strip_accents(s: str) -> str:
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s)
+        if unicodedata.category(c) != "Mn"
+    )
 
 
 class Cql2Predicate:
@@ -337,7 +448,39 @@ class Cql2Predicate:
             if isinstance(inner, str):
                 return inner.lower()
             return pc.utf8_lower(inner)
+        if isinstance(node, dict) and node.get("op") == "accenti":
+            inner = self._value(node["args"][0], batch)
+            if isinstance(inner, str):
+                return _strip_accents(inner)
+            vals = inner.to_pylist() if hasattr(inner, "to_pylist") else list(inner)
+            return pa.array(
+                [None if v is None else _strip_accents(str(v)) for v in vals],
+                pa.string(),
+            )
+        if isinstance(node, dict) and node.get("op") in ("+", "-", "*", "/", "%", "^"):
+            # numpy arithmetic: float '/' and true '%'/'^' match the SQL
+            # oracle's numeric promotion (pc.divide would int-divide)
+            op = node["op"]
+            a = self._to_numeric(self._value(node["args"][0], batch))
+            b = self._to_numeric(self._value(node["args"][1], batch))
+            if op == "+":
+                return a + b
+            if op == "-":
+                return a - b
+            if op == "*":
+                return a * b
+            if op == "/":
+                return np.true_divide(a, b)
+            if op == "%":
+                return np.mod(a, b)
+            return np.power(a, b)
         return node
+
+    @staticmethod
+    def _to_numeric(v):
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v.to_numpy(zero_copy_only=False)
+        return v
 
     def _eval(self, node, batch: pa.Table) -> np.ndarray:
         op = node["op"]
@@ -424,9 +567,35 @@ class Cql2Predicate:
             hi = self._value(args[2], batch)
             res = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
             return pc.fill_null(res, False).to_numpy(zero_copy_only=False)
-        if op in ("+", "-", "*", "/"):
-            afn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}[op]
-            return afn(self._value(args[0], batch), self._value(args[1], batch))
+        if op in ("a_equals", "a_contains", "a_containedby", "a_overlaps"):
+            # array predicates (OGC CQL2 array functions, set semantics);
+            # reference routes these to the full cql2 crate (api/filter.rs)
+            def as_lists(x):
+                if isinstance(x, dict) and "array" in x:
+                    lit = [self._value(v, batch) for v in x["array"]]
+                    return None, set(lit)
+                col = self._value(x, batch)
+                return col.to_pylist(), None
+
+            rows_a, lit_a = as_lists(args[0])
+            rows_b, lit_b = as_lists(args[1])
+            out = np.zeros(n, dtype=bool)
+            for i in range(n):
+                va = set(rows_a[i]) if rows_a is not None else lit_a
+                vb = set(rows_b[i]) if rows_b is not None else lit_b
+                if (rows_a is not None and rows_a[i] is None) or (
+                    rows_b is not None and rows_b[i] is None
+                ):
+                    continue
+                if op == "a_equals":
+                    out[i] = va == vb
+                elif op == "a_contains":
+                    out[i] = va >= vb
+                elif op == "a_containedby":
+                    out[i] = va <= vb
+                else:
+                    out[i] = bool(va & vb)
+            return out
         # comparison ops
         left = self._value(args[0], batch)
         right = self._value(args[1], batch)
@@ -440,15 +609,50 @@ class Cql2Predicate:
         return pc.fill_null(res, False).to_numpy(zero_copy_only=False)
 
 
-def _geom_intersects(pg, wkb_bytes: bytes) -> bool:
-    """Exact test of one WKB geometry against a prepared geometry."""
+def _geom_intersects(pg, wkb_or_geom) -> bool:
+    """Exact test of one stored geometry (WKB bytes or GeoJSON dict)
+    against a prepared query geometry. Covers all GeoJSON types (the
+    reference decodes the full geoarrow set, core geoarrow/json.rs:466-499)."""
+    from .geo.pip import _seg_cross
     from .geo.wkb import decode_geometry
 
-    g = decode_geometry(bytes(wkb_bytes))
-    if g["type"] == "Point":
-        x, y = g["coordinates"]
+    g = (
+        decode_geometry(bytes(wkb_or_geom))
+        if isinstance(wkb_or_geom, (bytes, bytearray, memoryview))
+        else wkb_or_geom
+    )
+    t = g["type"]
+    if t == "Point":
+        x, y = g["coordinates"][:2]
         return bool(pg.contains_points(np.array([x]), np.array([y]))[0])
-    if g["type"] == "Polygon":
+    if t == "MultiPoint":
+        pts = np.asarray([c[:2] for c in g["coordinates"]], dtype=np.float64)
+        return bool(pg.contains_points(pts[:, 0], pts[:, 1]).any())
+    if t == "Polygon":
         rings = [np.asarray(r, dtype=np.float64) for r in g["coordinates"]]
         return pg.intersects_polygon(rings)
-    raise ValueError(f"s_intersects: unsupported stored geometry {g['type']}")
+    if t == "MultiPolygon":
+        return any(
+            pg.intersects_polygon([np.asarray(r, dtype=np.float64) for r in poly])
+            for poly in g["coordinates"]
+        )
+    if t in ("LineString", "MultiLineString"):
+        if pg.kind == "collection":
+            return any(_geom_intersects(s, g) for s in pg.subs)
+        lines = [g["coordinates"]] if t == "LineString" else g["coordinates"]
+        for line in lines:
+            r = np.asarray(line, dtype=np.float64)
+            if pg.contains_points(r[:, 0], r[:, 1]).any():
+                return True
+            if pg.kind == "point":
+                continue  # point-on-segment handled by contains_points above
+            a, b = r[:-1], r[1:]
+            if _seg_cross(
+                a[:, 0][:, None], a[:, 1][:, None], b[:, 0][:, None], b[:, 1][:, None],
+                pg.ax[None, :], pg.ay[None, :], pg.bx[None, :], pg.by[None, :],
+            ).any():
+                return True
+        return False
+    if t == "GeometryCollection":
+        return any(_geom_intersects(pg, sub) for sub in g["geometries"])
+    raise ValueError(f"s_intersects: unsupported stored geometry {t}")

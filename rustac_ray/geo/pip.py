@@ -50,13 +50,14 @@ class PreparedGeometry:
 
     __slots__ = (
         "kind", "point", "ax", "ay", "bx", "by", "outer_mask",
-        "xmin", "ymin", "xmax", "ymax", "verts",
+        "xmin", "ymin", "xmax", "ymax", "verts", "subs",
     )
 
     def __init__(self, geom: dict | bytes):
         if isinstance(geom, (bytes, bytearray, memoryview)):
             geom = decode_geometry(bytes(geom))
         t = geom["type"]
+        self.subs = None
         if t == "Point":
             self.kind = "point"
             self.point = np.asarray(geom["coordinates"], dtype=np.float64)
@@ -64,6 +65,47 @@ class PreparedGeometry:
             self.ymin = self.ymax = float(self.point[1])
             self.verts = self.point.reshape(1, 2)
             self.ax = self.ay = self.bx = self.by = np.empty(0)
+            return
+        if t in ("MultiPoint", "GeometryCollection"):
+            # delegate: prepared sub-geometries, OR-combined per test
+            parts = (
+                [{"type": "Point", "coordinates": c} for c in geom["coordinates"]]
+                if t == "MultiPoint"
+                else geom["geometries"]
+            )
+            self.kind = "collection"
+            self.point = None
+            self.subs = [PreparedGeometry(g) for g in parts]
+            self.xmin = min(s.xmin for s in self.subs)
+            self.ymin = min(s.ymin for s in self.subs)
+            self.xmax = max(s.xmax for s in self.subs)
+            self.ymax = max(s.ymax for s in self.subs)
+            self.verts = np.concatenate([s.verts for s in self.subs])
+            self.ax = self.ay = self.bx = self.by = np.empty(0)
+            return
+        if t in ("LineString", "MultiLineString"):
+            # linear: OPEN edge chains (no ring closing), no interior
+            self.kind = "line"
+            self.point = None
+            lines = (
+                [geom["coordinates"]] if t == "LineString" else geom["coordinates"]
+            )
+            a_parts, b_parts = [], []
+            for line in lines:
+                r = np.asarray(line, dtype=np.float64)
+                a_parts.append(r[:-1])
+                b_parts.append(r[1:])
+            a = np.concatenate(a_parts)
+            b = np.concatenate(b_parts)
+            self.ax, self.ay = np.ascontiguousarray(a[:, 0]), np.ascontiguousarray(a[:, 1])
+            self.bx, self.by = np.ascontiguousarray(b[:, 0]), np.ascontiguousarray(b[:, 1])
+            self.verts = np.concatenate(
+                [np.asarray(line, dtype=np.float64) for line in lines]
+            )
+            self.xmin = float(self.verts[:, 0].min())
+            self.ymin = float(self.verts[:, 1].min())
+            self.xmax = float(self.verts[:, 0].max())
+            self.ymax = float(self.verts[:, 1].max())
             return
         self.kind = "area"
         self.point = None
@@ -92,6 +134,11 @@ class PreparedGeometry:
         py = np.asarray(py, dtype=np.float64)
         if self.kind == "point":
             return (np.abs(px - self.point[0]) < _EPS) & (np.abs(py - self.point[1]) < _EPS)
+        if self.kind == "collection":
+            out = np.zeros(px.shape, dtype=bool)
+            for s in self.subs:
+                out |= s.contains_points(px, py)
+            return out
         inside = np.zeros(px.shape, dtype=bool)
         bbox_ok = (px >= self.xmin) & (px <= self.xmax) & (py >= self.ymin) & (py <= self.ymax)
         if not bbox_ok.any():
@@ -105,7 +152,12 @@ class PreparedGeometry:
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = ax + (y - ay) * (bx - ax) / (by - ay)
         crosses = straddle & (x < xint)
-        inner = crosses.sum(axis=1) % 2 == 1
+        # a line has no interior: only boundary hits count
+        inner = (
+            crosses.sum(axis=1) % 2 == 1
+            if self.kind == "area"
+            else np.zeros(len(idx), dtype=bool)
+        )
         # boundary: point on an edge segment counts as inside
         cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
         on_line = np.abs(cross) < 1e-9
@@ -143,6 +195,12 @@ class PreparedGeometry:
                 sub, np.full(len(idx), self.point[0]), np.full(len(idx), self.point[1])
             )
             return out
+        if self.kind == "collection":
+            hit = np.zeros(len(idx), dtype=bool)
+            for s in self.subs:
+                hit |= s.intersects_quads(sub)
+            out[idx] = hit
+            return out
         m = len(idx)
         hit = np.zeros(m, dtype=bool)
         # (a) any quad corner inside polygon
@@ -172,6 +230,8 @@ class PreparedGeometry:
         outer = np.asarray(rings[0], dtype=np.float64)
         if len(outer) >= 2 and np.allclose(outer[0], outer[-1]):
             outer = outer[:-1]
+        if self.kind == "collection":
+            return any(s.intersects_polygon(rings) for s in self.subs)
         if self.kind == "point":
             other = PreparedGeometry({"type": "Polygon", "coordinates": [r.tolist() if isinstance(r, np.ndarray) else r for r in rings]})
             return bool(other.contains_points(self.point[:1], self.point[1:2])[0])

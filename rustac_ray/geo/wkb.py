@@ -37,6 +37,7 @@ WKB_POLYGON = 3
 WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_GEOMETRYCOLLECTION = 7
 
 # one polygon, one ring, 5 points (closed quad):
 # byte_order(1) + type(4) + nrings(4) + npoints(4) + 5*16 coord bytes = 93
@@ -96,7 +97,7 @@ def decode_bboxes(wkbs) -> np.ndarray:
 def encode_geometry(geom: dict) -> bytes:
     """GeoJSON-style dict {type, coordinates} → WKB bytes (2D, LE)."""
     t = geom["type"]
-    c = geom["coordinates"]
+    c = geom.get("coordinates")
     if t == "Point":
         return struct.pack("<BIdd", 1, WKB_POINT, c[0], c[1])
     if t == "LineString":
@@ -122,6 +123,12 @@ def encode_geometry(geom: dict) -> bytes:
         parts = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(c))]
         for ls in c:
             parts.append(encode_geometry({"type": "LineString", "coordinates": ls}))
+        return b"".join(parts)
+    if t == "GeometryCollection":
+        subs = geom["geometries"]
+        parts = [struct.pack("<BII", 1, WKB_GEOMETRYCOLLECTION, len(subs))]
+        for sub in subs:
+            parts.append(encode_geometry(sub))
         return b"".join(parts)
     raise ValueError(f"unsupported geometry type for WKB encode: {t}")
 
@@ -174,12 +181,20 @@ def _decode_at(buf: bytes, off: int) -> tuple[dict, int]:
             poly, off = _decode_at(buf, off)
             polys.append(poly["coordinates"])
         return {"type": "MultiPolygon", "coordinates": polys}, off
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        (nsubs,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        subs = []
+        for _ in range(nsubs):
+            g, off = _decode_at(buf, off)
+            subs.append(g)
+        return {"type": "GeometryCollection", "geometries": subs}, off
     raise ValueError(f"unsupported WKB geometry type: {gtype}")
 
 
 def _all_coords(geom: dict) -> np.ndarray:
     t = geom["type"]
-    c = geom["coordinates"]
+    c = geom.get("coordinates")
     if t == "Point":
         return np.asarray([c], dtype=np.float64)
     if t == "LineString":
@@ -194,4 +209,6 @@ def _all_coords(geom: dict) -> np.ndarray:
         return np.asarray(c, dtype=np.float64)
     if t == "MultiLineString":
         return np.concatenate([np.asarray(ls, dtype=np.float64) for ls in c])
+    if t == "GeometryCollection":
+        return np.concatenate([_all_coords(g) for g in geom["geometries"]])
     raise ValueError(t)

@@ -40,7 +40,7 @@ from . import schema as sch
 SEED = 42
 FIXTURE_ROOT = "/tmp/rustac_fixtures"
 # bump when generation logic changes — stale cached fixtures regenerate
-FIXTURE_VERSION = "4"
+FIXTURE_VERSION = "5"
 
 _TIERS = {
     "sf0.001": dict(images=1_000, items=100, queries=20),
@@ -226,7 +226,20 @@ def build_stac_items_table(n: int, seed: int = SEED) -> pa.Table:
         [
             pa.array(["Feature"] * n),
             pa.array(["1.1.0"] * n),
-            pa.array([["https://stac-extensions.github.io/eo/v1.1.0/schema.json"]] * n, pa.list_(pa.string())),
+            # alternate 1- and 2-element extension lists so array predicates
+            # (A_CONTAINS etc.) select a strict subset
+            pa.array(
+                [
+                    ["https://stac-extensions.github.io/eo/v1.1.0/schema.json"]
+                    + (
+                        ["https://stac-extensions.github.io/sat/v1.0.0/schema.json"]
+                        if k % 2 == 1
+                        else []
+                    )
+                    for k in range(n)
+                ],
+                pa.list_(pa.string()),
+            ),
             pa.array(ids, pa.string()),
             pa.array(wkbs, pa.binary()),
             pa.StructArray.from_arrays(

@@ -271,3 +271,87 @@ def test_cql2_casei():
     t = pa.table({"collection": ["SENTINEL-2A", "sentinel-2a", "other"]})
     m = Cql2Predicate("CASEI(collection) = CASEI('Sentinel-2A')").mask(t)
     assert m.tolist() == [True, True, False]
+
+
+def test_cql2_accenti():
+    t = pa.table({"name": ["café", "cafe", "mañana", "other"]})
+    m = Cql2Predicate("ACCENTI(name) = ACCENTI('cafè')").mask(t)
+    # 'café'→'cafe', 'cafè'→'cafe': both accent variants match plain 'cafe'
+    assert m.tolist() == [True, True, False, False]
+
+
+def test_cql2_text_arithmetic_precedence():
+    t = pa.table({"x": [1.0, 2.0, 3.0, 10.0], "y": [1.0, 1.0, 1.0, 1.0]})
+    assert Cql2Predicate("x * 2 + 1 < 6").mask(t).tolist() == [True, True, False, False]
+    assert Cql2Predicate("x + y * 0 = x").mask(t).tolist() == [True] * 4
+    assert Cql2Predicate("x % 2 = 0").mask(t).tolist() == [False, True, False, True]
+    assert Cql2Predicate("x ^ 2 = 9").mask(t).tolist() == [False, False, True, False]
+    assert Cql2Predicate("x / 4 = 0.5").mask(t).tolist() == [False, True, False, False]
+    assert Cql2Predicate("-x < -2.5").mask(t).tolist() == [False, False, True, True]
+
+
+def test_cql2_array_ops():
+    t = pa.table({"exts": [["a", "b"], ["a"], ["b", "c"], []]})
+    assert Cql2Predicate("A_CONTAINS(exts, ('a'))").mask(t).tolist() == [
+        True, True, False, False]
+    assert Cql2Predicate("A_CONTAINEDBY(exts, ('a', 'b', 'c'))").mask(t).tolist() == [
+        True, True, True, True]
+    assert Cql2Predicate("A_OVERLAPS(exts, ('b', 'z'))").mask(t).tolist() == [
+        True, False, True, False]
+    assert Cql2Predicate("A_EQUALS(exts, ('b', 'a'))").mask(t).tolist() == [
+        True, False, False, False]
+
+
+def test_cql2_wkt_literals_parse():
+    ast = parse_cql2(
+        "S_INTERSECTS(geometry, MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2))))"
+    )
+    assert ast["args"][1]["type"] == "MultiPolygon"
+    assert len(ast["args"][1]["coordinates"]) == 2
+    ast = parse_cql2("S_INTERSECTS(geometry, LINESTRING(-1 0, 1 0, 1 5))")
+    assert ast["args"][1] == {
+        "type": "LineString", "coordinates": [[-1, 0], [1, 0], [1, 5]]}
+    ast = parse_cql2("S_INTERSECTS(geometry, MULTIPOINT((0 1), (2 3)))")
+    assert ast["args"][1]["coordinates"] == [[0, 1], [2, 3]]
+
+
+def test_cql2_linestring_intersects():
+    from rustac_ray.geo.wkb import encode_geometry
+
+    # stored unit squares at origin and at (10,10)
+    def sq(x0, y0):
+        return encode_geometry({"type": "Polygon", "coordinates": [[
+            [x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1], [x0, y0 + 1], [x0, y0]]]})
+
+    t = pa.table({"geometry": [sq(0, 0), sq(10, 10)]})
+    m = Cql2Predicate(
+        "S_INTERSECTS(geometry, LINESTRING(-1 0.5, 2 0.5))"
+    ).mask(t)
+    assert m.tolist() == [True, False]
+    # a line fully inside the square (no edge crossing) still intersects
+    m2 = Cql2Predicate(
+        "S_INTERSECTS(geometry, LINESTRING(0.2 0.2, 0.8 0.8))"
+    ).mask(t)
+    assert m2.tolist() == [True, False]
+
+
+def test_geometrycollection_wkb_roundtrip_and_intersects():
+    from rustac_ray.geo.pip import PreparedGeometry
+    from rustac_ray.geo.wkb import decode_geometry, encode_geometry
+
+    gc = {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [5.0, 5.0]},
+        {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]},
+    ]}
+    rt = decode_geometry(encode_geometry(gc))
+    assert rt == {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [5.0, 5.0]},
+        {"type": "Polygon", "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                                             [0.0, 1.0], [0.0, 0.0]]]}]}
+    pg = PreparedGeometry(gc)
+    quads = np.array([
+        [[4.5, 4.5], [5.5, 4.5], [5.5, 5.5], [4.5, 5.5]],   # hits the point
+        [[0.2, 0.2], [0.4, 0.2], [0.4, 0.4], [0.2, 0.4]],   # inside the polygon
+        [[8.0, 0.0], [9.0, 0.0], [9.0, 1.0], [8.0, 1.0]],   # hits neither
+    ])
+    assert pg.intersects_quads(quads).tolist() == [True, True, False]
