@@ -40,7 +40,7 @@ from .cql2 import Cql2Predicate, UnknownPropertyError
 from .geo.pip import PreparedGeometry
 from .geo.wkb import decode_bboxes
 
-__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields"]
+__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn"]
 
 
 class LegacyQueryError(ValueError):
@@ -279,9 +279,48 @@ def search(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
     return _postprocess(out, spec)
 
 
+def sorted_topn(ds: "ray.data.Dataset", keys: list[tuple[str, bool]], n: int):
+    """Distributed top-n under a sort order WITHOUT a full-sort shuffle:
+    each input block is pruned to its local top-n (vectorized Arrow
+    sort_by + slice — the partial-top-k combiner pattern, same shape as
+    knn), then the tiny surviving set (≤ n × num_blocks rows) is merged
+    and finally sorted once. A paged search over 100 TB thus moves at most
+    n rows per block instead of shuffling the whole table."""
+    sort_keys = [(k, "descending" if d else "ascending") for k, d in keys]
+
+    def prune(b: pa.Table) -> pa.Table:
+        if len(b) <= n:
+            return b
+        return b.sort_by(sort_keys).slice(0, n)
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.sort_by(sort_keys).slice(0, n)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    return pruned.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
 def _postprocess(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
-    if spec.sortby:
-        keys = parse_sortby(spec.sortby)
+    keys = parse_sortby(spec.sortby) if spec.sortby else None
+    if keys and spec.limit is not None:
+        # sort+limit[+offset] = partial top-k, never a full-sort shuffle
+        ds = sorted_topn(ds, keys, (spec.offset or 0) + spec.limit)
+        if spec.offset:
+            off = spec.offset
+
+            def drop_head(b: pa.Table) -> pa.Table:
+                return b.slice(off)
+
+            ds = ds.map_batches(drop_head, batch_format="pyarrow", batch_size=None)
+        ds = ds.limit(spec.limit)
+        if spec.fields:
+            inc, exc = parse_fields(spec.fields)
+            if inc:
+                return ds.select_columns(inc)
+            if exc:
+                return ds.select_columns([c for c in ds.schema().names if c not in exc])
+        return ds
+    if keys:
         ds = ds.sort([k for k, _ in keys], descending=[d for _, d in keys])
     if spec.offset:
         # offset pagination (reference duckdb client.rs:309-316 / memory.rs

@@ -230,18 +230,31 @@ class ShardedKNNIndex:
             ds = ds.map_batches(_derive, batch_format="pyarrow")
         self.res = res
         self.shards = [_KNNShard.remote(res) for _ in range(num_shards)]
-        pending = []
-        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=32768):
+        shards = self.shards
+
+        def route(batch: pa.Table) -> pa.Table:
+            """Build stage: each map task pushes its rows straight to the
+            owning shard actors — the dataset never streams through the
+            driver (r01 verdict: the driver-side iter_batches loop was the
+            build-path bottleneck). The in-task ray.get acks the push so
+            backpressure applies before the task completes."""
             cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
             cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
             ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
             cell = cells.cell_encode(cx, cy, res)
             shard_of = (cell % num_shards).astype(np.int64)
+            refs = []
             for s in range(num_shards):
                 m = shard_of == s
                 if m.any():
-                    pending.append(self.shards[s].add.remote(ids[m], cx[m], cy[m]))
-        ray.get(pending)
+                    refs.append(shards[s].add.remote(ids[m], cx[m], cy[m]))
+            ray.get(refs)
+            return pa.table({"n": pa.array([len(batch)], pa.int64())})
+
+        total = ds.map_batches(
+            route, batch_format="pyarrow", batch_size=32768
+        ).sum("n")
+        self.num_rows = int(total or 0)
 
     def query(self, x: float, y: float, k: int):
         results = ray.get([s.query.remote(x, y, k) for s in self.shards])

@@ -486,40 +486,45 @@ def partitioned_spatial_join(
         ixmax = imgs["fp_xmax"].to_numpy()
         iymax = imgs["fp_ymax"].to_numpy()
         img_ids = imgs["image_id"].to_numpy()
-        out_i, out_q = [], []
-        for _, q in qrys.iterrows():
-            mask = (
-                (ixmin <= q["q_xmax"]) & (ixmax >= q["q_xmin"])
-                & (iymin <= q["q_ymax"]) & (iymax >= q["q_ymin"])
-            )
-            if not mask.any():
-                continue
-            # canonical-cell dedup: lower-left corner of bbox∩bbox must be
-            # here; canonical refines to res+1 exactly where cells did
-            ll_x = np.maximum(ixmin, q["q_xmin"])
-            ll_y = np.maximum(iymin, q["q_ymin"])
-            c0 = cells.cell_encode(ll_x, ll_y, res)
-            if len(hot_arr):
-                canon = np.where(
-                    np.isin(c0, hot_arr), cells.cell_encode(ll_x, ll_y, res + 1), c0
-                )
-            else:
-                canon = c0
-            mask &= canon == cell
-            if not mask.any():
-                continue
-            sel = np.nonzero(mask)[0]
-            pg = PreparedGeometry(bytes(q["geometry"]))
-            hit = pg.intersects_quads(corners[sel])
-            matched = sel[hit]
-            if len(matched):
-                out_i.append(img_ids[matched])
-                out_q.append(np.full(len(matched), q["query_id"], dtype=object))
-        if not out_i:
-            return empty
-        return pd.DataFrame(
-            {"image_id": np.concatenate(out_i), "query_id": np.concatenate(out_q)}
+        # one broadcast (Q, N) bbox-candidate matrix — no pandas row iteration
+        qxmin = qrys["q_xmin"].to_numpy()
+        qymin = qrys["q_ymin"].to_numpy()
+        qxmax = qrys["q_xmax"].to_numpy()
+        qymax = qrys["q_ymax"].to_numpy()
+        q_ids = qrys["query_id"].to_numpy()
+        q_geoms = qrys["geometry"].to_numpy()
+        cand = (
+            (ixmin[None, :] <= qxmax[:, None]) & (ixmax[None, :] >= qxmin[:, None])
+            & (iymin[None, :] <= qymax[:, None]) & (iymax[None, :] >= qymin[:, None])
         )
+        # canonical-cell dedup: lower-left corner of bbox∩bbox must be here;
+        # canonical refines to res+1 exactly where cells did — all pairwise
+        qi, ri = np.nonzero(cand)
+        if len(qi) == 0:
+            return empty
+        ll_x = np.maximum(ixmin[ri], qxmin[qi])
+        ll_y = np.maximum(iymin[ri], qymin[qi])
+        c0 = cells.cell_encode(ll_x, ll_y, res)
+        if len(hot_arr):
+            canon = np.where(
+                np.isin(c0, hot_arr), cells.cell_encode(ll_x, ll_y, res + 1), c0
+            )
+        else:
+            canon = c0
+        ok = canon == cell
+        qi, ri = qi[ok], ri[ok]
+        if len(qi) == 0:
+            return empty
+        # exact phase: one vectorized prepared kernel call per query
+        keep = np.zeros(len(qi), dtype=bool)
+        for q in np.unique(qi):
+            m = qi == q
+            pg = PreparedGeometry(bytes(q_geoms[q]))
+            keep[m] = pg.intersects_quads(corners[ri[m]])
+        qi, ri = qi[keep], ri[keep]
+        if len(qi) == 0:
+            return empty
+        return pd.DataFrame({"image_id": img_ids[ri], "query_id": q_ids[qi]})
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
 
@@ -614,14 +619,16 @@ def hash_spatial_join(
             [sub[f"fp_c{i}"].to_numpy() for i in range(8)], axis=1
         ).reshape(-1, 4, 2)
         keep = np.zeros(len(sub), dtype=bool)
+        # group joined rows by query geometry: ONE vectorized prepared-quad
+        # kernel call per distinct query in the batch, not one per row
+        # (r01 verdict: the per-row loop was the hash path's scale-killer)
         geoms = sub["geometry"].to_pylist()
-        pg_cache: dict[bytes, PreparedGeometry] = {}
+        by_geom: dict[bytes, list[int]] = {}
         for i, g in enumerate(geoms):
-            g = bytes(g)
-            pg = pg_cache.get(g)
-            if pg is None:
-                pg = pg_cache[g] = PreparedGeometry(g)
-            keep[i] = pg.intersects_quads(corners[i : i + 1])[0]
+            by_geom.setdefault(bytes(g), []).append(i)
+        for g, rows in by_geom.items():
+            r = np.asarray(rows, dtype=np.int64)
+            keep[r] = PreparedGeometry(g).intersects_quads(corners[r])
         out = sub.filter(pa.array(keep))
         return out.select(["image_id", "query_id"])
 
