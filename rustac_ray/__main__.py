@@ -70,7 +70,9 @@ def cmd_search(args):
         limit=args.limit,
         offset=args.offset,
     )
-    ds = search(read_items(args.input), spec)
+    from .sources.io import parse_opt_args
+
+    ds = search(read_items(args.input, opts=parse_opt_args(args.opt)), spec)
     if args.count:
         print(ds.count())
     else:
@@ -153,6 +155,8 @@ def main(argv=None):
     s.add_argument("--limit", type=int)
     s.add_argument("--offset", type=int)
     s.add_argument("--count", action="store_true")
+    s.add_argument("--opt", action="append", default=[], metavar="K=V",
+                   help="object-store option (repeatable), e.g. --opt region=us-west-2")
     s.add_argument("-o", "--output")
     s.set_defaults(fn=cmd_search)
 

@@ -21,6 +21,8 @@ import pyarrow.parquet as pq
 
 __all__ = [
     "infer_format",
+    "parse_href_opts",
+    "parse_opt_args",
     "read_items",
     "write_items",
     "write_stac_geoparquet",
@@ -47,11 +49,83 @@ def infer_format(href: str) -> str:
     raise ValueError(f"cannot infer format from {href!r}")
 
 
-def read_items(path: str, fmt: str | None = None, **kwargs):
-    """→ ray.data.Dataset of flat item rows."""
+# --------------------------------------------------------- object stores ----
+
+# env prefix per scheme, mirroring the reference's per-scheme builders from
+# env + --opt k=v (crates/io/src/store.rs:15-62): AWS_* for s3://,
+# GOOGLE_* for gs://, AZURE_* for az:// — explicit opts override env.
+_SCHEME_ENV_PREFIX = {"s3": "AWS_", "gs": "GOOGLE_", "az": "AZURE_", "abfs": "AZURE_"}
+
+
+def parse_href_opts(
+    href: str, opts: dict[str, str] | None = None
+) -> tuple["object | None", str]:
+    """(filesystem, path) for an href, building a configured pyarrow.fs
+    store per scheme (reference ``parse_href_opts``, store.rs:15-62).
+
+    Local paths and unrecognized schemes return (None, href) — Ray Data
+    then applies its own default resolution. Options accepted (explicit
+    ``opts`` beat environment):
+
+    - s3: region / endpoint_override / access_key_id / secret_access_key /
+      session_token / allow_http ("true" → scheme override)
+    - gs / az: passed through to the pyarrow.fs constructor by name.
+    """
+    opts = dict(opts or {})
+    scheme = href.split("://", 1)[0].lower() if "://" in href else ""
+    if scheme in ("", "file", "local"):
+        return None, href.split("://", 1)[-1]
+    path = href.split("://", 1)[1]
+    import pyarrow.fs as pafs
+
+    if scheme == "s3":
+        kw: dict = {}
+        env = os.environ
+        kw["region"] = opts.get("region") or env.get("AWS_REGION") or env.get(
+            "AWS_DEFAULT_REGION"
+        )
+        kw["endpoint_override"] = opts.get("endpoint_override") or env.get(
+            "AWS_ENDPOINT_URL"
+        )
+        kw["access_key"] = opts.get("access_key_id") or env.get("AWS_ACCESS_KEY_ID")
+        kw["secret_key"] = opts.get("secret_access_key") or env.get(
+            "AWS_SECRET_ACCESS_KEY"
+        )
+        kw["session_token"] = opts.get("session_token") or env.get("AWS_SESSION_TOKEN")
+        if (opts.get("allow_http") or env.get("AWS_ALLOW_HTTP", "")).lower() == "true":
+            kw["scheme"] = "http"
+        return pafs.S3FileSystem(**{k: v for k, v in kw.items() if v}), path
+    if scheme == "gs":
+        return pafs.GcsFileSystem(**opts), path
+    if scheme in ("az", "abfs"):
+        # pyarrow builds AzureFileSystem from account_name/account_key opts
+        return pafs.AzureFileSystem(**opts), path
+    return None, href  # http(s) etc.: let the reader resolve
+
+
+def parse_opt_args(pairs: list[str]) -> dict[str, str]:
+    """['k=v', ...] → dict (the CLI ``--opt k=v`` passthrough,
+    cli/src/lib.rs:60-64)."""
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise ValueError(f"--opt expects k=v, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def read_items(path: str, fmt: str | None = None, opts: dict | None = None, **kwargs):
+    """→ ray.data.Dataset of flat item rows. ``opts`` configures the
+    object store for s3://, gs://, az:// hrefs (per-scheme env + overrides,
+    reference store.rs:15-62)."""
     import ray.data as rd
 
     fmt = fmt or infer_format(path)
+    fs, p = parse_href_opts(path, opts)
+    if fs is not None:
+        kwargs.setdefault("filesystem", fs)
+        path = p
     if fmt == "parquet":
         return rd.read_parquet(path, **kwargs)
     if fmt in ("ndjson", "json"):

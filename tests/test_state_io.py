@@ -85,3 +85,27 @@ def test_content_digest_order_insensitive():
     assert mf.content_digest(t1) == mf.content_digest(t2)
     t3 = pa.table({"a": [1, 2, 4], "b": ["x", "y", "z"]})
     assert mf.content_digest(t1) != mf.content_digest(t3)
+
+
+def test_parse_opt_args_and_href():
+    from rustac_ray.sources.io import parse_href_opts, parse_opt_args
+
+    assert parse_opt_args(["a=1", "b=x=y"]) == {"a": "1", "b": "x=y"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_opt_args(["novalue"])
+    # local paths pass through with no filesystem override
+    fs, p = parse_href_opts("/tmp/x.parquet")
+    assert fs is None and p == "/tmp/x.parquet"
+    fs, p = parse_href_opts("file:///tmp/x.parquet")
+    assert fs is None and p == "/tmp/x.parquet"
+    # s3 hrefs build a configured S3 filesystem from opts (no network I/O
+    # happens at construction)
+    fs, p = parse_href_opts(
+        "s3://bucket/key.parquet",
+        {"region": "eu-central-1", "access_key_id": "k", "secret_access_key": "s"},
+    )
+    assert p == "bucket/key.parquet"
+    assert type(fs).__name__ == "S3FileSystem"
+    assert fs.region == "eu-central-1"
