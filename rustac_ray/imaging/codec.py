@@ -1,18 +1,19 @@
 """Image payload codec for the opaque ``bytes`` column of the image table.
 
-No PIL/cv2 in this container (per task instructions the lossy-codec decode
-is STUBBED), so the engine carries two real, deterministic formats:
+No PIL/cv2 in this container, so the engine carries three real,
+deterministic formats implemented on numpy + stdlib only:
 
 - ``png``  — a genuine minimal PNG (8-bit RGB, zlib deflate, filter 0) that
-  any standard viewer can open; encode and decode implemented on
-  numpy + zlib only. Lossless → the PSNR>=40dB invariant holds trivially
-  (PSNR = inf).
+  any standard viewer can open. Lossless → the PSNR>=40dB invariant holds
+  trivially (PSNR = inf).
 - ``raw``  — 12-byte header ``b"RAW0" + <u32 w> + <u32 h>`` + C-order RGB
   bytes. The "cheap" format used to exercise the decode plumbing at scale.
-- ``jpeg`` — decode raises :class:`LossyCodecUnavailable`
-  (NotImplementedError): the real DCT codec needs libjpeg, which is not in
-  this environment. The Ray-side plumbing (schema, actor signature, batch
-  sizing) treats it identically to png/raw.
+- ``jpeg`` — a REAL baseline JFIF DCT codec (imaging/jpeg.py: standard
+  Annex-K tables, 4:4:4, byte-stuffed huffman entropy coding); the lossy
+  path whose decoded pixels must meet PSNR≥40dB against the source.
+
+:class:`LossyCodecUnavailable` remains for formats with no codec in this
+environment (video — see stages/multimodal.FrameSample).
 
 The per-row invariant from BASELINE.json input_hint — decoded pixels
 allclose / PSNR >= 40 dB + caption equality — is enforced in
@@ -133,11 +134,21 @@ def decode_raw(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8, offset=12).reshape(h, w, 3)
 
 
+# default jpeg quality: the synthetic patterns are high-frequency (modular
+# sawtooths), where q95 lands ~36dB; q98 clears the input_hint's PSNR≥40dB
+# lossy invariant with margin (measured 43.5dB on the worst pattern)
+JPEG_QUALITY = 98
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "raw":
         return encode_raw(pixels)
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=JPEG_QUALITY)
     raise LossyCodecUnavailable(
         f"encoder for {fmt!r} requires an image library not present in this environment"
     )
@@ -148,6 +159,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "raw":
         return decode_raw(data)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise LossyCodecUnavailable(
         f"decoder for {fmt!r} requires an image library not present in this environment"
     )

@@ -6,10 +6,10 @@ pools (``map_batches(Cls, concurrency=N, batch_size=small)``): codecs and
 buffers initialize once per actor; batches stay SMALL because each row
 carries kilobytes of binary (memory-aware sizing, SURVEY.md §4).
 
-Real codecs for png/raw (pure numpy+zlib, rustac_ray.imaging.codec); the
-jpeg path raises LossyCodecUnavailable (NotImplementedError) per the task's
-stub requirement — the Ray-side plumbing (schema, actor signature, output
-layout) is identical and fully tested via png/raw.
+Real codecs for png/raw/jpeg (pure numpy + stdlib,
+rustac_ray.imaging.codec + imaging.jpeg — jpeg is a genuine baseline JFIF
+DCT codec); only video frame decode remains stubbed
+(LossyCodecUnavailable) since no video codec exists in this container.
 """
 
 from __future__ import annotations

@@ -33,14 +33,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .geo.wkb import encode_geometry
-from .imaging.codec import encode_image
+from .imaging.codec import decode_image, encode_image
 from .imaging.phash import average_hash
 from . import schema as sch
 
 SEED = 42
 FIXTURE_ROOT = "/tmp/rustac_fixtures"
 # bump when generation logic changes — stale cached fixtures regenerate
-FIXTURE_VERSION = "5"
+FIXTURE_VERSION = "6"
 
 _TIERS = {
     "sf0.001": dict(images=1_000, items=100, queries=20),
@@ -88,7 +88,10 @@ def build_images_table(n: int, seed: int = SEED) -> pa.Table:
     w_choices = np.array([16, 24, 32], dtype=np.int32)
     w = w_choices[np.arange(n) % 3]
     h = w_choices[(np.arange(n) + 1) % 3]
-    fmts = np.where(np.arange(n) % 2 == 0, "png", "raw")
+    # png/raw alternate; every 10th row is a real lossy jpeg payload so the
+    # PSNR≥40dB invariant + decode path run end-to-end (imaging/jpeg.py)
+    fmts = np.where(np.arange(n) % 2 == 0, "png", "raw").astype(object)
+    fmts[np.arange(n) % 10 == 9] = "jpeg"
 
     # placement: 95% uniform grid over the extent, 5% in the hot box
     hot = rng.random(n) < 0.05
@@ -109,8 +112,13 @@ def build_images_table(n: int, seed: int = SEED) -> pa.Table:
     phashes = np.empty(n, dtype=np.int64)
     for i in range(n):
         px = _image_pixels(i, int(w[i]), int(h[i]))
-        payloads.append(encode_image(px, str(fmts[i])))
-        phashes[i] = average_hash(px)
+        fmt = str(fmts[i])
+        payloads.append(encode_image(px, fmt))
+        # phash describes the PAYLOAD content: for lossy jpeg that is the
+        # decoded pixels (deterministic codec), so decode→rehash roundtrips
+        # exactly for every format
+        src = decode_image(payloads[-1], fmt) if fmt == "jpeg" else px
+        phashes[i] = average_hash(src)
 
     dt = _EPOCH_2024 + (np.arange(n, dtype="int64") * 300_000)  # 5-min ramp
     collections = np.array(["landsat-c2", "sentinel-2a", "naip"], dtype=object)[

@@ -24,12 +24,29 @@ def test_raw_roundtrip():
     assert (back == img).all()
 
 
-def test_lossy_codec_stubbed():
-    img = synth._image_pixels(0, 16, 16)
+def test_jpeg_roundtrip_psnr():
+    """Real baseline JFIF codec (imaging/jpeg.py): decoded pixels meet the
+    input_hint PSNR≥40dB lossy invariant; flat blocks roundtrip exactly."""
+    for i, (w, h) in [(0, (16, 16)), (7, (24, 32)), (12, (32, 24))]:
+        img = synth._image_pixels(i, w, h)
+        data = codec.encode_image(img, "jpeg")
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        back = codec.decode_image(data, "jpeg")
+        assert back.shape == img.shape
+        assert codec.psnr(img, back) >= 40.0
+    flat = np.full((8, 16, 3), 130, np.uint8)
+    assert codec.psnr(flat, codec.decode_image(codec.encode_image(flat, "jpeg"), "jpeg")) == float("inf")
+
+
+def test_jpeg_odd_dimensions_and_errors():
+    img = synth._image_pixels(3, 13, 11)  # non-multiple-of-8 edges
+    back = codec.decode_image(codec.encode_image(img, "jpeg"), "jpeg")
+    assert back.shape == img.shape and codec.psnr(img, back) >= 40.0
+    with pytest.raises(ValueError):
+        codec.decode_image(b"nope", "jpeg")
+    # unknown formats still raise the stub error (video path)
     with pytest.raises(NotImplementedError):
-        codec.encode_image(img, "jpeg")
-    with pytest.raises(NotImplementedError):
-        codec.decode_image(b"\xff\xd8\xff", "jpeg")
+        codec.encode_image(img, "webm")
 
 
 def test_psnr():
