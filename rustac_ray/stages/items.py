@@ -231,39 +231,66 @@ class ItemValidator:
         self._decode = decode_geometry
         self.require_geometry = require_geometry
 
-    def _validate_row(self, row: pd.Series) -> list[str]:
-        errs = []
-        if row.get("type") not in ("Feature", None):
-            errs.append(f"type must be 'Feature', got {row.get('type')!r}")
-        if not row.get("id"):
-            errs.append("missing id")
-        bbox = row.get("bbox")
-        if bbox is not None and not (isinstance(bbox, float) and pd.isna(bbox)):
-            vals = (
-                [bbox.get(k) for k in ("xmin", "ymin", "xmax", "ymax")]
-                if isinstance(bbox, dict)
-                else list(bbox)
-            )
-            if len(vals) not in (4, 6):
-                errs.append("bbox must have 4 or 6 values (bbox.rs:42-50)")
-            elif len(vals) == 4 and (vals[0] > vals[2] or vals[1] > vals[3]):
-                errs.append("bbox min > max (bbox.rs:42-50)")
-        geom = row.get("geometry")
-        if geom is None:
-            if self.require_geometry:
-                errs.append("missing geometry")
-        elif isinstance(geom, (bytes, bytearray)):
-            try:
-                self._decode(bytes(geom))
-            except Exception as e:  # noqa: BLE001
-                errs.append(f"undecodable WKB geometry: {e}")
-        return errs
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        errors = [self._validate_row(row) for _, row in batch.iterrows()]
+        n = len(batch)
+        errors: list[list[str]] = [[] for _ in range(n)]
+
+        # cheap checks vectorized over columns (no row iteration)
+        if "type" in batch.columns:
+            t = batch["type"]
+            bad = ~(t.isna() | (t == "Feature"))
+            for i in np.nonzero(bad.to_numpy())[0]:
+                errors[i].append(f"type must be 'Feature', got {t.iloc[i]!r}")
+        ids = batch["id"] if "id" in batch.columns else pd.Series([None] * n)
+        no_id = ids.isna() | (ids.astype(str).str.len() == 0)
+        for i in np.nonzero(no_id.to_numpy())[0]:
+            errors[i].append("missing id")
+        if "bbox" in batch.columns:
+            bb = batch["bbox"]
+            present = bb.map(
+                lambda b: b is not None and not (np.isscalar(b) and pd.isna(b))
+            ).to_numpy()
+            if present.any():
+                vals = np.full((n, 4), np.nan)
+                arity_bad = np.zeros(n, dtype=bool)
+                for i in np.nonzero(present)[0]:  # struct/list unpack per row
+                    b = bb.iloc[i]
+                    v = (
+                        [b.get(k) for k in ("xmin", "ymin", "xmax", "ymax")]
+                        if isinstance(b, dict)
+                        else list(b)
+                    )
+                    if len(v) == 6:
+                        v = [v[0], v[1], v[3], v[4]]
+                    if len(v) != 4:
+                        arity_bad[i] = True
+                    else:
+                        vals[i] = v
+                inverted = present & ~arity_bad & (
+                    (vals[:, 0] > vals[:, 2]) | (vals[:, 1] > vals[:, 3])
+                )
+                for i in np.nonzero(arity_bad)[0]:
+                    errors[i].append("bbox must have 4 or 6 values (bbox.rs:42-50)")
+                for i in np.nonzero(inverted)[0]:
+                    errors[i].append("bbox min > max (bbox.rs:42-50)")
+        if "geometry" in batch.columns:
+            geoms = batch["geometry"]
+            for i in range(n):  # WKB decode failures only — rare path
+                g = geoms.iloc[i]
+                if g is None or (np.isscalar(g) and pd.isna(g)):
+                    if self.require_geometry:
+                        errors[i].append("missing geometry")
+                elif isinstance(g, (bytes, bytearray)):
+                    try:
+                        self._decode(bytes(g))
+                    except Exception as e:  # noqa: BLE001
+                        errors[i].append(f"undecodable WKB geometry: {e}")
+        elif self.require_geometry:
+            for e in errors:
+                e.append("missing geometry")
         return pd.DataFrame(
             {
-                "id": batch.get("id", pd.Series([None] * len(batch))).to_numpy(),
+                "id": ids.to_numpy(),
                 "valid": [not e for e in errors],
                 "errors": ["; ".join(e) for e in errors],
             }
