@@ -117,10 +117,17 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol lookup for the decoder."""
-    enc = _canonical_codes(bits, vals)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+def _decode_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-prefix lookup tables (symbol, code length) — one array index
+    decodes any huffman symbol (max JPEG code length is 16)."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (code, length) in _canonical_codes(bits, vals).items():
+        start = code << (16 - length)
+        end = (code + 1) << (16 - length)
+        sym[start:end] = s
+        ln[start:end] = length
+    return sym, ln
 
 
 def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
@@ -282,27 +289,28 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
 
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+    """Destuffs the entropy segment once, then serves any 16-bit window by
+    indexing a precomputed uint32 sliding view — no per-bit byte walking."""
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:  # stuffed byte
-                self.pos += 1  # skip the 0x00
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def __init__(self, data: bytes):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        keep = np.ones(len(arr), dtype=bool)
+        if len(arr) > 1:  # drop the 0x00 of every FF00 stuffing pair
+            keep[1:][(arr[:-1] == 0xFF) & (arr[1:] == 0x00)] = False
+        arr = arr[keep]
+        a = np.concatenate([arr, np.zeros(8, np.uint8)]).astype(np.uint32)
+        self.v32 = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+        self.pos = 0  # bit position
+
+    def peek16(self) -> int:
+        byte, sh = self.pos >> 3, self.pos & 7
+        return int((self.v32[byte] >> (16 - sh)) & 0xFFFF)
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.pos += n
         return v
 
 
@@ -313,14 +321,13 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code in JPEG stream")
+def _read_symbol(br: _BitReader, lut: tuple[np.ndarray, np.ndarray]) -> int:
+    w = br.peek16()
+    length = int(lut[1][w])
+    if length == 0:
+        raise ValueError("invalid huffman code in JPEG stream")
+    br.pos += length
+    return int(lut[0][w])
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -359,7 +366,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[off + 1 : off + 17])
                 nv = sum(bits)
                 vals = list(payload[off + 17 : off + 17 + nv])
-                htables[(tclass, tid)] = _decode_table(bits, vals)
+                htables[(tclass, tid)] = _decode_lut(bits, vals)
                 off += 17 + nv
         elif marker == 0xFFC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload)

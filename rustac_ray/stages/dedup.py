@@ -269,7 +269,10 @@ def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def connected_components(pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 10):
+def connected_components(
+    pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 10,
+    max_label_rows: int = 50_000_000,
+):
     """Cluster near-dup pairs into components via iterative min-label
     propagation — each round is one groupby (label = min over neighbors),
     converging in O(diameter) rounds; no driver-side union-find, so it
@@ -278,11 +281,15 @@ def connected_components(pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 1
     Input: Dataset of (id_a, id_b) edges. Output: (node, component) where
     component = min node id in the component.
 
-    Partitioning assumption: the label table (distinct nodes appearing in
-    candidate PAIRS — a small fraction of the corpus) fits on the driver
-    for the per-round convergence check; the propagation join itself is
-    distributed. For huge candidate graphs, replace the check with a
-    changed-row count aggregate.
+    Partitioning assumption (enforced by ``max_label_rows``): the label
+    table — distinct nodes appearing in candidate PAIRS, a small fraction
+    of the corpus — fits in driver memory, where it is re-pinned each
+    round (hash-aggregate outputs carry empty blocks with empty schemas
+    that would poison the next join; see NOTES.md). The propagation join
+    itself is distributed; the convergence check is one vectorized
+    sorted-array comparison, no Python dicts. For billion-edge graphs,
+    shard the label table and switch the check to a changed-row count
+    aggregate.
     """
     import pyarrow as pa
     from ray.data.aggregate import Min
@@ -352,7 +359,16 @@ def connected_components(pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 1
             or [lbl_schema.empty_table()]
         )
     )
-    old: dict | None = None
+    if labels_tbl.num_rows > max_label_rows:
+        raise ValueError(
+            f"label table has {labels_tbl.num_rows} rows > max_label_rows="
+            f"{max_label_rows}; shard the candidate graph before clustering"
+        )
+
+    def _canon_sorted(t: pa.Table) -> pa.Table:
+        return t.sort_by([("node", "ascending")])
+
+    prev = _canon_sorted(labels_tbl)
     for _ in range(max_rounds):
         nbr_labels = rd.from_arrow(
             labels_tbl.rename_columns(["nbr", "lbl"])
@@ -370,12 +386,11 @@ def connected_components(pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 1
             if b.num_rows
         ]
         labels_tbl = pa.concat_tables(parts or [lbl_schema.empty_table()])
-        new = dict(
-            zip(labels_tbl["node"].to_pylist(), labels_tbl["lbl"].to_pylist())
-        )
-        if old == new:
+        # vectorized convergence check: sorted tables equal ⇔ fixpoint
+        cur = _canon_sorted(labels_tbl)
+        if cur.num_rows == prev.num_rows and cur.equals(prev):
             break
-        old = new
+        prev = cur
 
     return rd.from_arrow(labels_tbl.rename_columns(["node", "component"]))
 
