@@ -121,3 +121,61 @@ def test_tile_roundtrip(lon, la, z):
     k = tiles.tile_key(np.array([z]), x, y)
     z2, x2, y2 = tiles.tile_unkey(k)
     assert (z2[0], x2[0], y2[0]) == (z, x[0], y[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(100, 179, allow_nan=False),
+    st.floats(-179, -100, allow_nan=False),
+    st.floats(-80, 70, allow_nan=False),
+    st.floats(0.5, 9, allow_nan=False),
+)
+def test_antimeridian_cover_equals_split_cover(xmin, xmax, y0, hgt):
+    """A wrapping bbox's cover must equal the union of its two halves."""
+    ymin, ymax = y0, min(y0 + hgt, 89.9)
+    _, wrapped = cells.cover_bbox_many(
+        np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]), 7
+    )
+    _, east = cells.cover_bbox_many(
+        np.array([xmin]), np.array([ymin]), np.array([180.0]), np.array([ymax]), 7
+    )
+    _, west = cells.cover_bbox_many(
+        np.array([-180.0]), np.array([ymin]), np.array([xmax]), np.array([ymax]), 7
+    )
+    assert set(wrapped.tolist()) == set(east.tolist()) | set(west.tolist())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.integers(0, 1_000_000),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 20),
+)
+def test_sorted_topn_block_prune_equals_full_sort(rows, n):
+    """The per-block partial top-n prune of query.sorted_topn must keep a
+    superset of the true top-n under ANY block split, so the final merge
+    equals a full sort's head (the no-shuffle paged-search invariant)."""
+    import pyarrow as pa
+
+    keys = [("a", True), ("b", False)]
+    sort_keys = [("a", "descending"), ("b", "ascending")]
+    t = pa.table(
+        {"a": [r[0] for r in rows], "b": [r[1] for r in rows]}
+    )
+    full = t.sort_by(sort_keys).slice(0, n).to_pydict()
+    # simulate arbitrary block splits: prune each block to its local top-n,
+    # then merge + final sort (exactly what sorted_topn's two stages do)
+    for split in (1, 2, 3, 7):
+        parts = []
+        step = max(1, len(t) // split)
+        for s in range(0, len(t), step):
+            b = t.slice(s, step)
+            parts.append(b if len(b) <= n else b.sort_by(sort_keys).slice(0, n))
+        merged = pa.concat_tables(parts).sort_by(sort_keys).slice(0, n)
+        assert merged.to_pydict() == full
