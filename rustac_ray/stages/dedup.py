@@ -7,10 +7,12 @@ Scale-first formulations (no driver-side row loops):
 - MinHash + LSH near-dup: per-batch shingle→minhash (numpy), explode to
   (band_id, band_hash, doc_id) rows, ``groupby(band)`` → candidate groups,
   verify n-gram Jaccard within groups, emit (keep) pairs/cluster labels.
-- SimHash: 64-bit hyperplane-free simhash from token hashes; near-dups =
-  identical simhash prefix buckets, hamming-verified.
-- phash near-dup (images): band the 64-bit phash into 4×16-bit bands
-  (hamming-LSH), groupby band, verify hamming distance ≤ threshold.
+- SimHash: 64-bit simhash from token hashes (vectorized per-batch
+  vocabulary hashing); near-dups via hamming-LSH banding.
+- phash/simhash near-dup: band the 64-bit hash into 8×8-bit bands —
+  pigeonhole-exact for hamming ≤ 7 — groupby band, verify hamming.
+- near_dup_filter: pairs → connected components → drop non-canonical
+  members with one broadcast membership filter (corpus never shuffles).
 
 The reference itself has only trivial dedup (extensions dedup,
 crates/extensions/src/lib.rs:160-162); these are the training-data-pipeline
@@ -25,6 +27,7 @@ import pyarrow as pa
 
 __all__ = [
     "exact_dedup",
+    "near_dup_filter",
     "simhash_near_dup",
     "connected_components",
     "MinHasher",
@@ -393,6 +396,33 @@ def connected_components(
         prev = cur
 
     return rd.from_arrow(labels_tbl.rename_columns(["node", "component"]))
+
+
+def near_dup_filter(docs_ds, pairs_ds, id_col: str = "doc_id"):
+    """End-to-end near-dup removal: candidate pairs → connected components
+    → drop every non-canonical member (keep component = min id), filtering
+    the corpus with one broadcast membership test.
+
+    The drop set is the non-canonical candidate nodes — a small fraction of
+    the corpus — shipped once via ray.put and read per task; the corpus
+    itself streams through a vectorized map_batches filter (no shuffle)."""
+    import pyarrow.compute as pc
+    import ray
+
+    labels = connected_components(pairs_ds, id_cols=("id_a", "id_b"))
+    lbl = labels.to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in lbl])
+    drop = tbl.filter(
+        pc.invert(pc.equal(tbl["node"], tbl["component"]))
+    )["node"]
+    drop_ref = ray.put(drop.combine_chunks() if isinstance(drop, pa.ChunkedArray) else drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=d))
+        return batch.filter(mask)
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
 def simhash_near_dup(
