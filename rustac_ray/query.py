@@ -40,7 +40,7 @@ from .cql2 import Cql2Predicate, UnknownPropertyError
 from .geo.pip import PreparedGeometry
 from .geo.wkb import decode_bboxes
 
-__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn"]
+__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn", "search_page"]
 
 
 class LegacyQueryError(ValueError):
@@ -298,6 +298,38 @@ def sorted_topn(ds: "ray.data.Dataset", keys: list[tuple[str, bool]], n: int):
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
     return pruned.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def search_page(ds: "ray.data.Dataset", spec: QuerySpec) -> dict:
+    """One search result PAGE in the reference's ``api::ItemCollection``
+    shape (crates/core/src/api/item_collection.rs:37-99): GeoJSON-shaped
+    ``features`` plus ``numberMatched`` (total matches, computed by a
+    separate count pass like the reference's ``item_count``,
+    api/client.rs:293-310), ``numberReturned``, and the ``next`` offset
+    token when more pages exist (memory.rs:58-87 skip tokens)."""
+    from .stages.geojson import to_geojson_records
+
+    import dataclasses
+
+    unpaged = dataclasses.replace(spec, limit=None, offset=None, sortby=None)
+    matched = search(ds, unpaged).count()
+    page_ds = search(ds, spec)
+    tbl = pa.concat_tables(
+        list(page_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        or [pa.table({})]
+    )
+    features = to_geojson_records(tbl) if tbl.num_columns else []
+    returned = len(features)
+    offset = spec.offset or 0
+    out = {
+        "type": "FeatureCollection",
+        "features": features,
+        "numberMatched": matched,
+        "numberReturned": returned,
+    }
+    if spec.limit is not None and offset + returned < matched:
+        out["next"] = offset + returned  # offset token for the next page
+    return out
 
 
 def _postprocess(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":

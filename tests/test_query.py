@@ -355,3 +355,21 @@ def test_geometrycollection_wkb_roundtrip_and_intersects():
         [[8.0, 0.0], [9.0, 0.0], [9.0, 1.0], [8.0, 1.0]],   # hits neither
     ])
     assert pg.intersects_quads(quads).tolist() == [True, True, False]
+
+
+def test_search_page_item_collection_shape(items):
+    """api::ItemCollection parity (item_collection.rs:37-99): features +
+    numberMatched/numberReturned + next offset token across pages."""
+    from rustac_ray.query import search_page
+
+    p1 = search_page(items, QuerySpec(sortby="datetime", limit=40))
+    assert p1["type"] == "FeatureCollection"
+    assert p1["numberMatched"] == 100 and p1["numberReturned"] == 40
+    assert p1["next"] == 40
+    assert p1["features"][0]["type"] == "Feature"
+    p2 = search_page(items, QuerySpec(sortby="datetime", limit=40, offset=p1["next"]))
+    assert p2["numberReturned"] == 40 and p2["next"] == 80
+    p3 = search_page(items, QuerySpec(sortby="datetime", limit=40, offset=p2["next"]))
+    assert p3["numberReturned"] == 20 and "next" not in p3
+    ids = [f["id"] for p in (p1, p2, p3) for f in p["features"]]
+    assert len(set(ids)) == 100  # pages partition the result set
