@@ -365,8 +365,15 @@ def hot_cell_set(images_with_fp, res: int, threshold: int) -> set[int]:
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n_total"))
     )
+
+    def over(b: pa.Table) -> pa.Table:  # vectorized threshold, no row lambda
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b["n_total"], threshold))
+
     return {
-        int(r["cell"]) for r in agg.filter(lambda r: r["n_total"] > threshold).take_all()
+        int(r["cell"])
+        for r in agg.map_batches(over, batch_format="pyarrow").take_all()
     }
 
 
