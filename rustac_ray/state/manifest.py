@@ -18,7 +18,6 @@ checkpoint mid-shuffle" means for a batch pipeline.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -29,17 +28,19 @@ __all__ = ["Manifest", "write_partitioned", "content_digest"]
 
 
 def content_digest(table: pa.Table, key_cols: list[str] | None = None) -> str:
-    """Order-insensitive digest: per-row hashes XOR-folded."""
+    """Order-insensitive digest: vectorized per-row hashes XOR-folded
+    (pandas' siphash with its fixed default key is deterministic across
+    runs and machines; XOR makes the fold row-order-independent, so a
+    re-written partition compares equal regardless of block order)."""
+    import numpy as np
+    import pandas as pd
+
     cols = key_cols or table.column_names
-    h = 0
-    sub = table.select(cols)
-    for batch in sub.to_batches():
-        for row in batch.to_pylist():
-            row_h = hashlib.blake2b(
-                json.dumps(row, sort_keys=True, default=str).encode(), digest_size=8
-            ).digest()
-            h ^= int.from_bytes(row_h, "big")
-    return f"{h:016x}"
+    df = table.select(cols).to_pandas()
+    if len(df) == 0:
+        return f"{0:016x}"
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return f"{int(np.bitwise_xor.reduce(h)):016x}"
 
 
 class Manifest:
