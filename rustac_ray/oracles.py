@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "3"
+DERIVED_VERSION = "4"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -317,6 +317,28 @@ def _expected_langid(docs: pa.Table) -> pa.Table:
     )
 
 
+# ----------------------------------------------------- fingerprint oracle ---
+
+
+def _expected_fingerprints(docs: pa.Table) -> pa.Table:
+    """Scalar Horner evaluation of the rolling polynomial fingerprint
+    (stages/text.Fingerprint computes the same value via vectorized
+    power accumulation: Σ b_i · B^(n-i) mod 2^64)."""
+    base = 1099511628211
+    out = []
+    for t in docs["text"].to_pylist():
+        h = 0
+        for b in str(t).encode("utf-8", "ignore"):
+            h = ((h + b) * base) % _U64
+        out.append(h - _U64 if h >= (1 << 63) else h)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"].to_pylist(), docs["doc_id"].type),
+            "fingerprint": pa.array(out, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------- embeddings near-dup fix --
 
 
@@ -481,6 +503,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_minhash_pairs.parquet", mh)
     write("expected_components.parquet", _expected_components(mh))
     write("expected_langid.parquet", _expected_langid(docs))
+    write("expected_fingerprints.parquet", _expected_fingerprints(docs))
     write("embeddings_neardup.parquet", _embeddings_with_planted_dups(sf_dir))
     cent, ivf_expected = _ivf_fixture(sf_dir)
     write("ivf_centroids.parquet", cent)
