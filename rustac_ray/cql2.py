@@ -297,17 +297,17 @@ class _TextParser:
         if k == "word" and v.upper() == "POINT":
             self.eat("word")
             self.eat("lpar")
-            x = self.operand()
-            y = self.operand()
+            x = self._coord()
+            y = self._coord()
             self.eat("rpar")
             return {"type": "Point", "coordinates": [x, y]}
         if k == "word" and v.upper() == "BBOX":
             self.eat("word")
             self.eat("lpar")
-            vals = [self.operand()]
+            vals = [self._coord()]
             while self.peek()[0] == "comma":
                 self.eat("comma")
-                vals.append(self.operand())
+                vals.append(self._coord())
             self.eat("rpar")
             x0, y0, x1, y1 = vals
             return {
@@ -324,10 +324,10 @@ class _TextParser:
             while True:
                 if self.peek()[0] == "lpar":  # both (x y),(x y) and x y, x y
                     self.eat("lpar")
-                    pts.append([self.operand(), self.operand()])
+                    pts.append([self._coord(), self._coord()])
                     self.eat("rpar")
                 else:
-                    pts.append([self.operand(), self.operand()])
+                    pts.append([self._coord(), self._coord()])
                 if self.peek()[0] == "comma":
                     self.eat("comma")
                 else:
@@ -357,13 +357,28 @@ class _TextParser:
             return {"type": "MultiPolygon", "coordinates": polys}
         raise ValueError(f"unsupported geometry literal near {v}")
 
+    def _coord(self):
+        """One signed numeric WKT ordinate. Coordinates must NOT go through
+        operand(): the arithmetic grammar would consume 'x -y' (space-
+        separated ordinate pair with negative y) as binary subtraction."""
+        neg = False
+        if self.peek() == ("arith", "-"):
+            self.eat("arith")
+            neg = True
+        k, v = self.peek()
+        if k != "num":
+            raise ValueError(f"expected WKT coordinate, got {k}:{v}")
+        self.eat("num")
+        val = float(v) if ("." in v or "e" in v.lower()) else int(v)
+        return -val if neg else val
+
     def _pos_list(self) -> list:
         """( x y, x y, ... ) — one parenthesized coordinate sequence."""
         self.eat("lpar")
-        pts = [[self.operand(), self.operand()]]
+        pts = [[self._coord(), self._coord()]]
         while self.peek()[0] == "comma":
             self.eat("comma")
-            pts.append([self.operand(), self.operand()])
+            pts.append([self._coord(), self._coord()])
         self.eat("rpar")
         return pts
 
@@ -472,7 +487,7 @@ class Cql2Predicate:
             if op == "/":
                 return np.true_divide(a, b)
             if op == "%":
-                return np.mod(a, b)
+                return np.fmod(a, b)  # dividend sign, matching SQL %
             return np.power(a, b)
         return node
 
@@ -581,12 +596,14 @@ class Cql2Predicate:
             rows_b, lit_b = as_lists(args[1])
             out = np.zeros(n, dtype=bool)
             for i in range(n):
-                va = set(rows_a[i]) if rows_a is not None else lit_a
-                vb = set(rows_b[i]) if rows_b is not None else lit_b
+                # null array on either side → row fails (checked BEFORE
+                # set() construction: set(None) would raise)
                 if (rows_a is not None and rows_a[i] is None) or (
                     rows_b is not None and rows_b[i] is None
                 ):
                     continue
+                va = set(rows_a[i]) if rows_a is not None else lit_a
+                vb = set(rows_b[i]) if rows_b is not None else lit_b
                 if op == "a_equals":
                     out[i] = va == vb
                 elif op == "a_contains":
@@ -645,7 +662,23 @@ def _geom_intersects(pg, wkb_or_geom) -> bool:
             if pg.contains_points(r[:, 0], r[:, 1]).any():
                 return True
             if pg.kind == "point":
-                continue  # point-on-segment handled by contains_points above
+                # point-kind contains_points only tests vertex equality —
+                # check the query point against each segment's INTERIOR too
+                px, py = float(pg.point[0]), float(pg.point[1])
+                a, b = r[:-1], r[1:]
+                cross = (b[:, 0] - a[:, 0]) * (py - a[:, 1]) - (
+                    b[:, 1] - a[:, 1]
+                ) * (px - a[:, 0])
+                on_line = np.abs(cross) < 1e-9
+                within = (
+                    (px >= np.minimum(a[:, 0], b[:, 0]) - 1e-12)
+                    & (px <= np.maximum(a[:, 0], b[:, 0]) + 1e-12)
+                    & (py >= np.minimum(a[:, 1], b[:, 1]) - 1e-12)
+                    & (py <= np.maximum(a[:, 1], b[:, 1]) + 1e-12)
+                )
+                if (on_line & within).any():
+                    return True
+                continue
             a, b = r[:-1], r[1:]
             if _seg_cross(
                 a[:, 0][:, None], a[:, 1][:, None], b[:, 0][:, None], b[:, 1][:, None],

@@ -61,31 +61,54 @@ class StacApiSource:
 
     def pages(self, request: dict) -> Iterator[dict]:
         """Pages, prefetched by a background thread through a bounded queue
-        (backpressure: the fetcher blocks once ``prefetch`` pages wait)."""
+        (backpressure: the fetcher blocks once ``prefetch`` pages wait).
+
+        Early consumer exit (max_items cap, generator close) sets a stop
+        event the worker polls between fetches and while blocked on the
+        full queue, so no thread is left fetching or parked forever."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         _END = object()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             req = request
             try:
-                while req is not None:
+                while req is not None and not stop.is_set():
                     page = self.fetch_page(req)
-                    q.put(page)
+                    if not _put(page):
+                        return
                     req = self._next_request(req, page)
             except Exception as e:  # surface fetch errors on the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(_END)
+                _put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a worker parked on q.put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def items(self, request: dict, max_items: int | None = None) -> Iterator[dict]:
         """Flattened item stream, capped at ``max_items`` across pages

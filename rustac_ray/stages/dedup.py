@@ -207,7 +207,6 @@ class SimHasher:
 
         self.token_re = re.compile(r"\w+")
         self.seed = seed
-        self._cache: dict[str, np.ndarray] = {}
 
     def simhash(self, text: str) -> np.int64:
         """Scalar reference definition (the batched __call__ must agree)."""

@@ -375,7 +375,9 @@ def ivf_topk(
     import pandas as pd
 
     if centroids is None:
-        centroids = train_ivf_centroids(ds, n_centroids, vec_col=vec_col, seed=seed)
+        centroids = train_ivf_centroids(
+            ds, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+        )
     centroids = np.asarray(centroids, dtype=np.float64)
     qref = ray.put(queries)
     cref = ray.put(centroids)

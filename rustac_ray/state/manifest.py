@@ -39,6 +39,21 @@ def content_digest(table: pa.Table, key_cols: list[str] | None = None) -> str:
     df = table.select(cols).to_pandas()
     if len(df) == 0:
         return f"{0:016x}"
+    for c in df.columns:
+        # list/struct columns come back as unhashable python containers —
+        # canonicalize them to json strings before the vectorized row hash
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, dict, np.ndarray))
+        ).any():
+            df[c] = df[c].map(
+                lambda v: json.dumps(
+                    v.tolist() if isinstance(v, np.ndarray) else v,
+                    sort_keys=True,
+                    default=str,
+                )
+                if isinstance(v, (list, dict, np.ndarray))
+                else v
+            )
     h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     return f"{int(np.bitwise_xor.reduce(h)):016x}"
 

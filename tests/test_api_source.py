@@ -89,3 +89,20 @@ def test_to_dataset_ingest(ray_session):
     ds = StacApiSource(fetch).to_dataset({})
     df = ds.to_pandas()
     assert len(df) == 6 and "id" in df.columns
+
+
+def test_early_exit_stops_worker_thread():
+    """Regression (r2 review): abandoning a capped pull must terminate the
+    prefetch worker instead of leaving it parked on the full queue."""
+    import threading as _t
+
+    fetch, calls = _fake_backend(n_pages=1000)
+    before = _t.active_count()
+    list(StacApiSource(fetch, prefetch=2).items({}, max_items=5))
+    deadline = time.time() + 3.0
+    while _t.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert _t.active_count() <= before
+    n_calls_settled = len(calls)
+    time.sleep(0.3)
+    assert len(calls) == n_calls_settled  # no further fetching after exit

@@ -373,3 +373,45 @@ def test_search_page_item_collection_shape(items):
     assert p3["numberReturned"] == 20 and "next" not in p3
     ids = [f["id"] for p in (p1, p2, p3) for f in p["features"]]
     assert len(set(ids)) == 100  # pages partition the result set
+
+
+def test_cql2_negative_wkt_ordinates():
+    """Regression (r2 review): 'x -y' space-separated ordinate pairs must
+    parse as coordinates, not binary subtraction."""
+    ast = parse_cql2(
+        "S_INTERSECTS(geometry, POLYGON((-60 -10, -50 -10, -50 0, -60 0, -60 -10)))"
+    )
+    assert ast["args"][1]["coordinates"][0][0] == [-60, -10]
+    ast = parse_cql2("S_INTERSECTS(geometry, POINT(-106.5 -40.25))")
+    assert ast["args"][1]["coordinates"] == [-106.5, -40.25]
+    ast = parse_cql2("S_INTERSECTS(geometry, LINESTRING(-1 -2, -3 -4))")
+    assert ast["args"][1]["coordinates"] == [[-1, -2], [-3, -4]]
+
+
+def test_cql2_array_op_null_row():
+    """Regression: a null list value fails the predicate, never crashes."""
+    t = pa.table({"exts": pa.array([["a"], None, ["b"]], pa.list_(pa.string()))})
+    assert Cql2Predicate("A_CONTAINS(exts, ('a'))").mask(t).tolist() == [
+        True, False, False]
+
+
+def test_cql2_modulo_sql_sign():
+    """Regression: '%' follows SQL dividend-sign semantics (np.fmod)."""
+    t = pa.table({"x": [-5.0, 5.0, -4.0]})
+    assert Cql2Predicate("x % 2 = 1").mask(t).tolist() == [False, True, False]
+    assert Cql2Predicate("x % 2 = -1").mask(t).tolist() == [True, False, False]
+
+
+def test_cql2_point_on_stored_linestring():
+    """Regression: query POINT on a stored LineString segment interior
+    intersects (DE-9IM inclusive)."""
+    from rustac_ray.geo.wkb import encode_geometry
+
+    ls = encode_geometry({"type": "LineString", "coordinates": [[-1, 0], [1, 0]]})
+    t = pa.table({"geometry": [ls]})
+    assert Cql2Predicate(
+        "S_INTERSECTS(geometry, POINT(0 0))"
+    ).mask(t).tolist() == [True]
+    assert Cql2Predicate(
+        "S_INTERSECTS(geometry, POINT(0 1))"
+    ).mask(t).tolist() == [False]

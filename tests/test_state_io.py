@@ -109,3 +109,27 @@ def test_parse_opt_args_and_href():
     assert p == "bucket/key.parquet"
     assert type(fs).__name__ == "S3FileSystem"
     assert fs.region == "eu-central-1"
+
+
+def test_content_digest_nested_columns_and_order_insensitive():
+    """Regression (r2 review): digesting tables with list/struct columns
+    must work (STAC items carry links/assets/stac_extensions)."""
+    import pyarrow as pa
+
+    from rustac_ray.state.manifest import content_digest
+
+    t = pa.table(
+        {
+            "id": ["a", "b"],
+            "tags": [["x", "y"], ["z"]],
+            "bbox": [{"xmin": 1.0, "xmax": 2.0}, {"xmin": 3.0, "xmax": 4.0}],
+        }
+    )
+    d1 = content_digest(t)
+    assert len(d1) == 16
+    # row order must not matter
+    rev = t.take(pa.array([1, 0]))
+    assert content_digest(rev) == d1
+    # content changes change the digest
+    t2 = t.set_column(0, "id", pa.array(["a", "c"]))
+    assert content_digest(t2) != d1
