@@ -182,3 +182,35 @@ def test_reference_extended_item_parquet():
     item_id = ds.to_pandas()["id"].iloc[0]
     out = search(ds, QuerySpec(ids=[item_id]))
     assert out.count() == 1
+
+
+def test_reference_extended_cql2_vs_duckdb(ref_items):
+    """The new CQL2 features (text arithmetic, modulo, array ops, ACCENTI)
+    agree with DuckDB evaluating the equivalent SQL over the reference's
+    own 100-item parquet — a dynamic oracle, not hard-coded counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW items AS SELECT * FROM read_parquet('{REF_FIXTURE}')"
+    )
+    cases = [
+        ('"eo:cloud_cover" * 2 < 40',
+         'SELECT count(*) FROM items WHERE "eo:cloud_cover" * 2 < 40'),
+        ('"sat:relative_orbit" % 2 = 0',
+         'SELECT count(*) FROM items WHERE "sat:relative_orbit" % 2 = 0'),
+        ('"eo:cloud_cover" + 10 BETWEEN 20 AND 40',
+         'SELECT count(*) FROM items WHERE "eo:cloud_cover" + 10 BETWEEN 20 AND 40'),
+        ("ACCENTI(collection) = ACCENTI('séntinel-2a')",
+         "SELECT count(*) FROM items WHERE strip_accents(collection) = "
+         "strip_accents('séntinel-2a')"),
+        ("A_CONTAINS(stac_extensions, "
+         "('https://stac-extensions.github.io/eo/v1.0.0/schema.json'))",
+         "SELECT count(*) FROM items WHERE list_has_all(stac_extensions, "
+         "['https://stac-extensions.github.io/eo/v1.0.0/schema.json'])"),
+    ]
+    for cql, sql in cases:
+        got = search(ref_items, QuerySpec(filter=cql)).count()
+        expected = con.sql(sql).fetchone()[0]
+        assert got == expected, (cql, got, expected)
+        assert got > 0 or "ACCENTI" in cql  # cases chosen to be non-trivial
