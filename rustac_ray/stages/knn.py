@@ -57,8 +57,10 @@ class _PartialTopK:
         nq = len(self.qids)
         rows_parts, qidx_parts, dist_parts = [], [], []
         # probe-chunked so the (chunk, N) distance matrix stays L3-resident
-        # (same lesson as the join's exact kernel — see BENCH/BASELINE.md)
-        chunk = max(1, 4_000_000 // max(n, 1))
+        # (same lesson as the join's exact kernel — see BENCH/BASELINE.md);
+        # 1M-element target measured 3.1× faster per batch than 4M (the
+        # 4M-element d2 temporary spills L3: 32MB vs 8MB at batch 8192)
+        chunk = max(1, 1_000_000 // max(n, 1))
         for s in range(0, nq, chunk):
             e = min(s + chunk, nq)
             d2 = (cx[None, :] - self.px[s:e, None]) ** 2 + (
