@@ -179,3 +179,38 @@ def test_sorted_topn_block_prune_equals_full_sort(rows, n):
             parts.append(b if len(b) <= n else b.sort_by(sort_keys).slice(0, n))
         merged = pa.concat_tables(parts).sort_by(sort_keys).slice(0, n)
         assert merged.to_pydict() == full
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2),  # column pick
+    st.sampled_from(["+", "-", "*", "%"]),
+    st.floats(-50, 50, allow_nan=False).map(lambda v: round(v, 3)),
+    st.sampled_from(["<", "<=", "=", ">", ">=", "<>"]),
+    st.floats(-200, 200, allow_nan=False).map(lambda v: round(v, 3)),
+)
+def test_cql2_arithmetic_differential_vs_duckdb(ci, aop, operand, cmp, rhs):
+    """Randomized differential test: a text-form arithmetic comparison must
+    select exactly the rows DuckDB selects for the same SQL expression."""
+    import duckdb
+    import pyarrow as pa
+
+    from rustac_ray.cql2 import Cql2Predicate
+
+    cols = {
+        "x": [-7.5, -1.0, 0.0, 2.25, 10.0, 33.5],
+        "y": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "z": [-100.0, -3.0, 0.5, 7.0, 42.0, 99.0],
+    }
+    name = list(cols)[ci]
+    t = pa.table(cols)
+    if aop == "%" and operand == 0:
+        operand = 1.0
+    expr = f"{name} {aop} {operand} {cmp} {rhs}"
+    got = Cql2Predicate(expr).mask(t).tolist()
+    sql_cmp = {"=": "=", "<>": "<>"}.get(cmp, cmp)
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = f"SELECT {name} {aop} {operand} {sql_cmp} {rhs} FROM t"
+    expected = [bool(r[0]) if r[0] is not None else False for r in con.sql(sql).fetchall()]
+    assert got == expected, (expr, got, expected)
