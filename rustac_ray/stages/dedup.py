@@ -5,12 +5,14 @@ Scale-first formulations (no driver-side row loops):
 - exact dedup: vectorized content hash in map_batches →
   ``groupby(hash).map_groups(first)`` — the only shuffle is over the key.
 - MinHash + LSH near-dup: per-batch shingle→minhash (numpy), explode to
-  (band_id, band_hash, doc_id) rows, ``groupby(band)`` → candidate groups,
-  verify n-gram Jaccard within groups, emit (keep) pairs/cluster labels.
+  band rows co-grouped by PARTITION key (~64 groups, each verifying all
+  its buckets in one vectorized pass — per-bucket map_groups calls were
+  the hot cost), estimated-jaccard verify, hash-aggregate pair dedup.
 - SimHash: 64-bit simhash from token hashes (vectorized per-batch
   vocabulary hashing); near-dups via hamming-LSH banding.
-- phash/simhash near-dup: band the 64-bit hash into 8×8-bit bands —
-  pigeonhole-exact for hamming ≤ 7 — groupby band, verify hamming.
+- phash/simhash near-dup: band the 64 bits into n_bands near-equal bands
+  (n_bands > max_hamming ⇒ pigeonhole-exact recall); band WIDTH trades
+  bucket depth against band count. Same partition-co-grouped verify.
 - near_dup_filter: pairs → connected components → drop non-canonical
   members with one broadcast membership filter (corpus never shuffles).
 
@@ -38,6 +40,19 @@ __all__ = [
 ]
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _all_pair_indices(length: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (i, j), i<j, for one bucket WITHOUT the L×L mask that
+    np.triu_indices allocates (O(L²) memory blowup on 1000+-row buckets —
+    the actual bottleneck of large LSH verifies, not the hamming math)."""
+    idx = np.arange(length, dtype=np.int64)
+    counts = length - 1 - idx
+    ia = np.repeat(idx, counts)
+    total = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])])
+    ib = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts) + ia + 1
+    return ia, ib
 
 
 def _hash_text_column(batch: pd.DataFrame, col: str) -> pd.Series:
@@ -133,6 +148,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
 
     hasher_args = dict(num_perm=num_perm, shingle=shingle)
+    num_partitions = 64  # co-location granularity for the bucket shuffle
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(batch["_minhash"].to_numpy())  # (N, P)
@@ -142,16 +158,23 @@ def minhash_lsh_candidates(
         with np.errstate(over="ignore"):
             w = np.uint64(1099511628211) ** np.arange(rows_per_band, dtype=np.uint64)
             bh = (banded * w[None, None, :]).sum(axis=2)
+        bh_flat = bh.T.reshape(-1).astype(np.int64)
+        band_ids = np.repeat(np.arange(bands), n)
         return pd.DataFrame(
             {
-                "band_id": np.repeat(np.arange(bands), n),
-                "band_hash": bh.T.reshape(-1).astype(np.int64),
+                # co-group by partition, NOT per bucket: tens of thousands
+                # of tiny map_groups calls were the hot cost; ~64 partition
+                # groups each process all their buckets vectorized
+                "pkey": (bh_flat.view(np.uint64) ^ band_ids.view(np.uint64))
+                % np.uint64(num_partitions),
+                "band_id": band_ids,
+                "band_hash": bh_flat,
                 id_col: np.tile(batch[id_col].to_numpy(), bands),
                 "_minhash": list(np.tile(sigs, (bands, 1))),
             }
         )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series(dtype=group[id_col].dtype),
@@ -159,35 +182,53 @@ def minhash_lsh_candidates(
                 "est_jaccard": pd.Series(dtype=float),
             }
         )
-        if len(group) < 2 or len(group) > max_bucket:
+        if len(group) < 2:
             return empty
-        g = group.sort_values(id_col)
+        g = group.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+        b = g["band_id"].to_numpy()
+        hsh = g["band_hash"].to_numpy()
         ids = g[id_col].to_numpy()
-        sigs = np.stack(g["_minhash"].to_numpy())
-        ia, ib, jac = [], [], []
-        for i in range(len(g)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off in np.nonzero(eq >= jaccard_threshold)[0]:
-                ia.append(ids[i])
-                ib.append(ids[i + 1 + off])
-                jac.append(eq[off])
-        if not ia:
+        # run boundaries over the sorted (band_id, band_hash) keys
+        new_run = np.empty(len(g), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (b[1:] != b[:-1]) | (hsh[1:] != hsh[:-1])
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], len(g))
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts, ends):  # only non-trivial buckets do work
+            length = e - s
+            if length < 2 or length > max_bucket:
+                continue
+            iu, ju = _all_pair_indices(length)
+            ia_parts.append(s + iu)
+            ib_parts.append(s + ju)
+        if not ia_parts:
             return empty
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": jac})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        sigs = np.stack(g["_minhash"].to_numpy())
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)  # one vectorized verify
+        hit = est >= jaccard_threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia[hit]], "id_b": ids[ib[hit]], "est_jaccard": est[hit]}
+        )
 
     sigged = ds.map_batches(
         MinHasher, fn_constructor_kwargs=hasher_args, batch_format="pandas",
         concurrency=concurrency,
     )
     banded = sigged.map_batches(explode_bands, batch_format="pandas")
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = banded.groupby("pkey").map_groups(
+        pairs_in_partition, batch_format="pandas"
     )
+    # cross-band dedup as a hash aggregate (no per-pair Python groups)
+    from ray.data.aggregate import Max
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
 
 
 class SimHasher:
@@ -431,20 +472,35 @@ def simhash_near_dup(
     phash_near_dup, over the 64-bit simhash column computed per batch)."""
     sigged = ds.map_batches(SimHasher, batch_format="pandas", concurrency=concurrency)
     return phash_near_dup(
-        sigged, max_hamming=max_hamming, id_col=id_col, hash_col="simhash"
+        sigged, max_hamming=max_hamming, id_col=id_col, hash_col="simhash",
+        n_bands=max_hamming + 2,
     )
+
+
+def _band_layout(n_bands: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``n_bands`` near-equal (shift, width) bands."""
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    out, shift = [], 0
+    for w in widths:
+        out.append((shift, w))
+        shift += w
+    return out
 
 
 def phash_near_dup(
     ds, max_hamming: int = 4, id_col: str = "image_id", max_bucket: int = 4096,
-    hash_col: str = "phash", n_bands: int = 8,
+    hash_col: str = "phash", n_bands: int = 6,
 ):
-    """Image near-dup via phash hamming-LSH: band the 64-bit phash into
-    ``n_bands`` equal bands. With 8×8-bit bands any pair within hamming ≤ 7
-    shares at least one identical band (pigeonhole: ≤7 differing bits can
-    touch at most 7 of 8 bands), so for max_hamming ≤ 7 the candidate set
-    provably contains every true pair — the output is EXACT, which is what
-    lets the driver compare it against a brute-force SQL oracle.
+    """Image near-dup via phash hamming-LSH: band the 64 bits into
+    ``n_bands`` near-equal bands. Pigeonhole: any pair within hamming ≤
+    n_bands-1 shares at least one identical band, so with the default 6
+    bands the candidate set provably contains every true pair for
+    max_hamming ≤ 5 — the output is EXACT, which is what lets the driver
+    compare it against a brute-force SQL oracle. Band WIDTH is the
+    recall/cost dial: wider bands (fewer, e.g. 6×~11 bits) keep buckets
+    ~2^11 deep per band value instead of 2^8, an ~8× candidate-pair
+    reduction at 100k+ rows.
 
     Skew guard: a band bucket larger than ``max_bucket`` (a degenerate
     band value — e.g. the all-zeros band of flat images) is SKIPPED rather
@@ -453,18 +509,26 @@ def phash_near_dup(
     the same reasoning as hot-cell refinement (SURVEY.md §4)."""
     from ..imaging.phash import hamming64
 
-    assert 64 % n_bands == 0
-    band_bits = 64 // n_bands
-    band_mask = np.uint64((1 << band_bits) - 1)
+    assert n_bands > max_hamming, "recall guarantee needs n_bands > max_hamming"
+    layout = _band_layout(n_bands)
+    num_partitions = 64
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ph = batch[hash_col].to_numpy().astype(np.int64).view(np.uint64)
         out = []
-        for band in range(n_bands):
-            bh = ((ph >> np.uint64(band * band_bits)) & band_mask).astype(np.int64)
+        for band, (shift, width) in enumerate(layout):
+            band_mask = np.uint64((1 << width) - 1)
+            bh = ((ph >> np.uint64(shift)) & band_mask).astype(np.int64)
             out.append(
                 pd.DataFrame(
                     {
+                        # partition co-grouping, not per-bucket grouping —
+                        # see minhash_lsh_candidates
+                        "pkey": (
+                            bh.view(np.uint64) * np.uint64(1099511628211)
+                            ^ np.uint64(band)
+                        )
+                        % np.uint64(num_partitions),
                         "band_id": band,
                         "band_hash": bh,
                         id_col: batch[id_col].to_numpy(),
@@ -474,7 +538,7 @@ def phash_near_dup(
             )
         return pd.concat(out, ignore_index=True)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series(dtype=object),
@@ -482,27 +546,46 @@ def phash_near_dup(
                 "hamming": pd.Series(dtype=np.int64),
             }
         )
-        if len(group) < 2 or len(group) > max_bucket:
+        if len(group) < 2:
             return empty
-        g = group.sort_values(id_col)
+        g = group.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+        b = g["band_id"].to_numpy()
+        hsh = g["band_hash"].to_numpy()
         ids = g[id_col].to_numpy()
         ph = g["phash"].to_numpy().astype(np.int64)
-        ia, ib, hm = [], [], []
-        for i in range(len(g) - 1):
-            d = hamming64(np.full(len(ph) - i - 1, ph[i]), ph[i + 1 :])
-            for off in np.nonzero(d <= max_hamming)[0]:
-                ia.append(ids[i])
-                ib.append(ids[i + 1 + off])
-                hm.append(int(d[off]))
-        if not ia:
+        new_run = np.empty(len(g), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (b[1:] != b[:-1]) | (hsh[1:] != hsh[:-1])
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], len(g))
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts, ends):  # only non-trivial buckets do work
+            length = e - s
+            if length < 2 or length > max_bucket:
+                continue
+            iu, ju = _all_pair_indices(length)
+            ia_parts.append(s + iu)
+            ib_parts.append(s + ju)
+        if not ia_parts:
             return empty
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hm})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        d = hamming64(ph[ia], ph[ib])  # one vectorized verify pass
+        hit = d <= max_hamming
+        if not hit.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia[hit]], "id_b": ids[ib[hit]], "hamming": d[hit].astype(np.int64)}
+        )
 
     cand = (
         ds.map_batches(explode, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(pairs_in_partition, batch_format="pandas")
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # cross-band dedup as a hash aggregate (hamming identical in every band)
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
