@@ -194,7 +194,7 @@ def minhash_lsh_candidates(
         new_run[1:] = (b[1:] != b[:-1]) | (hsh[1:] != hsh[:-1])
         starts = np.nonzero(new_run)[0]
         ends = np.append(starts[1:], len(g))
-        ia_parts, ib_parts = [], []
+        ia_parts, ib_parts, band_parts = [], [], []
         for s, e in zip(starts, ends):  # only non-trivial buckets do work
             length = e - s
             if length < 2 or length > max_bucket:
@@ -202,17 +202,37 @@ def minhash_lsh_candidates(
             iu, ju = _all_pair_indices(length)
             ia_parts.append(s + iu)
             ib_parts.append(s + ju)
+            band_parts.append(np.full(len(iu), b[s], dtype=np.int64))
         if not ia_parts:
             return empty
         ia = np.concatenate(ia_parts)
         ib = np.concatenate(ib_parts)
+        band_of = np.concatenate(band_parts)
         sigs = np.stack(g["_minhash"].to_numpy())
         est = (sigs[ia] == sigs[ib]).mean(axis=1)  # one vectorized verify
         hit = est >= jaccard_threshold
         if not hit.any():
             return empty
+        ia, ib, band_of, est = ia[hit], ib[hit], band_of[hit], est[hit]
+        # canonical-band dedup (ZERO shuffle — the same trick as the spatial
+        # join's canonical cell): a pair colliding in several bands is kept
+        # only in the FIRST band whose hashes agree; that band's bucket is
+        # guaranteed to contain and emit it. (If the canonical bucket was
+        # skew-capped, the pair is dropped — the cap's documented loss.)
+        with np.errstate(over="ignore"):
+            w = np.uint64(1099511628211) ** np.arange(rows_per_band, dtype=np.uint64)
+            bh_a = (sigs[ia].reshape(-1, bands, rows_per_band) * w).sum(axis=2)
+            bh_b = (sigs[ib].reshape(-1, bands, rows_per_band) * w).sum(axis=2)
+        first_eq = (bh_a == bh_b).argmax(axis=1)  # first band with equal hash
+        keep = first_eq == band_of
+        if not keep.any():
+            return empty
         return pd.DataFrame(
-            {"id_a": ids[ia[hit]], "id_b": ids[ib[hit]], "est_jaccard": est[hit]}
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "est_jaccard": est[keep],
+            }
         )
 
     sigged = ds.map_batches(
@@ -220,14 +240,8 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
     banded = sigged.map_batches(explode_bands, batch_format="pandas")
-    pairs = banded.groupby("pkey").map_groups(
+    return banded.groupby("pkey").map_groups(
         pairs_in_partition, batch_format="pandas"
-    )
-    # cross-band dedup as a hash aggregate (no per-pair Python groups)
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
     )
 
 
@@ -558,7 +572,7 @@ def phash_near_dup(
         new_run[1:] = (b[1:] != b[:-1]) | (hsh[1:] != hsh[:-1])
         starts = np.nonzero(new_run)[0]
         ends = np.append(starts[1:], len(g))
-        ia_parts, ib_parts = [], []
+        ia_parts, ib_parts, band_parts = [], [], []
         for s, e in zip(starts, ends):  # only non-trivial buckets do work
             length = e - s
             if length < 2 or length > max_bucket:
@@ -566,26 +580,42 @@ def phash_near_dup(
             iu, ju = _all_pair_indices(length)
             ia_parts.append(s + iu)
             ib_parts.append(s + ju)
+            band_parts.append(np.full(len(iu), b[s], dtype=np.int64))
         if not ia_parts:
             return empty
         ia = np.concatenate(ia_parts)
         ib = np.concatenate(ib_parts)
+        band_of = np.concatenate(band_parts)
         d = hamming64(ph[ia], ph[ib])  # one vectorized verify pass
         hit = d <= max_hamming
         if not hit.any():
             return empty
+        ia, ib, band_of, d = ia[hit], ib[hit], band_of[hit], d[hit]
+        # canonical-band dedup (ZERO shuffle): keep a pair only in the first
+        # band where both hashes' band values agree — that band's bucket is
+        # guaranteed to contain and emit it, so exactly one copy survives.
+        # (A cross-pair hash-aggregate dedup here took minutes at 6M pairs.)
+        pa_ = ph[ia].view(np.uint64)
+        pb_ = ph[ib].view(np.uint64)
+        eq = np.empty((len(ia), len(layout)), dtype=bool)
+        for j, (shift, width) in enumerate(layout):
+            mask = np.uint64((1 << width) - 1)
+            eq[:, j] = ((pa_ >> np.uint64(shift)) & mask) == (
+                (pb_ >> np.uint64(shift)) & mask
+            )
+        keep = eq.argmax(axis=1) == band_of
+        if not keep.any():
+            return empty
         return pd.DataFrame(
-            {"id_a": ids[ia[hit]], "id_b": ids[ib[hit]], "hamming": d[hit].astype(np.int64)}
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "hamming": d[keep].astype(np.int64),
+            }
         )
 
-    cand = (
+    return (
         ds.map_batches(explode, batch_format="pandas")
         .groupby("pkey")
         .map_groups(pairs_in_partition, batch_format="pandas")
-    )
-    # cross-band dedup as a hash aggregate (hamming identical in every band)
-    from ray.data.aggregate import Min
-
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
     )
