@@ -130,6 +130,37 @@ def run_bench() -> dict:
         timings["decode_stats"] = time.perf_counter() - t0
         result_extra = {"decoded_rows": n_decoded}
 
+        # training-data ops over the sf documents/embeddings tables
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from rustac_ray.stages.dedup import minhash_lsh_candidates
+        from rustac_ray.stages.embed import brute_force_topk
+
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        n_pairs_md = minhash_lsh_candidates(
+            docs, jaccard_threshold=0.7, concurrency=max(2, num_cpus // 2)
+        ).count()
+        timings["minhash_near_dup"] = time.perf_counter() - t0
+        result_extra["minhash_pairs"] = n_pairs_md
+
+        t0 = time.perf_counter()
+        emb = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+        queries_e = {
+            str(emb["vec_id"][i].as_py()): np.asarray(
+                emb["embedding"][i].as_py(), dtype=np.float32
+            )
+            for i in range(min(64, len(emb)))
+        }
+        brute_force_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            queries_e, k=10, concurrency=max(2, num_cpus // 2),
+        ).count()
+        timings["embed_topk_64q"] = time.perf_counter() - t0
+
     headline = timings["spatial_join"] + timings["tile_assignment"]
     result_extra = locals().get("result_extra", {})
     result = {
