@@ -284,7 +284,26 @@ def pairwise_quad_poly_intersects(
 
 
 def _pairwise_chunk(corners, ax, ay, bx, by, vx, vy) -> np.ndarray:
-    # (a) any quad corner inside polygon (even-odd over padded edges)
+    # Phases run cheapest-first and SHORT-CIRCUIT: on real join workloads
+    # phase (a) alone decides ~70% of candidate pairs (measured on the 1M-row
+    # bench: 69,579/97,731), so (b)/(c) — (c) is 4 orient passes, the most
+    # memory-traffic-heavy — only touch the undecided minority. Identical
+    # boolean result to evaluating all three unconditionally.
+    out = _corners_in_poly(corners, ax, ay, bx, by)  # (a)
+    todo = np.nonzero(~out)[0]
+    if todo.size:
+        vi = _verts_in_quad(corners[todo], vx[todo], vy[todo])  # (b)
+        out[todo[vi]] = True
+        rest = todo[~vi]
+        if rest.size:
+            out[rest] = _quad_poly_ecross(  # (c)
+                corners[rest], ax[rest], ay[rest], bx[rest], by[rest]
+            )
+    return out
+
+
+def _corners_in_poly(corners, ax, ay, bx, by) -> np.ndarray:
+    """(a) any quad corner inside its polygon (even-odd over padded edges)."""
     qx = corners[:, :, 0][:, :, None]  # (P,4,1)
     qy = corners[:, :, 1][:, :, None]
     Ax, Ay = ax[:, None, :], ay[:, None, :]  # (P,1,E)
@@ -300,28 +319,36 @@ def _pairwise_chunk(corners, ax, ay, bx, by, vx, vy) -> np.ndarray:
             (qx >= np.minimum(Ax, Bx) - _EPS) & (qx <= np.maximum(Ax, Bx) + _EPS)
             & (qy >= np.minimum(Ay, By) - _EPS) & (qy <= np.maximum(Ay, By) + _EPS)
         )
-        corner_in = (inner | (on_line & within).any(axis=2)).any(axis=1)  # (P,)
+        return (inner | (on_line & within).any(axis=2)).any(axis=1)  # (P,)
 
-        # (b) any polygon vertex inside quad (sign consistency, NaN-safe)
-        a = corners  # (P,4,2)
-        b = np.roll(corners, -1, axis=1)
-        px = vx[:, :, None]  # (P,V,1)
-        py = vy[:, :, None]
-        cr = (b[:, None, :, 0] - a[:, None, :, 0]) * (py - a[:, None, :, 1]) - (
-            b[:, None, :, 1] - a[:, None, :, 1]
-        ) * (px - a[:, None, :, 0])  # (P,V,4)
-        vert_in = (
-            ((cr >= -1e-9).all(axis=2) | (cr <= 1e-9).all(axis=2))
-            & ~np.isnan(px[:, :, 0])
-        ).any(axis=1)
 
-        # (c) any proper edge crossing: quad edges (4) × polygon edges (E)
-        P1x = a[:, :, 0][:, :, None]  # (P,4,1)
-        P1y = a[:, :, 1][:, :, None]
-        P2x = b[:, :, 0][:, :, None]
-        P2y = b[:, :, 1][:, :, None]
-        ecross = _seg_cross(P1x, P1y, P2x, P2y, Ax, Ay, Bx, By).any(axis=(1, 2))
-    return corner_in | vert_in | ecross
+def _verts_in_quad(corners, vx, vy) -> np.ndarray:
+    """(b) any polygon vertex inside its quad (sign consistency, NaN-safe)."""
+    a = corners  # (P,4,2)
+    b = np.roll(corners, -1, axis=1)
+    px = vx[:, :, None]  # (P,V,1)
+    py = vy[:, :, None]
+    cr = (b[:, None, :, 0] - a[:, None, :, 0]) * (py - a[:, None, :, 1]) - (
+        b[:, None, :, 1] - a[:, None, :, 1]
+    ) * (px - a[:, None, :, 0])  # (P,V,4)
+    return (
+        ((cr >= -1e-9).all(axis=2) | (cr <= 1e-9).all(axis=2))
+        & ~np.isnan(px[:, :, 0])
+    ).any(axis=1)
+
+
+def _quad_poly_ecross(corners, ax, ay, bx, by) -> np.ndarray:
+    """(c) any proper edge crossing: quad edges (4) × polygon edges (E)."""
+    a = corners
+    b = np.roll(corners, -1, axis=1)
+    P1x = a[:, :, 0][:, :, None]  # (P,4,1)
+    P1y = a[:, :, 1][:, :, None]
+    P2x = b[:, :, 0][:, :, None]
+    P2y = b[:, :, 1][:, :, None]
+    Ax, Ay = ax[:, None, :], ay[:, None, :]  # (P,1,E)
+    Bx, By = bx[:, None, :], by[:, None, :]
+    with np.errstate(invalid="ignore"):
+        return _seg_cross(P1x, P1y, P2x, P2y, Ax, Ay, Bx, By).any(axis=(1, 2))
 
 
 def quads_contain_points(corners: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:

@@ -40,7 +40,7 @@ from . import schema as sch
 SEED = 42
 FIXTURE_ROOT = "/tmp/rustac_fixtures"
 # bump when generation logic changes — stale cached fixtures regenerate
-FIXTURE_VERSION = "6"
+FIXTURE_VERSION = "7"
 
 _TIERS = {
     "sf0.001": dict(images=1_000, items=100, queries=20),
@@ -385,20 +385,43 @@ def build_images_meta_table(n: int, seed: int = SEED) -> pa.Table:
     )
 
 
+BENCH_META_SHARDS = 32
+
+
 def ensure_bench_meta(n_rows: int) -> str:
-    """Write (once) the n-row metadata bench table; returns its path."""
-    path = os.path.join(FIXTURE_ROOT, f"bench_meta_{n_rows}.parquet")
-    if os.path.exists(path):
-        return path
-    tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(
-        build_images_meta_table(n_rows), tmp, compression="zstd", row_group_size=50_000
-    )
+    """Write (once) the n-row metadata bench table as a SHARDED parquet
+    directory; returns its path.
+
+    Sharding matters: a single parquet file is ONE Ray read task no matter
+    what ``override_num_blocks`` says (the split happens only after the lone
+    generator yields, serializing the scan ahead of every downstream stage —
+    measured as ~6s of the 8.5s 1M-row join wall). A directory of shards is
+    also the only layout that exists at real scale.
+    """
+    out = os.path.join(FIXTURE_ROOT, f"bench_meta_{n_rows}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    table = build_images_meta_table(n_rows)
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    shards = min(BENCH_META_SHARDS, max(1, n_rows // 10_000))
+    step = -(-n_rows // shards)
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(tmp, f"part-{i:03d}.parquet"),
+                compression="zstd",
+                row_group_size=50_000,
+            )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("1\n")
     try:
-        os.rename(tmp, path)
+        os.rename(tmp, out)
     except OSError:
-        os.unlink(tmp)
-    return path
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; other copy is identical
+    return out
 
 
 def build_query_points(geoms: pa.Table) -> pa.Table:
@@ -443,12 +466,25 @@ def ensure_fixtures(sf_dir: str) -> str:
     tier = tier_for(sf_dir)
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(
-        build_images_table(tier["images"]),
-        os.path.join(tmp, "images.parquet"),
-        compression="zstd",
-        row_group_size=10_000,
-    )
+    # images.parquet is a SHARDED directory: a single parquet file is one
+    # Ray read task (override_num_blocks only splits after the lone
+    # generator yields), which serializes the payload scan ahead of the
+    # decode actor pool. Readers (ray.data, pyarrow, DuckDB glob) all
+    # handle the directory form.
+    images = build_images_table(tier["images"])
+    img_dir = os.path.join(tmp, "images.parquet")
+    os.makedirs(img_dir, exist_ok=True)
+    shards = min(16, max(1, images.num_rows // 2000))
+    step = -(-images.num_rows // shards)
+    for i in range(shards):
+        part = images.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(img_dir, f"part-{i:03d}.parquet"),
+                compression="zstd",
+                row_group_size=10_000,
+            )
     pq.write_table(
         build_stac_items_table(tier["items"]),
         os.path.join(tmp, "stac_items.parquet"),
