@@ -33,15 +33,20 @@ __all__ = ["knn_join", "CellKNNIndex", "ShardedKNNIndex"]
 
 
 class _PartialTopK:
-    def __init__(self, probes_ref, k: int):
+    def __init__(self, probes_ref, k: int, derive: bool = False):
         probes = ray.get(probes_ref)  # dict: query_id → (x, y)
         self.qids = list(probes.keys())
         pts = np.asarray(list(probes.values()), dtype=np.float64)
         self.px = pts[:, 0]
         self.py = pts[:, 1]
         self.k = k
+        self.derive = derive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.derive:
+            # fused footprint derivation: no intermediate corner columns
+            # through the object store (same design as _BroadcastJoiner)
+            batch = derive_footprints(batch)
         cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
         cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
         n = len(cx)
@@ -103,12 +108,9 @@ def knn_join(
     kmax = max(per_query_k.values()) if per_query_k else 0
     probes_ref = ray.put(probes)
     k_ref = ray.put(per_query_k)
-    ds = images_ds
-    if not footprints_derived:
-        ds = ds.map_batches(derive_footprints, batch_format="pyarrow", batch_size=batch_size)
-    partials = ds.map_batches(
+    partials = images_ds.map_batches(
         _PartialTopK,
-        fn_constructor_args=(probes_ref, kmax),
+        fn_constructor_args=(probes_ref, kmax, not footprints_derived),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
