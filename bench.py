@@ -57,9 +57,10 @@ def run_bench() -> dict:
     n_images = synth.tier_for(sf_dir)["images"]
     n_blocks = num_cpus * 4
 
-    # leave ~1/4 of the CPUs for read tasks; a pool equal to num_cpus
-    # starves the read stage (deadlocks outright at num_cpus=2)
-    pool_fraction = float(os.environ.get("GRAFT_POOL_FRACTION", "0.75"))
+    # leave CPUs for read tasks; a pool equal to num_cpus starves the read
+    # stage (deadlocks outright at num_cpus=2). 0.5 measured best at 32
+    # CPUs (interleaved sweep: 16 actors 2.5-2.9s vs 24 actors 2.8-3.5s)
+    pool_fraction = float(os.environ.get("GRAFT_POOL_FRACTION", "0.5"))
     joiner_actors = max(1, int(num_cpus * pool_fraction))
 
     def bench_meta_ds():

@@ -214,3 +214,46 @@ def test_cql2_arithmetic_differential_vs_duckdb(ci, aop, operand, cmp, rhs):
     sql = f"SELECT {name} {aop} {operand} {sql_cmp} {rhs} FROM t"
     expected = [bool(r[0]) if r[0] is not None else False for r in con.sql(sql).fetchall()]
     assert got == expected, (expr, got, expected)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000))
+def test_pairwise_short_circuit_matches_unconditional(seed):
+    """_pairwise_chunk short-circuits phases (b)/(c) onto the subset phase
+    (a) left undecided; the result must equal the unconditional OR of all
+    three phases over the full batch (cf. the late-r2 kernel refactor)."""
+    from rustac_ray.geo.pip import (
+        _corners_in_poly,
+        _pairwise_chunk,
+        _quad_poly_ecross,
+        _verts_in_quad,
+    )
+
+    rng = np.random.default_rng(seed)
+    P, E = 64, 5
+    # random small quads near random small polygons: mixes hits and misses
+    cx = rng.uniform(-10, 10, P)
+    cy = rng.uniform(-10, 10, P)
+    w = rng.uniform(0.05, 1.5, P)
+    quads = np.stack(
+        [
+            np.stack([cx - w, cy - w], axis=1),
+            np.stack([cx + w, cy - w], axis=1),
+            np.stack([cx + w, cy + w], axis=1),
+            np.stack([cx - w, cy + w], axis=1),
+        ],
+        axis=1,
+    )
+    ang = np.sort(rng.uniform(0, 2 * np.pi, (P, E)), axis=1)
+    rad = rng.uniform(0.1, 2.0, (P, E))
+    px = cx[:, None] + rng.uniform(-1.5, 1.5, (P, 1)) + rad * np.cos(ang)
+    py = cy[:, None] + rng.uniform(-1.5, 1.5, (P, 1)) + rad * np.sin(ang)
+    ax, ay = px, py
+    bx, by = np.roll(px, -1, axis=1), np.roll(py, -1, axis=1)
+    got = _pairwise_chunk(quads, ax, ay, bx, by, px, py)
+    unconditional = (
+        _corners_in_poly(quads, ax, ay, bx, by)
+        | _verts_in_quad(quads, px, py)
+        | _quad_poly_ecross(quads, ax, ay, bx, by)
+    )
+    np.testing.assert_array_equal(got, unconditional)
