@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "4"
+DERIVED_VERSION = "6"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -190,6 +190,85 @@ def _expected_simhash(docs: pa.Table) -> pa.Table:
 
 
 # --------------------------------------------------------- minhash oracle ---
+
+
+def _naive_ngram_pairs(
+    docs: pa.Table,
+    *,
+    n: int = 4,
+    threshold: float = 0.8,
+    est_margin: float = 0.2,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> pa.Table:
+    """Oracle twin of ngram_jaccard_near_dup: the SAME LSH banding (16×4)
+    and estimate gate, then EXACT shingle-set Jaccard — computed with
+    per-doc scalar loops and python sets, nothing shared with the engine's
+    explode/groupby/broadcast path. The banding + gate are part of the
+    operator's definition (dedup.py ngram_jaccard_near_dup docstring)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    a_i = [int(x) for x in a]
+    b_i = [int(x) for x in b]
+    weights = [pow(257, j) % _U64 for j in range(n)]
+    est_gate = max(0.0, threshold - est_margin)
+
+    def shingles_and_sig(text: str) -> tuple:
+        data = str(text).lower().encode("utf-8", "ignore")
+        if len(data) < n:
+            data = data + b"\x00" * (n - len(data))
+        sh = set()
+        for i in range(len(data) - n + 1):
+            v = 0
+            for j in range(n):
+                v = (v + data[i + j] * weights[j]) % _U64
+            sh.add(v)
+        if not sh:
+            return frozenset(), tuple([0] * num_perm)
+        sig = []
+        sh_arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        for p in range(num_perm):
+            with np.errstate(over="ignore"):
+                vals = (np.uint64(a_i[p]) * sh_arr + np.uint64(b_i[p])) % np.uint64(
+                    _MERSENNE
+                )
+            sig.append(int(vals.min()))
+        return frozenset(sh), tuple(sig)
+
+    ids = docs["doc_id"].to_pylist()
+    both = [shingles_and_sig(t) for t in docs["text"].to_pylist()]
+    rows_per_band = num_perm // bands
+    out_a, out_b, out_j = [], [], []
+    order = np.argsort(np.asarray(ids))
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            (sha, si), (shb, sj) = both[i], both[j]
+            shared_band = any(
+                si[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+                == sj[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+                for bnd in range(bands)
+            )
+            if not shared_band:
+                continue
+            est = sum(x == y for x, y in zip(si, sj)) / num_perm
+            if est < est_gate:
+                continue
+            union = len(sha | shb)
+            jac = len(sha & shb) / union if union else 1.0
+            if jac >= threshold:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_j.append(jac)
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, docs["doc_id"].type),
+            "id_b": pa.array(out_b, docs["doc_id"].type),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
 
 
 def _naive_minhash_pairs(
@@ -501,6 +580,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_simhash.parquet", _expected_simhash(docs))
     mh = _naive_minhash_pairs(docs, threshold=0.7)
     write("expected_minhash_pairs.parquet", mh)
+    write("expected_ngram_pairs.parquet", _naive_ngram_pairs(docs))
     write("expected_components.parquet", _expected_components(mh))
     write("expected_langid.parquet", _expected_langid(docs))
     write("expected_fingerprints.parquet", _expected_fingerprints(docs))

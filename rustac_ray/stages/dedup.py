@@ -34,6 +34,7 @@ __all__ = [
     "connected_components",
     "MinHasher",
     "minhash_lsh_candidates",
+    "ngram_jaccard_near_dup",
     "SimHasher",
     "phash_near_dup",
     "ngram_jaccard",
@@ -329,6 +330,131 @@ def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_near_dup(
+    docs_ds,
+    *,
+    n: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    est_margin: float = 0.2,
+    concurrency: int | tuple[int, int] = 4,
+    max_bucket: int = 4096,
+):
+    """documents → near-dup pairs by EXACT n-gram Jaccard (id_a < id_b).
+
+    Scale shape: MinHash-LSH banding proposes candidates with HIGH recall
+    (16 bands × 4 rows: S-curve threshold ≈ 0.5, so a true-0.8 pair is
+    missed with probability (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴), and the
+    signature-estimate gate at ``threshold - est_margin`` does the
+    pruning: bucket pairs alone would admit 1.27M of sf0.1's 12.5M
+    possible pairs (ordinary text shares many 4-byte shingles), the gate
+    keeps 262. Both the banding and the gate are part of the operator's
+    definition (replicated verbatim by the oracle).
+
+    The texts the verify needs are gathered with ONE streaming ``is_in``
+    filter pass over the corpus (vectorized, zero shuffle — the
+    candidate-id set is broadcast once via ``ray.put``); their shingle
+    sets are computed ONCE per document and broadcast to the verify
+    stage, which computes true shingle-set Jaccard per candidate pair —
+    verify work and memory scale with CANDIDATES, never corpus². The
+    shingle universe is the one the MinHash signatures sample (lowercased
+    utf-8 byte n-grams → u64 rolling hash; MinHasher.shingle_hashes).
+
+    Documented assumption (same as near_dup_filter / connected
+    components): the candidate pair list and the shingle sets it
+    references are a small fraction of the corpus — they pass through the
+    driver and a broadcast. Degenerate corpora where LSH buckets capture
+    most of the data violate it; ``max_bucket`` bounds that failure mode.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    cand = minhash_lsh_candidates(
+        docs_ds,
+        num_perm=num_perm,
+        bands=bands,
+        shingle=n,
+        id_col=id_col,
+        jaccard_threshold=max(0.0, threshold - est_margin),
+        concurrency=concurrency,
+        max_bucket=max_bucket,
+    ).drop_columns(["est_jaccard"])
+    parts = []
+    for r in cand.to_arrow_refs():
+        t = ray.get(r)
+        if not isinstance(t, pa.Table):  # map_groups emits pandas blocks
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        # hash-aggregate outputs can include EMPTY blocks with empty
+        # schemas (NOTES.md) — drop them before concat
+        if t.num_rows and {"id_a", "id_b"} <= set(t.column_names):
+            parts.append(t.select(["id_a", "id_b"]))
+    if not parts:
+        probe = docs_ds.limit(1).to_pandas()
+        id_type = pa.array(probe[id_col]).type if len(probe) else pa.int64()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_tbl = pa.concat_tables(parts, promote_options="default")
+    need = pc.unique(
+        pa.chunked_array(
+            [cand_tbl["id_a"].combine_chunks(), cand_tbl["id_b"].combine_chunks()]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(need_ref)))
+
+    texts_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in docs_ds.select_columns([id_col, "text"])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_arrow_refs()
+        ],
+        promote_options="default",
+    )
+    hasher = MinHasher(num_perm=1, shingle=n)
+    # shingle ONCE per needed doc (a doc in k candidate pairs would
+    # otherwise be re-shingled k times in the verify)
+    shingles_ref = ray.put(
+        {
+            i: hasher.shingle_hashes(str(t))  # sorted unique u64 shingles
+            for i, t in zip(texts_tbl[id_col].to_pylist(), texts_tbl["text"].to_pylist())
+        }
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh_of = ray.get(shingles_ref)
+        ida = batch["id_a"].to_pylist()
+        idb = batch["id_b"].to_pylist()
+        jac = np.empty(len(ida), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ida, idb)):
+            sa, sb = sh_of[a], sh_of[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            union = sa.shape[0] + sb.shape[0] - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return rd.from_arrow(cand_tbl).map_batches(verify, batch_format="pyarrow")
 
 
 def connected_components(

@@ -50,6 +50,25 @@ def test_minhash_finds_planted_near_dups():
     assert abs(est - exact) < 0.25
 
 
+def test_ngram_jaccard_near_dup_exact_verify():
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "through fields of green grass under a bright blue sky today"
+    )
+    near = base.replace("bright", "shiny")  # tiny edit → high jaccard
+    far = "completely different content about databases and query engines"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = dedup.ngram_jaccard_near_dup(
+        rd.from_pandas(df), threshold=0.6, concurrency=1
+    ).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+    # the emitted jaccard is EXACT on the byte-shingle universe: close to
+    # the character-n-gram jaccard, far from the minhash estimate's noise
+    exact = dedup.ngram_jaccard(base.lower(), near.lower())
+    got = pairs["jaccard"].iloc[0]
+    assert abs(got - exact) < 0.02
+
+
 def test_connected_components():
     pairs = pd.DataFrame({"id_a": [1, 2, 10, 5], "id_b": [2, 3, 11, 3]})
     out = (
