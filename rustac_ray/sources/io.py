@@ -24,6 +24,7 @@ __all__ = [
     "parse_href_opts",
     "parse_opt_args",
     "read_items",
+    "read_image_table",
     "write_items",
     "write_stac_geoparquet",
     "read_stac_geoparquet_table",
@@ -42,11 +43,39 @@ def infer_format(href: str) -> str:
     base = href.lower().split("?")[0]
     if base.endswith((".parquet", ".geoparquet")):
         return "parquet"
+    if base.endswith((".lance",)) or base.rstrip("/").endswith(".lance"):
+        return "lance"
     if base.endswith((".ndjson", ".jsonl")):
         return "ndjson"
     if base.endswith((".json", ".geojson")):
         return "json"
     raise ValueError(f"cannot infer format from {href!r}")
+
+
+def read_image_table(path: str, **kwargs):
+    """Read the image+caption table (the north rule's input shape:
+    image_id, bytes, w, h, fmt, caption, phash [+ transform, datetime,
+    collection]) as a streaming Dataset.
+
+    The north rule names Lance as the table format; this container has no
+    Lance wheel, so ``*.lance`` paths dispatch to ``ray.data.read_lance``
+    behind an import gate (works unchanged where ``pylance`` is installed)
+    and the deterministic parquet carrier is the tested path — both yield
+    the same Arrow schema downstream.
+    """
+    import ray.data as rd
+
+    if infer_format(path) == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "Lance input requires the 'pylance' package, which is not "
+                "available in this container; use the parquet carrier "
+                "(identical schema) or install pylance"
+            ) from e
+        return rd.read_lance(path, **kwargs)
+    return rd.read_parquet(path, **kwargs)
 
 
 # --------------------------------------------------------- object stores ----

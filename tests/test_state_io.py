@@ -133,3 +133,13 @@ def test_content_digest_nested_columns_and_order_insensitive():
     # content changes change the digest
     t2 = t.set_column(0, "id", pa.array(["a", "c"]))
     assert content_digest(t2) != d1
+
+
+def test_read_image_table_lance_gate_and_parquet_path(fixtures_dir, ray_session):
+    from rustac_ray.sources.io import infer_format, read_image_table
+
+    assert infer_format("table.lance") == "lance"
+    with pytest.raises(NotImplementedError):  # no pylance in this container
+        read_image_table("/tmp/whatever.lance")
+    ds = read_image_table(f"{fixtures_dir}/images.parquet")
+    assert ds.count() > 0
