@@ -148,6 +148,16 @@ def run_bench() -> dict:
         timings["minhash_near_dup"] = time.perf_counter() - t0
         result_extra["minhash_pairs"] = n_pairs_md
 
+        from rustac_ray.stages.dedup import ngram_jaccard_near_dup
+
+        t0 = time.perf_counter()
+        n_pairs_ng = ngram_jaccard_near_dup(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            concurrency=max(2, num_cpus // 2),
+        ).count()
+        timings["ngram_jaccard_near_dup"] = time.perf_counter() - t0
+        result_extra["ngram_pairs"] = n_pairs_ng
+
         t0 = time.perf_counter()
         emb = pq_.read_table(f"{sf_dir}/embeddings.parquet")
         queries_e = {
