@@ -6,7 +6,13 @@ Used by the raster↔vector tile-assignment operator (SURVEY.md J5): each
 image footprint bbox expands to the (z,x,y) tiles it overlaps, then a
 groupby(tile_key) shuffle groups scenes per tile.
 
-Tile key packing matches cells.py: key = (z << 58) | (y << 29) | x.
+Tile keys are Z-ORDER (Morton): key = (z << 58) | interleave(x, y) with
+x at even bit positions. Within a zoom level, spatially adjacent tiles
+are adjacent in key space, so range-partitioned sorts/writes over
+tile_key cluster the pyramid spatially (the north rule's "Z-order
+web-mercator tile pyramid") — a property plain (z|y|x) packing lacks.
+Hash-partitioned groupbys are indifferent to the packing, so all
+grouping semantics are unchanged.
 """
 
 from __future__ import annotations
@@ -18,13 +24,39 @@ __all__ = ["lonlat_to_tile", "tile_bounds", "cover_bbox_tiles", "tile_key", "til
 _MAX_LAT = 85.05112877980659
 
 
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 29 bits of v to the even bit positions (u64)."""
+    v = np.asarray(v, dtype=np.uint64) & np.uint64((1 << 29) - 1)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact1by1(v: np.ndarray) -> np.ndarray:
+    """Inverse of _part1by1: gather the even bit positions into 29 bits."""
+    v = np.asarray(v, dtype=np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64((1 << 29) - 1)
+    return v
+
+
 def tile_key(z, x, y) -> np.ndarray:
-    return (np.asarray(z, dtype=np.int64) << 58) | (np.asarray(y, dtype=np.int64) << 29) | np.asarray(x, dtype=np.int64)
+    morton = _part1by1(x) | (_part1by1(y) << np.uint64(1))
+    return ((np.asarray(z, dtype=np.uint64) << np.uint64(58)) | morton).view(np.int64)
 
 
 def tile_unkey(key: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    k = np.asarray(key, dtype=np.int64)
-    return k >> 58, k & ((1 << 29) - 1), (k >> 29) & ((1 << 29) - 1)
+    k = np.asarray(key, dtype=np.int64).view(np.uint64)
+    z = (k >> np.uint64(58)).view(np.int64)
+    x = _compact1by1(k).view(np.int64)
+    y = _compact1by1(k >> np.uint64(1)).view(np.int64)
+    return z, x, y
 
 
 def _xfrac(lon):
