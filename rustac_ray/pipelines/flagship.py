@@ -113,3 +113,32 @@ def run_checkpointed(
     return write_partitioned(
         join_ds, out_dir, resume=resume, digest_cols=["image_id", "query_id"]
     )
+
+
+def write_tile_pyramid(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    z: int = 8,
+    refine_threshold: int | None = 2000,
+    resume: bool = True,
+) -> list[dict]:
+    """Materialize the Z-order tile pyramid: assignments sorted by the
+    Morton tile key (one range-partition shuffle — the point of the
+    operator), written as resumable partitioned parquet with lineage.
+
+    Because the key is Z-order (geo/tiles.py), the sort's range partitions
+    are spatially coherent: each output file covers a contiguous Morton
+    range ≈ a compact region of the map, so a tile server or downstream
+    range scan touches few files per viewport. With plain (z|y|x) packing
+    the same sort would stripe the map into full-width rows instead.
+    """
+    from ..state.manifest import write_partitioned
+    from ..stages.tiling import assign_tiles
+
+    asn = assign_tiles(
+        read_images_metadata(sf_dir), z=z, refine_threshold=refine_threshold
+    ).sort("tile_key")
+    return write_partitioned(
+        asn, out_dir, resume=resume, digest_cols=["image_id", "tile_key"]
+    )

@@ -1,5 +1,7 @@
 """Spatial pipelines vs brute-force numpy oracles (sf0.001 fixtures)."""
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -188,3 +190,38 @@ def test_partitioned_join_hot_cell_refinement(fixtures_dir, expected_pairs):
     ds = _images_ds(fixtures_dir).map_batches(derive_footprints, batch_format="pyarrow")
     hot = spatial_join.hot_cell_set(ds, spatial_join.DEFAULT_JOIN_RES, 20)
     assert len(hot) > 0
+
+
+def test_write_tile_pyramid_zorder_and_resume(ray_session, tmp_path):
+    """The pyramid writer emits Morton-sorted, spatially-coherent partition
+    files with a lineage manifest, and a rerun skips completed partitions."""
+    import json
+
+    from rustac_ray.geo import tiles as t
+    from rustac_ray.pipelines.flagship import write_tile_pyramid
+
+    out = str(tmp_path / "pyramid")
+    recs = write_tile_pyramid("/root/testdata/sf0.001", out, refine_threshold=None)
+    assert recs and all("digest" in r for r in recs)
+    files = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
+    assert files
+    # global Morton order across partition files
+    prev_max = None
+    total = 0
+    for f in files:
+        keys = pq.read_table(f"{out}/{f}")["tile_key"].to_numpy()
+        assert (np.diff(keys) >= 0).all()
+        if prev_max is not None and len(keys):
+            assert keys[0] >= prev_max
+        if len(keys):
+            prev_max = keys[-1]
+        total += len(keys)
+    # spatial coherence: within one file, decoded x/y span a bounded range
+    z, x, y = t.tile_unkey(pq.read_table(f"{out}/{files[0]}")["tile_key"].to_numpy())
+    assert len(files) == 1 or (x.max() - x.min() <= 256 and y.max() - y.min() <= 256)
+    # resume: manifest says all partitions done -> rerun writes nothing new
+    recs2 = write_tile_pyramid("/root/testdata/sf0.001", out, refine_threshold=None)
+    assert {r["partition_id"] for r in recs2} == {r["partition_id"] for r in recs}
+    with open(f"{out}/_manifest.jsonl") as fh:
+        lines = [json.loads(line) for line in fh if line.strip()]
+    assert len(lines) == len(recs)  # no re-written partitions appended
