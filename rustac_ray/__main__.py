@@ -130,12 +130,21 @@ def cmd_tiles(args):
     _ensure_ray()
     from .sources.io import read_items
     from .stages.tiling import assign_tiles
+    from .state.manifest import write_partitioned
 
     ds = assign_tiles(
         read_items(args.input), z=args.zoom,
         refine_threshold=args.refine_threshold,
-    ).drop_columns(["tile_key"])
-    _emit(ds, args.output)
+    )
+    if args.pyramid:
+        # Morton-sorted resumable pyramid layout (see flagship.write_tile_pyramid)
+        recs = write_partitioned(
+            ds.sort("tile_key"), args.pyramid,
+            digest_cols=["image_id", "tile_key"],
+        )
+        print(f"pyramid: {len(recs)} partitions -> {args.pyramid}")
+        return
+    _emit(ds.drop_columns(["tile_key"]), args.output)
 
 
 def main(argv=None):
@@ -189,6 +198,7 @@ def main(argv=None):
     ti.add_argument("-z", "--zoom", type=int, default=8)
     ti.add_argument("--refine-threshold", type=int, default=None)
     ti.add_argument("-o", "--output")
+    ti.add_argument("--pyramid", help="write a Morton-sorted resumable tile pyramid here")
     ti.set_defaults(fn=cmd_tiles)
 
     args = p.parse_args(argv)

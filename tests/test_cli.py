@@ -35,3 +35,18 @@ def test_cli_translate(fixtures_dir, tmp_path, capsys):
     import ray.data as rd
 
     assert rd.read_parquet(out).count() == 100
+
+
+def test_cli_tiles_pyramid(fixtures_dir, tmp_path, capsys):
+    out = str(tmp_path / "pyr")
+    main(["tiles", f"{fixtures_dir}/images.parquet", "-z", "6", "--pyramid", out])
+    assert "partitions ->" in capsys.readouterr().out
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert files and os.path.exists(f"{out}/_manifest.jsonl")
+    keys = pq.read_table(f"{out}/{files[0]}")["tile_key"].to_numpy()
+    assert (np.diff(keys) >= 0).all()
