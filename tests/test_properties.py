@@ -257,3 +257,69 @@ def test_pairwise_short_circuit_matches_unconditional(seed):
         | _quad_poly_ecross(quads, ax, ay, bx, by)
     )
     np.testing.assert_array_equal(got, unconditional)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(0, 120),  # window start (minutes past 2024-11-01T00:00)
+    st.integers(1, 120),  # window length in minutes
+    st.sampled_from(
+        [None, ["sentinel-2a"], ["sentinel-2b"], ["sentinel-2a", "sentinel-2b"]]
+    ),
+    st.sampled_from(
+        [
+            None,
+            '"sat:relative_orbit" = 98',
+            '"eo:cloud_cover" < 35.5',
+            '"eo:cloud_cover" >= 62.25 AND "sat:relative_orbit" = 11',
+        ]
+    ),
+    st.integers(0, 30),  # offset
+    st.integers(1, 40),  # limit
+)
+def test_search_differential_vs_duckdb(
+    fixtures_dir, ray_session, start_min, dur_min, collections, flt, offset, limit
+):
+    """Randomized differential test over the SEARCH surface: a random
+    (datetime interval × collections × CQL2 filter × sort × limit/offset)
+    QuerySpec must select exactly the ids DuckDB selects for the composed
+    SQL (same coalesce interval semantics the reference applies,
+    duckdb client.rs:361-385)."""
+    import duckdb
+    import ray.data as rd
+
+    from rustac_ray.query import QuerySpec, search
+
+    path = f"{fixtures_dir}/stac_items.parquet"
+    t0 = np.datetime64("2024-11-01T00:00:00", "ms") + np.timedelta64(start_min, "m")
+    t1 = t0 + np.timedelta64(dur_min, "m")
+    iso = lambda t: str(t).replace(" ", "T") + "Z"  # noqa: E731
+    spec = QuerySpec(
+        datetime=f"{iso(t0)}/{iso(t1)}",
+        collections=collections,
+        filter=flt,
+        sortby="+id",
+        limit=limit,
+        offset=offset,
+    )
+    df = search(rd.read_parquet(path), spec).to_pandas()
+    # An offset past the last row yields an empty dataset whose blocks carry
+    # no schema; treat that as zero ids rather than KeyError.
+    got = df["id"].tolist() if "id" in df.columns else []
+    where = [
+        f"coalesce(end_datetime, datetime) >= TIMESTAMP '{t0}'",
+        f"coalesce(start_datetime, datetime) <= TIMESTAMP '{t1}'",
+    ]
+    if collections:
+        vals = ", ".join(f"'{c}'" for c in collections)
+        where.append(f"collection IN ({vals})")
+    if flt:
+        where.append(f"({flt})")
+    sql = (
+        f"SELECT id FROM read_parquet('{path}') WHERE {' AND '.join(where)} "
+        f"ORDER BY id LIMIT {limit} OFFSET {offset}"
+    )
+    con = duckdb.connect()  # keep a reference: .sql() is lazy w.r.t. the conn
+    expected = [r[0] for r in con.sql(sql).fetchall()]
+    con.close()
+    assert got == expected, (spec, got, expected)
