@@ -1,0 +1,154 @@
+"""As-of and interval joins (stages/temporal_join) vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rustac_ray.stages.temporal_join import IntervalIndex, asof_join, interval_join
+
+
+def _brute_asof(left: pd.DataFrame, right: pd.DataFrame, tie_break="rid"):
+    """Backward inclusive per-key as-of with max-tie_break canonical ties."""
+    out = []
+    for _, lrow in left.iterrows():
+        cand = right[(right["k"] == lrow["k"]) & (right["ts"] <= lrow["ts"])]
+        if len(cand):
+            best_ts = cand["ts"].max()
+            cand = cand[cand["ts"] == best_ts]
+            best = cand.loc[cand[tie_break].idxmax()]
+            out.append((lrow["lid"], best[tie_break], best["val"]))
+        else:
+            out.append((lrow["lid"], -1, np.nan))
+    return pd.DataFrame(out, columns=["lid", "rid_match", "val_match"])
+
+
+@pytest.fixture(scope="module")
+def asof_frames():
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.integers(0, 12, n_l),
+            "ts": rng.integers(0, 1000, n_l).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(n_r),
+            "k": rng.integers(0, 12, n_r),
+            # coarse grid so exact-tie (same k, same ts) cases occur
+            "ts": (rng.integers(0, 100, n_r) * 10).astype("int64"),
+            "val": rng.normal(size=n_r),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
+def test_asof_matches_brute_force(asof_frames, strategy):
+    left, right = asof_frames
+    joined = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="ts",
+        by="k",
+        right_cols=["rid", "val"],
+        tie_break="rid",
+        strategy=strategy,
+        num_partitions=5,
+    ).to_pandas()
+    got = (
+        pd.DataFrame(
+            {
+                "lid": joined["lid"].astype("int64"),
+                "rid_match": joined["rid"].fillna(-1).astype("int64"),
+                "val_match": joined["val"],
+            }
+        )
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _brute_asof(left, right).sort_values("lid").reset_index(drop=True)
+    assert (got["lid"] == exp["lid"]).all()
+    assert (got["rid_match"] == exp["rid_match"]).all()
+    assert np.allclose(
+        got["val_match"].fillna(0), exp["val_match"].fillna(0), atol=1e-12
+    )
+
+
+def test_asof_strategies_agree(asof_frames):
+    left, right = asof_frames
+    outs = []
+    for strategy in ("broadcast", "partitioned"):
+        j = asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="ts",
+            by="k",
+            right_cols=["rid"],
+            tie_break="rid",
+            strategy=strategy,
+        ).to_pandas()
+        outs.append(
+            j[["lid", "rid"]]
+            .fillna(-1)
+            .astype("int64")
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_asof_name_collision_suffix():
+    left = pd.DataFrame({"lid": [0], "k": [1], "ts": [10], "val": [99.0]})
+    right = pd.DataFrame({"rid": [0], "k": [1], "ts": [5], "val": [1.5]})
+    j = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="ts",
+        by="k",
+        right_cols=["val"],
+        strategy="broadcast",
+    ).to_pandas()
+    assert j.loc[0, "val"] == 99.0 and j.loc[0, "val_r"] == 1.5
+
+
+def test_interval_index_closed_semantics():
+    # intervals: [0,10], [10,20], degenerate {15}
+    idx = IntervalIndex(
+        np.array([0.0, 10.0, 15.0]),
+        np.array([10.0, 20.0, 15.0]),
+        np.array([100, 200, 300]),
+    )
+    rows, ipos = idx.lookup(np.array([10.0, 15.0, -1.0, 20.0, 25.0]))
+    pairs = sorted(zip(rows.tolist(), idx.interval_ids[ipos].tolist()))
+    assert pairs == [(0, 100), (0, 200), (1, 200), (1, 300), (3, 200)]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
+def test_interval_join_matches_brute_force(strategy):
+    rng = np.random.default_rng(11)
+    probe = pd.DataFrame(
+        {"pid": np.arange(500), "v": rng.uniform(-5, 105, 500).round(3)}
+    )
+    bands = [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(
+        zip(rng.uniform(0, 90, 8), rng.uniform(0, 30, 8))
+    )]
+    out = interval_join(
+        rd.from_pandas(probe),
+        bands,
+        value_col="v",
+        strategy=strategy,
+        num_partitions=4,
+    ).to_pandas()
+    got = set(zip(out["pid"].astype(int), out["band_id"].astype(int)))
+    exp = {
+        (int(p), int(b))
+        for p, v in zip(probe["pid"], probe["v"])
+        for b, lo, hi in bands
+        if lo <= v <= hi
+    }
+    assert got == exp
