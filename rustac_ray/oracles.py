@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "6"
+DERIVED_VERSION = "7"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -418,6 +418,58 @@ def _expected_fingerprints(docs: pa.Table) -> pa.Table:
     )
 
 
+# -------------------------------------------------- approx-distinct oracle --
+
+
+def _expected_approx_distinct(sf_dir: str, p: int = 12) -> pa.Table:
+    """Plain scalar HyperLogLog over events (the spec of
+    stages.sketch.approx_distinct): per event_type, the estimated distinct
+    user_id count. Deliberately per-row Python — splitmix64 in plain int
+    arithmetic, registers in a list — nothing like the vectorized
+    per-batch combiner + register-merge shuffle in the engine."""
+    import math
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    m = 1 << p
+    regs: dict = {}
+    for et, uid in zip(ev["event_type"].to_pylist(), ev["user_id"].to_pylist()):
+        z = (uid + 0x9E3779B97F4A7C15) % _U64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % _U64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % _U64
+        h = z ^ (z >> 31)
+        bucket = h >> (64 - p)
+        rest = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - rest.bit_length() + 1
+        r = regs.setdefault(et, [0] * m)
+        if rho > r[bucket]:
+            r[bucket] = rho
+    groups, ests = [], []
+    for et in sorted(regs):
+        r = regs[et]
+        if m == 16:
+            alpha = 0.673
+        elif m == 32:
+            alpha = 0.697
+        elif m == 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / sum(2.0 ** (-x) for x in r)
+        zeros = sum(1 for x in r if x == 0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        groups.append(et)
+        ests.append(int(round(est)))
+    return pa.table(
+        {
+            "event_type": pa.array(groups, pa.string()),
+            "approx_distinct": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------- embeddings near-dup fix --
 
 
@@ -589,6 +641,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("ivf_centroids.parquet", cent)
     write("expected_ivf_topk.parquet", ivf_expected)
     write("stac_items_validate.parquet", _validation_fixture(fdir))
+    write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir

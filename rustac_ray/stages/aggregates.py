@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["collection_extents", "global_extent"]
+__all__ = ["collection_extents", "global_extent", "grouped_topk"]
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
@@ -85,6 +85,41 @@ def collection_extents(ds) -> "pd.DataFrame":
         Sum("n_items", alias_name="n_items"),
     )
     return out
+
+
+def grouped_topk(
+    ds,
+    key: str,
+    order_by: str,
+    n: int,
+    *,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+):
+    """Per-key top-n (the grouped analogue of ``query.sorted_topn``).
+
+    Scale shape: each block is pruned to its LOCAL per-key top-n with one
+    vectorized pandas sort + ``groupby(key).head(n)`` (C kernels, no
+    Python per row), so the ``groupby(key)`` shuffle that finishes moves
+    at most n × keys × blocks rows — never the data. Deterministic under
+    ties via ``tie_cols`` (ascending tail keys), matching a SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY order_by [DESC],
+    tie_cols) <= n``.
+    """
+    ties = list(tie_cols or [])
+    by = [order_by] + ties
+    asc = [not descending] + [True] * len(ties)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="mergesort").groupby(
+            key, sort=False
+        ).head(n)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(n)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return pruned.groupby(key).map_groups(final, batch_format="pandas")
 
 
 def global_extent(ds) -> dict:

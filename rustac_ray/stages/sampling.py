@@ -1,0 +1,100 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+All sampling here is HASH-based, not RNG-based: whether a row is kept is
+a pure function of its key — so a sample is (a) reproducible across runs
+and cluster sizes, (b) consistent across tables (joining two tables each
+hash-sampled on the same key keeps matching rows), and (c) resumable
+(re-running a failed partition re-selects the same rows). This is the
+property training-data pipelines actually need; ``ds.random_sample``
+gives none of it.
+
+The hash is the Knuth multiplicative congruential step on the key
+(mod 2^32) — deliberately simple enough to express in ANSI SQL, so every
+sampler here has an exact DuckDB oracle twin:
+
+    keep(key)  ⇔  (key * 2654435761 + salt) % 4294967296  <  rate * 2^32
+
+Keys must be NON-NEGATIVE integers (row ids): numpy uint64 wrap-around
+and SQL signed ``%`` disagree on negative values.
+
+Scale shape: one embarrassingly-parallel ``map_batches`` filter — no
+shuffle, no driver state, vectorized uint64 numpy throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["hash_sample", "stratified_sample", "KNUTH", "MOD32", "hash_bucket"]
+
+KNUTH = 2654435761  # Knuth's multiplicative constant (2^32 / phi)
+MOD32 = 1 << 32
+
+
+def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """uint64 → uint64 in [0, 2^32): the sampling hash, vectorized."""
+    k = keys.astype(np.uint64, copy=False)
+    return (k * np.uint64(KNUTH) + np.uint64(salt)) % np.uint64(MOD32)
+
+
+def _threshold(rate: float) -> np.uint64:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return np.uint64(int(rate * MOD32))
+
+
+def hash_sample(ds, key_col: str, rate: float, *, salt: int = 0):
+    """Keep each row iff hash(key) falls under ``rate`` of the hash space.
+
+    Deterministic, shuffle-free, and consistent across any datasets
+    sampled on the same key (the basis for multi-table sampling).
+    """
+    thr = _threshold(rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_bucket(keys, salt) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    stratum_col: str,
+    rates: dict,
+    *,
+    default_rate: float = 0.0,
+    salt: int = 0,
+):
+    """Per-stratum hash sampling: stratum → keep rate (e.g. downsample
+    dominant languages, keep all of rare ones). Unlisted strata get
+    ``default_rate``. Same determinism/consistency guarantees as
+    ``hash_sample``; still one shuffle-free vectorized filter — the
+    stratum→threshold map is a tiny dict shipped in the closure.
+    """
+    thr_map = {s: _threshold(r) for s, r in rates.items()}
+    default_thr = _threshold(default_rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        strata = batch[stratum_col].to_numpy(zero_copy_only=False)
+        # vectorized dict lookup: factorize strata once per batch, map the
+        # few uniques through the dict, gather per row
+        uniq, inv = np.unique(strata, return_inverse=True)
+        thr_u = np.array(
+            [thr_map.get(s, default_thr) for s in uniq], dtype=np.uint64
+        )
+        return batch.filter(pa.array(hash_bucket(keys, salt) < thr_u[inv]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_sql(key_col: str, rate: float, salt: int = 0) -> str:
+    """The DuckDB/ANSI predicate equivalent to ``hash_sample`` — used by
+    oracle twins and handy for pushing the same sample into a SQL engine."""
+    thr = int(rate * MOD32)
+    return f"(({key_col} * {KNUTH} + {salt}) % {MOD32}) < {thr}"

@@ -1,0 +1,270 @@
+"""Mergeable sketches + distributed order statistics.
+
+Two operators a 100-TB pipeline needs that Ray Data's built-in aggregates
+don't give:
+
+- ``approx_distinct``: per-group HyperLogLog. Each batch folds its rows
+  into ONE 2^p-byte register row per group (the combiner); the shuffle
+  then moves O(groups × blocks) sketch rows — never values — and merge is
+  an elementwise ``np.maximum``. Standard HLL (Flajolet et al. 2007)
+  with a 64-bit splitmix64 value hash, so no large-range correction is
+  needed; the small-range linear-counting correction applies as usual.
+
+- ``exact_quantiles``: EXACT order statistics (DuckDB ``quantile_disc``
+  semantics: 0-based rank ceil(q·n)−1) without any sort shuffle. A
+  histogram-bisection loop: each pass streams the dataset once through a
+  vectorized ``np.histogram`` map_batches fold (tiny per-block partial:
+  B int64 counts), narrows each target rank to one bin, and recurses
+  until the candidate range holds ≤ ``max_collect`` values — those are
+  then collected and the rank read off with ``np.partition``. Total work:
+  O(passes) streaming scans, driver state O(bins); converges in ~2-3
+  passes for any real distribution (each pass shrinks the range ~B×).
+
+Both are pure functions of the input (no RNG), hence oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["approx_distinct", "exact_quantiles", "splitmix64", "hll_estimate"]
+
+
+# ------------------------------------------------------------------- hll --
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: int64/uint64 → well-mixed uint64."""
+    z = x.astype(np.uint64, copy=False) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected HLL estimate from one uint8 register array."""
+    m = len(registers)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(registers == 0))
+        if zeros:
+            return m * math.log(m / zeros)
+    return float(est)
+
+
+def _hll_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho): bucket = top p bits; rho = 1 + leading zeros of the
+    remaining 64−p bits. Vectorized via the float64 exponent (exact for
+    integers < 2^53, i.e. any p ≥ 12)."""
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - p)) - 1)
+    # bit_length(rest) via frexp exponent; rest == 0 → full rho
+    bl = np.frexp(rest.astype(np.float64))[1]  # 0 for rest==0
+    rho = ((64 - p) - bl + 1).astype(np.uint8)
+    return bucket, rho
+
+
+def approx_distinct(ds, group_col: str, value_col: str, *, p: int = 12):
+    """→ one row per group: (group_col, approx_distinct: int64).
+
+    Values must be integers (use a stable row id / fingerprint column for
+    strings — e.g. ``text.Fingerprint``). Relative error ≈ 1.04/√(2^p)
+    (~1.6% at the default p=12, 4 KiB per group sketch).
+    """
+    if not 12 <= p <= 18:
+        raise ValueError("p must be in [12, 18]")
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(vals)
+        bucket, rho = _hll_rho(h, p)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, bucket), rho)
+        return pa.table(
+            {
+                group_col: pa.array(uniq),
+                "_hll": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.frombuffer(b"".join(g["_hll"]), dtype=np.uint8).reshape(
+            len(g), m
+        )
+        merged = regs.max(axis=0)
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "approx_distinct": np.int64(round(hll_estimate(merged))),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------- exact order statistics --
+
+
+def _disc_ranks(n: int, qs: list[float]) -> list[int]:
+    """DuckDB/ANSI percentile_disc rank rule: 0-based ceil(q·n)−1."""
+    return [min(max(math.ceil(q * n) - 1, 0), n - 1) for q in qs]
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: list[float],
+    *,
+    bins: int = 4096,
+    max_collect: int = 200_000,
+    max_passes: int = 8,
+):
+    """→ pandas DataFrame (q, value): exact ``quantile_disc`` per q.
+
+    Driver-coordinated histogram bisection (see module docstring). The
+    dataset is streamed once per pass; no sort, no shuffle, no
+    materialization beyond B-counter partials and one final ≤max_collect
+    value gather.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Count(), Min(col), Max(col))
+    n = int(stats["count()"])
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if n == 0:
+        return pd.DataFrame({"q": qs, "value": np.nan})
+    ranks = _disc_ranks(n, qs)
+    if lo == hi:  # constant column — every quantile is that value
+        return pd.DataFrame({"q": qs, "value": [lo] * len(qs)})
+
+    # state per target rank: (range_lo, range_hi, global_rank)
+    # ranges may coincide for nearby qs — deduped each pass.
+    targets = [(lo, hi, r) for r in ranks]
+
+    def hist_pass(ranges: list[tuple[float, float]]):
+        """One streaming scan: per-block histograms for every range."""
+        edges = [np.linspace(a, b, bins + 1) for a, b in ranges]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            rows = []
+            for i, (a, b) in enumerate(ranges):
+                inr = v[(v >= a) & (v <= b)]
+                cnt, _ = np.histogram(inr, bins=edges[i])
+                below = int(np.count_nonzero(v < a))
+                rows.append((i, below, cnt.astype(np.int64)))
+            return pa.table(
+                {
+                    "ri": pa.array([r[0] for r in rows], pa.int64()),
+                    "below": pa.array([r[1] for r in rows], pa.int64()),
+                    "cnt": pa.array(
+                        [r[2].tobytes() for r in rows], pa.binary()
+                    ),
+                }
+            )
+
+        agg = {}
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            ris = b["ri"].to_pylist()
+            belows = b["below"].to_pylist()
+            cnts = b["cnt"].to_pylist()
+            for ri, below, cb in zip(ris, belows, cnts):
+                c = np.frombuffer(cb, dtype=np.int64)
+                if ri in agg:
+                    agg[ri] = (agg[ri][0] + below, agg[ri][1] + c)
+                else:
+                    agg[ri] = (below, c.copy())
+        return agg, edges
+
+    for _ in range(max_passes if n > max_collect else 0):
+        # dedupe identical ranges to scan each only once
+        uniq_ranges = sorted({(a, b) for a, b, _ in targets})
+        agg, edges = hist_pass(uniq_ranges)
+        range_idx = {r: i for i, r in enumerate(uniq_ranges)}
+        total_in_ranges = sum(int(agg[i][1].sum()) for i in agg)
+        if total_in_ranges <= max_collect:
+            break
+        new_targets = []
+        shrunk = False
+        for a, b, r in targets:
+            ri = range_idx[(a, b)]
+            below, cnt = agg[ri]
+            # rank within this range (global rank r minus rows below it)
+            rr = r - below
+            cum = np.cumsum(cnt)
+            j = int(np.searchsorted(cum, rr + 1))
+            j = min(j, bins - 1)
+            na, nb = edges[ri][j], edges[ri][j + 1]
+            prev = int(cum[j - 1]) if j else 0
+            if nb <= na or (nb - na) < 1e-308:
+                new_targets.append((a, b, r))
+                continue
+            shrunk = True
+            # global rows below the new range = below + rows in bins < j;
+            # bin edges are half-open except the last, but v==na rows in
+            # earlier bins are impossible (they'd land in bin j-1 only if
+            # < na) — np.histogram puts v==na into bin j.
+            new_targets.append((na, nb, r))
+        if not shrunk:
+            break
+        targets = new_targets
+
+    # final: ONE scan collects every value inside the surviving ranges
+    # (plus, per range, the exact count of rows strictly below it — the
+    # same per-block fold, so no extra pass per quantile).
+    uniq_ranges = sorted({(a, b) for a, b, _ in targets})
+    range_idx = {r: i for i, r in enumerate(uniq_ranges)}
+
+    def gather(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.zeros(len(v), dtype=bool)
+        belows = []
+        for a, b in uniq_ranges:
+            keep |= (v >= a) & (v <= b)
+            belows.append(int(np.count_nonzero(v < a)))
+        kept = v[keep]
+        return pa.table(
+            {
+                "vals": pa.array([kept.tobytes()], pa.binary()),
+                "below": pa.array(
+                    [np.asarray(belows, np.int64).tobytes()], pa.binary()
+                ),
+            }
+        )
+
+    chunks, below_tot = [], np.zeros(len(uniq_ranges), dtype=np.int64)
+    for b in ds.map_batches(
+        gather, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for vb, bb in zip(b["vals"].to_pylist(), b["below"].to_pylist()):
+            chunks.append(np.frombuffer(vb, dtype=np.float64))
+            below_tot += np.frombuffer(bb, dtype=np.int64)
+    vals = np.concatenate(chunks) if chunks else np.empty(0)
+
+    out = []
+    for a, b, r in targets:
+        below = int(below_tot[range_idx[(a, b)]])
+        inr = vals[(vals >= a) & (vals <= b)]
+        rr = r - below
+        out.append(float(np.partition(inr, rr)[rr]))
+    return pd.DataFrame({"q": qs, "value": out})

@@ -1,0 +1,171 @@
+"""grouped_topk / hash sampling / HLL / exact quantiles vs brute force."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rustac_ray.stages.aggregates import grouped_topk
+from rustac_ray.stages.sampling import (
+    KNUTH,
+    MOD32,
+    hash_bucket,
+    hash_sample,
+    sample_sql,
+    stratified_sample,
+)
+from rustac_ray.stages.sketch import (
+    approx_distinct,
+    exact_quantiles,
+    hll_estimate,
+    splitmix64,
+)
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(3)
+    n = 5000
+    return pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "k": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.normal(100, 15, n).round(4),
+            "u": rng.integers(0, 800, n),
+        }
+    )
+
+
+def test_grouped_topk_matches_window_sql(frame):
+    got = (
+        grouped_topk(rd.from_pandas(frame), "k", "v", 7, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            "SELECT id, k, v, u FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY k ORDER BY v DESC, id) rn FROM frame) "
+            "WHERE rn <= 7 ORDER BY k, v DESC, id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "k", "v", "u"]], exp)
+
+
+def test_grouped_topk_ascending(frame):
+    got = grouped_topk(
+        rd.from_pandas(frame), "k", "v", 3, descending=False, tie_cols=["id"]
+    ).to_pandas()
+    for k, g in frame.groupby("k"):
+        mine = got[got["k"] == k].sort_values("v")
+        exp = g.sort_values(["v", "id"]).head(3)
+        assert list(mine["id"]) == list(exp["id"])
+
+
+def test_hash_sample_matches_sql_twin(frame):
+    got = hash_sample(rd.from_pandas(frame), "id", 0.2, salt=5).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT * FROM frame WHERE {sample_sql('id', 0.2, 5)} ORDER BY id"
+    ).df()
+    got = got.sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == list(exp["id"])
+    # rate is approximately honored
+    assert 0.15 < len(got) / len(frame) < 0.25
+
+
+def test_hash_sample_consistent_across_tables(frame):
+    # the same keys survive when sampling a different table on the same key
+    other = frame[["id"]].assign(extra=1.0)
+    a = set(hash_sample(rd.from_pandas(frame), "id", 0.3).to_pandas()["id"])
+    b = set(hash_sample(rd.from_pandas(other), "id", 0.3).to_pandas()["id"])
+    assert a == b
+
+
+def test_stratified_sample_rates(frame):
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    got = stratified_sample(
+        rd.from_pandas(frame), "id", "k", rates, default_rate=0.1
+    ).to_pandas()
+    by_k = got.groupby("k").size()
+    n_by_k = frame.groupby("k").size()
+    assert by_k.get("a", 0) == n_by_k["a"]  # keep all
+    assert "c" not in by_k.index  # drop all
+    assert 0.4 < by_k["b"] / n_by_k["b"] < 0.6
+    assert 0.05 < by_k.get("d", 0) / n_by_k["d"] < 0.16  # default rate
+    # per-row membership is exactly the hash rule
+    thr_b = np.uint64(int(0.5 * MOD32))
+    kept_b = set(got.loc[got["k"] == "b", "id"])
+    ids_b = frame.loc[frame["k"] == "b", "id"].to_numpy()
+    exp_b = set(ids_b[hash_bucket(ids_b) < thr_b])
+    assert kept_b == exp_b
+
+
+def test_hll_single_register_accuracy():
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1 << 62, 200_000)
+    h = splitmix64(vals)
+    p = 12
+    m = 1 << p
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - p)) - 1)
+    bl = np.frexp(rest.astype(np.float64))[1]
+    rho = ((64 - p) - bl + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rho)
+    est = hll_estimate(regs)
+    true = len(np.unique(vals))
+    assert abs(est - true) / true < 0.05  # 1.04/sqrt(4096) ≈ 1.6%
+
+
+def test_approx_distinct_grouped(frame):
+    got = (
+        approx_distinct(rd.from_pandas(frame), "k", "u")
+        .to_pandas()
+        .set_index("k")["approx_distinct"]
+    )
+    true = frame.groupby("k")["u"].nunique()
+    for k in true.index:
+        assert abs(got[k] - true[k]) / true[k] < 0.1
+    # determinism: identical second run
+    again = (
+        approx_distinct(rd.from_pandas(frame), "k", "u")
+        .to_pandas()
+        .set_index("k")["approx_distinct"]
+    )
+    assert (got.sort_index() == again.sort_index()).all()
+
+
+def test_approx_distinct_exact_on_small_groups():
+    # linear-counting regime: tiny cardinalities are EXACT at p=12
+    df = pd.DataFrame({"g": ["x"] * 50 + ["y"] * 30, "v": list(range(50)) + list(range(10)) * 3})
+    got = approx_distinct(rd.from_pandas(df), "g", "v").to_pandas().set_index("g")
+    assert got.loc["x", "approx_distinct"] == 50
+    assert got.loc["y", "approx_distinct"] == 10
+
+
+@pytest.mark.parametrize("qs", [[0.5], [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]])
+def test_exact_quantiles_match_duckdb(frame, qs):
+    got = exact_quantiles(rd.from_pandas(frame), "v", qs, max_collect=500)
+    for q, val in zip(got["q"], got["value"]):
+        exp = duckdb.sql(f"SELECT quantile_disc(v, {q}) FROM frame").fetchone()[0]
+        assert val == pytest.approx(float(exp), abs=0), (q, val, exp)
+
+
+def test_exact_quantiles_duplicate_heavy():
+    # 90% of the mass is a single value — bisection can't split it, the
+    # dup guard + final gather must still return the exact element
+    df = pd.DataFrame({"v": np.r_[np.full(9000, 7.25), np.linspace(0, 100, 1000)]})
+    got = exact_quantiles(rd.from_pandas(df), "v", [0.5, 0.95], max_collect=100)
+    exp5 = duckdb.sql("SELECT quantile_disc(v, 0.5) FROM df").fetchone()[0]
+    exp95 = duckdb.sql("SELECT quantile_disc(v, 0.95) FROM df").fetchone()[0]
+    assert got["value"].tolist() == [float(exp5), float(exp95)]
+
+
+def test_exact_quantiles_constant_column():
+    df = pd.DataFrame({"v": np.full(100, 3.5)})
+    got = exact_quantiles(rd.from_pandas(df), "v", [0.1, 0.9])
+    assert got["value"].tolist() == [3.5, 3.5]
