@@ -158,6 +158,55 @@ def run_bench() -> dict:
         timings["ngram_jaccard_near_dup"] = time.perf_counter() - t0
         result_extra["ngram_pairs"] = n_pairs_ng
 
+        # scale-op family over the 1M-row bench table: grouped top-k,
+        # HLL distinct, exact quantiles, as-of join (right side built by
+        # deterministic hash sampling of the same table)
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        from rustac_ray.stages.aggregates import grouped_topk
+        from rustac_ray.stages.sampling import hash_sample
+        from rustac_ray.stages.sketch import approx_distinct, exact_quantiles
+        from rustac_ray.stages.temporal_join import asof_join
+
+        def with_ts_int(b):
+            return b.append_column(
+                "ts_int", pc_.cast(b["datetime"], pa_.int64())
+            ).drop_columns(["transform"])
+
+        def meta_ts():
+            return bench_meta_ds().map_batches(with_ts_int, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        grouped_topk(
+            meta_ts(), "collection", "ts_int", 100, tie_cols=["image_id"]
+        ).count()
+        timings["grouped_topk"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        approx_distinct(meta_ts(), "collection", "ts_int").count()
+        timings["approx_distinct"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        exact_quantiles(meta_ts(), "ts_int", [0.1, 0.5, 0.9, 0.99])
+        timings["exact_quantiles"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cal = hash_sample(meta_ts(), "ts_int", 0.01).map_batches(
+            lambda b: b.select(["collection", "ts_int", "image_id"]),
+            batch_format="pyarrow",
+        )
+        asof_join(
+            meta_ts(),
+            cal,
+            on="ts_int",
+            by="collection",
+            right_cols=["image_id"],
+            tie_break="image_id",
+            strategy="broadcast",
+        ).count()
+        timings["asof_join_1m"] = time.perf_counter() - t0
+
         t0 = time.perf_counter()
         emb = pq_.read_table(f"{sf_dir}/embeddings.parquet")
         queries_e = {
