@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "7"
+DERIVED_VERSION = "8"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -470,6 +470,43 @@ def _expected_approx_distinct(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+# ------------------------------------------------------- packing oracle ----
+
+
+def _expected_packing(
+    docs: pa.Table, budget: int = 256, num_buckets: int = 16
+) -> pa.Table:
+    """Plain scalar re-implementation of stages.packing.pack_sequences:
+    per-doc Knuth-hash bucket, ascending-id order, next-fit greedy fill."""
+    rows = []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        n_tok = len(str(text).split())
+        bucket = ((did * 2654435761) % (1 << 32)) % num_buckets
+        rows.append((did, n_tok, bucket))
+    rows.sort(key=lambda r: (r[2], r[0]))  # by bucket, then id
+    out = []
+    cur_bucket, cur_seq, cur_fill = None, 0, 0
+    for did, n_tok, bucket in rows:
+        take = min(n_tok, budget)
+        if bucket != cur_bucket:
+            cur_bucket, cur_seq, cur_fill = bucket, 0, take
+        elif cur_fill + take > budget:
+            cur_seq += 1
+            cur_fill = take
+        else:
+            cur_fill += take
+        out.append((did, n_tok, bucket, cur_seq, n_tok > budget))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in out], pa.int64()),
+            "n_tokens": pa.array([r[1] for r in out], pa.int64()),
+            "bucket": pa.array([r[2] for r in out], pa.int64()),
+            "seq": pa.array([r[3] for r in out], pa.int64()),
+            "clipped": pa.array([r[4] for r in out], pa.bool_()),
+        }
+    )
+
+
 # ------------------------------------------------- embeddings near-dup fix --
 
 
@@ -642,6 +679,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_ivf_topk.parquet", ivf_expected)
     write("stac_items_validate.parquet", _validation_fixture(fdir))
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
+    write("expected_packing.parquet", _expected_packing(docs))
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir
