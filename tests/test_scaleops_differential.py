@@ -1,0 +1,166 @@
+"""Randomized differential tests for the scale-op family (grouped top-k,
+hash sampling, quantiles, as-of join, interval join) vs DuckDB on random
+frames — the same armor test_properties.py gives the SEARCH surface."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rustac_ray.stages.aggregates import grouped_topk
+from rustac_ray.stages.sampling import hash_sample, sample_sql
+from rustac_ray.stages.sketch import exact_quantiles
+from rustac_ray.stages.temporal_join import asof_join, interval_join
+
+
+def _frame(seed: int, n: int = 800) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "k": rng.integers(0, 6, n),
+            # coarse grid → plenty of exact duplicates to stress ties
+            "v": (rng.integers(0, 80, n) * 0.5).astype(np.float64),
+        }
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 12), st.booleans())
+def test_grouped_topk_differential(ray_session, seed, n, desc):
+    df = _frame(seed)
+    got = (
+        grouped_topk(
+            rd.from_pandas(df).repartition(5), "k", "v", n,
+            descending=desc, tie_cols=["id"],
+        )
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    d = "DESC" if desc else "ASC"
+    exp = (
+        duckdb.sql(
+            f"SELECT id, k, v FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY k ORDER BY v {d}, id) rn FROM df) "
+            f"WHERE rn <= {n} ORDER BY k, id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "k", "v"]], exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.floats(0.0, 1.0, allow_nan=False),
+    st.integers(0, 99),
+)
+def test_hash_sample_differential(ray_session, seed, rate, salt):
+    df = _frame(seed, 400)
+    got = sorted(
+        hash_sample(rd.from_pandas(df), "id", rate, salt=salt)
+        .to_pandas()
+        .get("id", pd.Series(dtype="int64"))
+        .tolist()
+    )
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT id FROM df WHERE {sample_sql('id', rate, salt)} ORDER BY id"
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.lists(st.floats(0.0, 1.0, allow_nan=False), min_size=1, max_size=4),
+)
+def test_exact_quantiles_differential(ray_session, seed, qs):
+    df = _frame(seed)
+    got = exact_quantiles(
+        rd.from_pandas(df), "v", qs, max_collect=50, bins=16
+    )
+    for q, val in zip(got["q"], got["value"]):
+        exp = duckdb.sql(f"SELECT quantile_disc(v, {q}) FROM df").fetchone()[0]
+        assert val == float(exp), (q, val, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.sampled_from(["broadcast", "partitioned"]))
+def test_asof_join_differential(ray_session, seed, strategy):
+    rng = np.random.default_rng(seed)
+    nl, nr = 300, 120
+    ldf = pd.DataFrame(
+        {
+            "lid": np.arange(nl),
+            "k": rng.integers(0, 5, nl),
+            "ts": rng.integers(0, 500, nl).astype("int64"),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "rid": np.arange(nr),
+            "k": rng.integers(0, 5, nr),
+            "ts": (rng.integers(0, 50, nr) * 10).astype("int64"),
+        }
+    )
+    j = asof_join(
+        rd.from_pandas(ldf),
+        rd.from_pandas(rdf),
+        on="ts",
+        by="k",
+        right_cols=["rid"],
+        tie_break="rid",
+        strategy=strategy,
+        num_partitions=3,
+    ).to_pandas()
+    got = (
+        j[["lid", "rid"]]
+        .fillna(-1)
+        .astype("int64")
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "WITH p AS (SELECT k, ts, max(rid) AS rid FROM rdf GROUP BY 1, 2) "
+        "SELECT l.lid, CAST(coalesce(p.rid, -1) AS BIGINT) AS rid "
+        "FROM ldf l ASOF LEFT JOIN p ON l.k = p.k AND l.ts >= p.ts "
+        "ORDER BY l.lid"
+    ).df()
+    assert got["rid"].tolist() == exp["rid"].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.sampled_from(["broadcast", "partitioned"]))
+def test_interval_join_differential(ray_session, seed, strategy):
+    rng = np.random.default_rng(seed)
+    probe = pd.DataFrame(
+        {"pid": np.arange(300), "v": rng.uniform(-10, 110, 300).round(2)}
+    )
+    k = int(rng.integers(1, 10))
+    lo = rng.uniform(0, 90, k).round(2)
+    hi = (lo + rng.uniform(0, 40, k)).round(2)
+    bands = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lo, hi))]
+    out = interval_join(
+        rd.from_pandas(probe), bands, value_col="v",
+        strategy=strategy, num_partitions=4,
+    ).to_pandas()
+    got = sorted(zip(out["pid"].astype(int), out["band_id"].astype(int)))
+    vals = " UNION ALL ".join(
+        f"SELECT {b} AS band_id, {a} AS lo, {c} AS hi" for b, a, c in bands
+    )
+    exp = sorted(
+        (r[0], r[1])
+        for r in duckdb.sql(
+            f"SELECT pid, band_id FROM probe JOIN ({vals}) b "
+            "ON v BETWEEN lo AND hi"
+        ).fetchall()
+    )
+    assert got == exp
