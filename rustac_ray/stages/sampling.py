@@ -28,7 +28,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_sample", "stratified_sample", "KNUTH", "MOD32", "hash_bucket"]
+__all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "grouped_sample_n",
+    "KNUTH",
+    "MOD32",
+    "hash_bucket",
+]
 
 KNUTH = 2654435761  # Knuth's multiplicative constant (2^32 / phi)
 MOD32 = 1 << 32
@@ -91,6 +98,32 @@ def stratified_sample(
         return batch.filter(pa.array(hash_bucket(keys, salt) < thr_u[inv]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_sample_n(ds, stratum_col: str, key_col: str, n: int, *, salt: int = 0):
+    """Exactly-n-per-stratum deterministic sample (n or all rows if the
+    stratum is smaller): rows ranked by the sampling hash of their key
+    within each stratum, n smallest kept — i.e. a uniform random sample
+    under a fixed, reproducible permutation. Built on ``grouped_topk``,
+    so each block is pruned to its local per-stratum n before the one
+    groupby shuffle. SQL twin: ``row_number() OVER (PARTITION BY stratum
+    ORDER BY (key*KNUTH+salt)%2^32, key) <= n``.
+    """
+    from .aggregates import grouped_topk
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__h", pa.array(hash_bucket(keys, salt).astype(np.int64))
+        )
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow")
+    out = grouped_topk(
+        withh, stratum_col, "__h", n, descending=False, tie_cols=[key_col]
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns="__h"), batch_format="pandas"
+    )
 
 
 def sample_sql(key_col: str, rate: float, salt: int = 0) -> str:

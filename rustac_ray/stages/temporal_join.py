@@ -306,6 +306,7 @@ def interval_join(
     out_cols: list[str] | None = None,
     strategy: str = "broadcast",
     num_partitions: int = 16,
+    equi_depth: bool = False,
 ):
     """Inner-join probe rows to every interval with lo <= value <= hi.
 
@@ -313,6 +314,12 @@ def interval_join(
     ``intervals`` may be a small pandas frame / list of (id, lo, hi)
     tuples (broadcast) or a Dataset (collected when broadcast; domain-
     chunked when partitioned).
+
+    ``equi_depth=True`` (partitioned only): chunk edges are picked from a
+    one-pass streaming histogram of the PROBE values so each chunk holds
+    ~equal probe mass — the explicit skew handling for value
+    distributions where uniform-width chunks would send most of the
+    probe side to one reducer (zipf timestamps, price clusters, …).
     """
     idf = _interval_frame(intervals, lo_col, hi_col, id_col)
     if out_cols is None:
@@ -345,15 +352,43 @@ def interval_join(
 
     # Domain-chunk the value axis; replicate each interval into every
     # chunk it overlaps (1-D analogue of cell replication in the
-    # partitioned spatial join). Chunk edges from the interval span.
+    # partitioned spatial join). Chunk edges from the interval span
+    # (uniform width), or from an equi-depth histogram of the probe.
     lo = idf[lo_col].to_numpy(dtype=np.float64)
     hi = idf[hi_col].to_numpy(dtype=np.float64)
     span_lo, span_hi = float(lo.min()), float(hi.max())
-    width = max((span_hi - span_lo) / num_partitions, 1e-12)
+
+    if equi_depth:
+        # one streaming pass: fine histogram of in-span probe values →
+        # cut points at every 1/num_partitions of the cumulative mass
+        fine = 64 * num_partitions
+        fine_edges = np.linspace(span_lo, span_hi, fine + 1)
+
+        def hcount(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            cnt, _ = np.histogram(v[(v >= span_lo) & (v <= span_hi)], bins=fine_edges)
+            return pa.table({"h": pa.array([cnt.astype(np.int64).tobytes()], pa.binary())})
+
+        tot = np.zeros(fine, dtype=np.int64)
+        for b in probe_ds.map_batches(
+            hcount, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for hb in b["h"].to_pylist():
+                tot += np.frombuffer(hb, dtype=np.int64)
+        cum = np.cumsum(tot)
+        cuts = [
+            float(fine_edges[int(np.searchsorted(cum, cum[-1] * k / num_partitions))])
+            for k in range(1, num_partitions)
+        ]
+        inner = np.unique(np.asarray(cuts, dtype=np.float64))
+        edges = np.concatenate([[span_lo], inner, [span_hi]])
+    else:
+        edges = np.linspace(span_lo, span_hi, num_partitions + 1)
+    n_chunks = len(edges) - 1
 
     def chunk_of(v: np.ndarray) -> np.ndarray:
-        c = np.floor((v - span_lo) / width).astype(np.int64)
-        return np.clip(c, 0, num_partitions - 1)
+        c = np.searchsorted(edges, v, side="right") - 1
+        return np.clip(c, 0, n_chunks - 1).astype(np.int64)
 
     # interval side: replicate per overlapped chunk (driver-side: the
     # interval table is rows × chunks and tiny relative to the probe).

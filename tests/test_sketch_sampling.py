@@ -169,3 +169,41 @@ def test_exact_quantiles_constant_column():
     df = pd.DataFrame({"v": np.full(100, 3.5)})
     got = exact_quantiles(rd.from_pandas(df), "v", [0.1, 0.9])
     assert got["value"].tolist() == [3.5, 3.5]
+
+
+def test_grouped_sample_n_matches_window_sql(frame):
+    from rustac_ray.stages.sampling import grouped_sample_n
+
+    got = (
+        grouped_sample_n(rd.from_pandas(frame).repartition(6), "k", "id", 9)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            f"SELECT id, k, v, u FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY k ORDER BY (id * {KNUTH}) % {MOD32}, id) rn "
+            f"FROM frame) WHERE rn <= 9 ORDER BY k, id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "k", "v", "u"]], exp)
+    assert (got.groupby("k").size() == 9).all()
+
+
+def test_approx_distinct_layout_independent(frame):
+    a = (
+        approx_distinct(rd.from_pandas(frame), "k", "u")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    b = (
+        approx_distinct(rd.from_pandas(frame).repartition(11), "k", "u")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -152,3 +152,27 @@ def test_interval_join_matches_brute_force(strategy):
         if lo <= v <= hi
     }
     assert got == exp
+
+
+def test_interval_join_equi_depth_same_pairs():
+    # zipf-skewed probe: equi-depth chunking must yield identical pairs
+    rng = np.random.default_rng(21)
+    v = np.minimum(rng.zipf(1.3, 600).astype(np.float64), 100.0)
+    probe = pd.DataFrame({"pid": np.arange(600), "v": v})
+    bands = [(0, 1.0, 3.0), (1, 2.0, 50.0), (2, 40.0, 100.0)]
+
+    def pairs(**kw):
+        out = interval_join(
+            rd.from_pandas(probe), bands, value_col="v",
+            strategy="partitioned", num_partitions=6, **kw,
+        ).to_pandas()
+        return set(zip(out["pid"].astype(int), out["band_id"].astype(int)))
+
+    exp = {
+        (int(p), b)
+        for p, val in zip(probe["pid"], probe["v"])
+        for b, lo, hi in bands
+        if lo <= val <= hi
+    }
+    assert pairs() == exp
+    assert pairs(equi_depth=True) == exp
