@@ -8,6 +8,8 @@ no analogue — there is no server in scope, SURVEY.md §3.3).
     python -m rustac_ray validate ITEMS.parquet
     python -m rustac_ray join IMAGES.parquet QUERIES.parquet [-o OUT]
     python -m rustac_ray tiles IMAGES.parquet [-z 8] [-o OUT]
+    python -m rustac_ray sample T.parquet --key doc_id --rate 0.1 [-o OUT]
+    python -m rustac_ray pack DOCS.parquet --budget 512 [-o OUT]
 
 Owns its Ray session (guarded init), unlike the library code.
 """
@@ -147,6 +149,49 @@ def cmd_tiles(args):
     _emit(ds.drop_columns(["tile_key"]), args.output)
 
 
+def cmd_sample(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.sampling import grouped_sample_n, hash_sample, stratified_sample
+
+    ds = rd.read_parquet(args.input)
+    if args.per_group:
+        if not args.group:
+            raise SystemExit("--per-group requires --group")
+        out = grouped_sample_n(
+            ds, args.group, args.key, args.per_group, salt=args.salt
+        )
+    elif args.rates:
+        rates = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.rates.split(","))
+        }
+        out = stratified_sample(
+            ds, args.key, args.group, rates,
+            default_rate=args.rate, salt=args.salt,
+        )
+    else:
+        out = hash_sample(ds, args.key, args.rate, salt=args.salt)
+    _emit(out, args.output)
+
+
+def cmd_pack(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.packing import pack_sequences
+
+    out = pack_sequences(
+        rd.read_parquet(args.input),
+        id_col=args.id,
+        text_col=args.text,
+        budget=args.budget,
+        num_buckets=args.buckets,
+    )
+    _emit(out, args.output)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rustac_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -200,6 +245,29 @@ def main(argv=None):
     ti.add_argument("-o", "--output")
     ti.add_argument("--pyramid", help="write a Morton-sorted resumable tile pyramid here")
     ti.set_defaults(fn=cmd_tiles)
+
+    sa = sub.add_parser(
+        "sample", help="deterministic hash / stratified / n-per-group sampling"
+    )
+    sa.add_argument("input")
+    sa.add_argument("--key", required=True, help="non-negative int key column")
+    sa.add_argument("--rate", type=float, default=0.1,
+                    help="keep rate (also the default-stratum rate with --rates)")
+    sa.add_argument("--salt", type=int, default=0)
+    sa.add_argument("--group", help="stratum column (--rates / --per-group)")
+    sa.add_argument("--rates", help="per-stratum rates, e.g. en=0.25,de=0.5")
+    sa.add_argument("--per-group", type=int, help="exactly-n-per-group sample")
+    sa.add_argument("-o", "--output")
+    sa.set_defaults(fn=cmd_sample)
+
+    pk = sub.add_parser("pack", help="pack docs into token-budget sequences")
+    pk.add_argument("input")
+    pk.add_argument("--budget", type=int, default=512)
+    pk.add_argument("--id", default="doc_id")
+    pk.add_argument("--text", default="text")
+    pk.add_argument("--buckets", type=int, default=64)
+    pk.add_argument("-o", "--output")
+    pk.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)
     args.fn(args)

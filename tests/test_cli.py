@@ -50,3 +50,27 @@ def test_cli_tiles_pyramid(fixtures_dir, tmp_path, capsys):
     assert files and os.path.exists(f"{out}/_manifest.jsonl")
     keys = pq.read_table(f"{out}/{files[0]}")["tile_key"].to_numpy()
     assert (np.diff(keys) >= 0).all()
+
+
+def test_cli_sample_and_pack(sf_dir, tmp_path, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    main(["sample", docs, "--key", "doc_id", "--rate", "0.3"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(line) for line in out if line.startswith("{")]
+    assert rows and all("doc_id" in r for r in rows)
+
+    main(["sample", docs, "--key", "doc_id", "--per-group", "2",
+          "--group", "lang"])
+    out2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    langs = {}
+    for r in out2:
+        langs[r["lang"]] = langs.get(r["lang"], 0) + 1
+    assert all(v <= 2 for v in langs.values())
+
+    dest = str(tmp_path / "packed")
+    main(["pack", docs, "--budget", "128", "--buckets", "4", "-o", dest])
+    import ray.data as rd
+
+    packed = rd.read_parquet(dest).to_pandas()
+    assert {"doc_id", "n_tokens", "bucket", "seq", "clipped"} <= set(packed.columns)
