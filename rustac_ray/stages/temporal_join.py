@@ -114,7 +114,21 @@ def asof_join(
         return df.rename(columns=ren)
 
     if strategy == "broadcast":
-        build = _prep_build(right_ds.select_columns(keep).to_pandas())
+        bpdf = right_ds.select_columns(keep).to_pandas()
+        if bpdf.empty and not set(keep) <= set(bpdf.columns):
+            # an empty Dataset loses its schema entirely; rebuild typed
+            # columns (join keys must match the left dtypes for merge_asof)
+            lsch = left_ds.schema()
+            lt = dict(zip(lsch.names, lsch.types))
+            bpdf = pd.DataFrame(
+                {
+                    c: pd.Series(
+                        dtype=lt[c].to_pandas_dtype() if c in lt else "float64"
+                    )
+                    for c in keep
+                }
+            )
+        build = _prep_build(bpdf)
         build_ref = ray.put(build)
 
         class AsofProbe:
@@ -291,7 +305,10 @@ def _interval_frame(intervals, lo_col, hi_col, id_col) -> pd.DataFrame:
     if isinstance(intervals, pd.DataFrame):
         return intervals
     if isinstance(intervals, (list, tuple)):
-        return pd.DataFrame(intervals, columns=[id_col, lo_col, hi_col])
+        df = pd.DataFrame(intervals, columns=[id_col, lo_col, hi_col])
+        if df.empty:  # keep typed columns so the output schema is stable
+            df = df.astype({id_col: "int64", lo_col: "float64", hi_col: "float64"})
+        return df
     return intervals.to_pandas()  # a Dataset
 
 
@@ -324,6 +341,16 @@ def interval_join(
     idf = _interval_frame(intervals, lo_col, hi_col, id_col)
     if out_cols is None:
         out_cols = list(probe_ds.schema().names)
+
+    if not len(idf):  # no intervals → empty result with a stable schema
+        id_type = pa.Array.from_pandas(idf[id_col]).type
+
+        def none(batch: pa.Table) -> pa.Table:
+            return batch.select(out_cols).slice(0, 0).append_column(
+                id_col, pa.array([], id_type)
+            )
+
+        return probe_ds.map_batches(none, batch_format="pyarrow")
 
     if strategy == "broadcast":
         index = IntervalIndex(
