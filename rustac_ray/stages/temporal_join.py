@@ -84,6 +84,7 @@ def asof_join(
     strategy: str = "broadcast",
     num_partitions: int = 16,
     suffix: str = "_r",
+    concurrency=(1, 16),
 ):
     """For each left row, attach the matching right row's ``right_cols``.
 
@@ -146,7 +147,7 @@ def asof_join(
                 )
 
         return left_ds.map_batches(
-            AsofProbe, batch_format="pandas", concurrency=(1, 8)
+            AsofProbe, batch_format="pandas", concurrency=concurrency
         )
 
     if strategy != "partitioned":
@@ -324,6 +325,7 @@ def interval_join(
     strategy: str = "broadcast",
     num_partitions: int = 16,
     equi_depth: bool = False,
+    concurrency=(1, 16),
 ):
     """Inner-join probe rows to every interval with lo <= value <= hi.
 
@@ -371,7 +373,7 @@ def interval_join(
                 )
 
         return probe_ds.map_batches(
-            IntervalProbe, batch_format="pyarrow", concurrency=(1, 8)
+            IntervalProbe, batch_format="pyarrow", concurrency=concurrency
         )
 
     if strategy != "partitioned":
