@@ -8,6 +8,7 @@ no analogue — there is no server in scope, SURVEY.md §3.3).
     python -m rustac_ray validate ITEMS.parquet
     python -m rustac_ray join IMAGES.parquet QUERIES.parquet [-o OUT]
     python -m rustac_ray tiles IMAGES.parquet [-z 8] [-o OUT]
+    python -m rustac_ray job SF_DIR -o OUT_DIR      # ray job submit payload
     python -m rustac_ray sample T.parquet --key doc_id --rate 0.1 [-o OUT]
     python -m rustac_ray pack DOCS.parquet --budget 512 [-o OUT]
 
@@ -149,6 +150,44 @@ def cmd_tiles(args):
     _emit(ds.drop_columns(["tile_key"]), args.output)
 
 
+def cmd_job(args):
+    """The `ray job submit` payload (north rule): the full flagship
+    workload — checkpointed spatial join + Z-order tile pyramid — against
+    whatever cluster RAY_ADDRESS points at, emitting one metrics JSON
+    line. Rerunning after a failure skips completed partitions via the
+    lineage manifests:
+
+        ray job submit --working-dir . -- \\
+            python -m rustac_ray job SF_DIR -o /out/run1
+    """
+    _ensure_ray()
+    import time
+
+    from .pipelines.flagship import run_checkpointed, write_tile_pyramid
+
+    t0 = time.perf_counter()
+    join_recs = run_checkpointed(
+        args.input, f"{args.output}/join",
+        concurrency=args.concurrency, resume=not args.no_resume,
+    )
+    t_join = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tile_recs = write_tile_pyramid(
+        args.input, f"{args.output}/tiles",
+        z=args.zoom, resume=not args.no_resume,
+    )
+    t_tiles = time.perf_counter() - t0
+    print(json.dumps({
+        "join_partitions": len(join_recs),
+        "join_rows": sum(r["rows"] for r in join_recs),
+        "join_sec": round(t_join, 3),
+        "tile_partitions": len(tile_recs),
+        "tile_rows": sum(r["rows"] for r in tile_recs),
+        "tiles_sec": round(t_tiles, 3),
+        "output": args.output,
+    }))
+
+
 def cmd_sample(args):
     _ensure_ray()
     import ray.data as rd
@@ -245,6 +284,16 @@ def main(argv=None):
     ti.add_argument("-o", "--output")
     ti.add_argument("--pyramid", help="write a Morton-sorted resumable tile pyramid here")
     ti.set_defaults(fn=cmd_tiles)
+
+    jb = sub.add_parser(
+        "job", help="full flagship workload (ray job submit payload)"
+    )
+    jb.add_argument("input", help="sf dir / table dir")
+    jb.add_argument("-o", "--output", required=True)
+    jb.add_argument("--concurrency", type=int, default=8)
+    jb.add_argument("-z", "--zoom", type=int, default=8)
+    jb.add_argument("--no-resume", action="store_true")
+    jb.set_defaults(fn=cmd_job)
 
     sa = sub.add_parser(
         "sample", help="deterministic hash / stratified / n-per-group sampling"

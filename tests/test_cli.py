@@ -74,3 +74,14 @@ def test_cli_sample_and_pack(sf_dir, tmp_path, capsys):
 
     packed = rd.read_parquet(dest).to_pandas()
     assert {"doc_id", "n_tokens", "bucket", "seq", "clipped"} <= set(packed.columns)
+
+
+def test_cli_job_resumable(sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "jobrun")
+    main(["job", sf_dir, "-o", out, "--concurrency", "2", "-z", "6"])
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["join_rows"] > 0 and m1["tile_rows"] > 0
+    # rerun: every partition already in the manifests → same totals
+    main(["job", sf_dir, "-o", out, "--concurrency", "2", "-z", "6"])
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (m2["join_rows"], m2["tile_rows"]) == (m1["join_rows"], m1["tile_rows"])
