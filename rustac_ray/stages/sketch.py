@@ -31,7 +31,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["approx_distinct", "exact_quantiles", "splitmix64", "hll_estimate"]
+__all__ = [
+    "approx_distinct",
+    "exact_quantiles",
+    "splitmix64",
+    "hll_estimate",
+    "token_heavy_hitters",
+]
 
 
 # ------------------------------------------------------------------- hll --
@@ -268,3 +274,85 @@ def exact_quantiles(
         rr = r - below
         out.append(float(np.partition(inr, rr)[rr]))
     return pd.DataFrame({"q": qs, "value": out})
+
+
+# --------------------------------------------------------- heavy hitters --
+
+
+def token_heavy_hitters(
+    ds,
+    col: str = "text",
+    k: int = 10,
+    *,
+    mg_capacity: int | None = None,
+    concurrency: int | None = None,
+):
+    """Exact global top-k most frequent whitespace tokens of a text column.
+
+    Combiner-first: each batch tokenizes (``str.split`` + ``explode``,
+    C kernels) and pre-aggregates to its LOCAL (token, count) pairs, so
+    the ``groupby(token)`` shuffle moves at most vocab × blocks tiny rows
+    — never the corpus. The grouped sums are then pruned per block to a
+    local top-k and merged once (the partial-top-k combiner), exactly the
+    SQL ``GROUP BY token ORDER BY cnt DESC, token LIMIT k``.
+
+    ``mg_capacity``: the unbounded-vocab scale path. Each batch keeps only
+    a Misra-Gries summary of ``mg_capacity`` candidates (counts decremented
+    by the (capacity+1)-th value — the vectorized MG batch summary).
+    Merged MG counts underestimate true counts by at most
+    total_tokens / mg_capacity, so the candidate set provably contains
+    every token whose true count exceeds that bound; a second EXACT
+    recount pass restricted to the candidates (broadcast ``isin``) makes
+    the final top-k exact whenever the k-th count clears the MG bound —
+    asserted against the exact path in tests. Use it when the vocabulary
+    itself is too large to shuffle (e.g. URL or hash tokens at 100 TB).
+    """
+    import ray.data  # noqa: F401 — ds is a ray.data.Dataset
+
+    from ray.data.aggregate import Sum
+
+    from rustac_ray.query import sorted_topn
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch[col].astype(str).str.split().explode().dropna()
+        vc = ex.value_counts()
+        out = pd.DataFrame(
+            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+        if mg_capacity is not None and len(out) > mg_capacity:
+            # Misra-Gries decrement: subtract the (c+1)-th largest count,
+            # drop non-positive — the classic summary, one vectorized op
+            out = out.sort_values(["cnt", "token"], ascending=[False, True])
+            dec = int(out["cnt"].iloc[mg_capacity])
+            out["cnt"] = out["cnt"] - dec
+            out = out[out["cnt"] > 0]
+        return out
+
+    grouped = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    if mg_capacity is None:
+        return sorted_topn(grouped, [("cnt", True), ("token", False)], k)
+
+    # scale path: MG candidates -> exact recount restricted to them
+    cand = {r["token"] for r in sorted_topn(
+        grouped, [("cnt", True), ("token", False)], max(4 * k, 64)
+    ).take_all()}
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch[col].astype(str).str.split().explode().dropna()
+        ex = ex[ex.isin(cand)]
+        vc = ex.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return sorted_topn(exact, [("cnt", True), ("token", False)], k)

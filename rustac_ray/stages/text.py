@@ -14,7 +14,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["TextStats", "LangId", "Fingerprint", "add_token_counts"]
+__all__ = [
+    "TextStats",
+    "LangId",
+    "Fingerprint",
+    "Redactor",
+    "add_token_counts",
+    "repetition_stats",
+]
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "was", "for"},
@@ -98,6 +105,81 @@ class Fingerprint:
 
         batch["fingerprint"] = batch["text"].astype(str).map(fp)
         return batch
+
+
+class Redactor:
+    """PII-style pattern redaction: replace every match of each configured
+    regex with its placeholder and count the hits per doc.
+
+    Patterns compile ONCE per actor (``__init__``); ``__call__`` is pandas
+    ``str.replace``/``str.count`` — the C regex engine scans each doc, no
+    Python per row. Patterns must stay within the RE2-compatible subset
+    (no backrefs/lookahead) so the DuckDB ``regexp_replace(..., 'g')``
+    oracle matches byte-for-byte. Default set: emails, US-style phone
+    numbers, IPv4 addresses — the standard scrub list for web corpora.
+    """
+
+    DEFAULT_PATTERNS: list[tuple[str, str]] = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+        (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+        (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ]
+
+    def __init__(self, patterns: list[tuple[str, str]] | None = None):
+        import re
+
+        self.patterns = [
+            (re.compile(p), repl) for p, repl in (patterns or self.DEFAULT_PATTERNS)
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        n_red = pd.Series(np.zeros(len(batch), np.int64), index=batch.index)
+        for pat, repl in self.patterns:
+            n_red += text.str.count(pat).astype("int64")
+            text = text.str.replace(pat, repl, regex=True)
+        batch["text"] = text
+        batch["n_redactions"] = n_red
+        return batch
+
+
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style within-doc repetition signals, fully vectorized.
+
+    Per doc: total whitespace tokens, distinct tokens, the most-frequent
+    token's count, ``top_token_frac`` (most-frequent / total) and
+    ``distinct_ratio`` (distinct / total). High ``top_token_frac`` or low
+    ``distinct_ratio`` marks degenerate repeated-token documents —
+    the standard pre-training quality filter signals (Gopher §A1.1).
+
+    Docs in a batch are independent, so the explode + groupby runs on C
+    kernels inside each ``map_batches`` task — no shuffle, no state.
+    """
+    toks = batch["text"].astype(str).str.split()
+    ex = toks.explode().dropna()
+    pos_of = pd.Series(np.arange(len(batch), dtype=np.int64), index=batch.index)
+    rows = pos_of[ex.index].to_numpy()
+    per = pd.DataFrame({"row": rows, "token": ex.to_numpy()})
+    cnt = per.groupby(["row", "token"], sort=False).size().reset_index(name="c")
+    by_row = cnt.groupby("row", sort=False)["c"]
+    n_tokens = np.zeros(len(batch), np.int64)
+    n_distinct = np.zeros(len(batch), np.int64)
+    top_count = np.zeros(len(batch), np.int64)
+    agg = pd.DataFrame({"sum": by_row.sum(), "n": by_row.size(), "max": by_row.max()})
+    idx = agg.index.to_numpy().astype(np.int64)
+    n_tokens[idx] = agg["sum"].to_numpy()
+    n_distinct[idx] = agg["n"].to_numpy()
+    top_count[idx] = agg["max"].to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_tokens": n_tokens,
+            "n_distinct": n_distinct,
+            "top_count": top_count,
+            "top_token_frac": top_count / np.maximum(n_tokens, 1),
+            "distinct_ratio": n_distinct / np.maximum(n_tokens, 1),
+        }
+    )
 
 
 def add_token_counts(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,175 @@
+"""Decontamination, heavy hitters, redaction, repetition stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from rustac_ray.stages.decontam import (
+    BloomFilter,
+    build_bloom,
+    decontaminate,
+    ngram_hash_set,
+    ngram_hashes,
+)
+from rustac_ray.stages.sketch import token_heavy_hitters
+from rustac_ray.stages.text import Redactor, repetition_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ decontam --
+
+
+def _toy_tables():
+    test = pd.DataFrame(
+        {"doc_id": [100, 101], "text": ["alpha beta gamma delta", "x y z w"]}
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon",  # 2/3 trigrams in test set
+                "alpha beta gamma unrelated words here",  # 1/4
+                "totally different content entirely okay",  # 0
+                "too short",  # no trigrams at all
+            ],
+        }
+    )
+    return train, test
+
+
+def test_decontaminate_planted_overlap():
+    train, test = _toy_tables()
+    out = (
+        decontaminate(rd.from_pandas(train), rd.from_pandas(test), n=3, threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_ngrams"].tolist() == [3, 4, 3, 0]
+    assert out["n_matched"].tolist() == [2, 1, 0, 0]
+    assert out["contaminated"].tolist() == [True, False, False, False]
+
+
+def test_ngram_hashes_distinct_per_row():
+    s = pd.Series(["a b c a b c a b c"])  # repeated trigrams dedup to 3
+    f = ngram_hashes(s, 3)
+    assert len(f) == 3
+    assert set(f["row"]) == {0}
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr():
+    rng = np.random.default_rng(7)
+    member = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    other = rng.integers(0, 2**63, 20000, dtype=np.uint64)
+    bf = BloomFilter(m_bits=1 << 17, k=7)
+    bf.add(member)
+    assert bf.contains(member).all()  # one-sided error
+    fpr = bf.contains(other).mean()
+    assert fpr < 0.02  # m/n≈26 bits/elem, k=7 → theoretical ~1e-4
+
+
+def test_bloom_merge_equals_bulk_add():
+    rng = np.random.default_rng(3)
+    a, b = (rng.integers(0, 2**63, 1000, dtype=np.uint64) for _ in range(2))
+    one = BloomFilter(m_bits=1 << 14, k=5)
+    one.add(np.concatenate([a, b]))
+    fa, fb = BloomFilter(1 << 14, 5), BloomFilter(1 << 14, 5)
+    fa.add(a)
+    fb.add(b)
+    assert (fa.merge(fb).bits == one.bits).all()
+
+
+def test_decontaminate_bloom_superset_of_exact():
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+
+    def split(df, flag):
+        return df.loc[(df["doc_id"] % 10 == 0) == flag]
+
+    test = docs.map_batches(lambda df: split(df, True), batch_format="pandas")
+    train = docs.map_batches(lambda df: split(df, False), batch_format="pandas")
+    exact_set = ngram_hash_set(test, n=3)
+    bloom = build_bloom(test, n=3, m_bits=1 << 20, k=7)
+    ex = decontaminate(train, exact_set, n=3, threshold=0.2).to_pandas()
+    bl = decontaminate(train, bloom, n=3, threshold=0.2).to_pandas()
+    ex_ids = set(ex.loc[ex["contaminated"], "doc_id"])
+    bl_ids = set(bl.loc[bl["contaminated"], "doc_id"])
+    assert ex_ids <= bl_ids  # bloom can only over-flag
+    m = ex.merge(bl, on="doc_id", suffixes=("_e", "_b"))
+    assert (m["n_matched_b"] >= m["n_matched_e"]).all()
+
+
+# -------------------------------------------------------- heavy hitters --
+
+
+def test_heavy_hitters_exact_matches_pandas():
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    got = token_heavy_hitters(docs, k=5).to_pandas()
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    vc = pdf["text"].str.split().explode().value_counts()
+    exp = (
+        vc.rename_axis("token")
+        .reset_index(name="cnt")
+        .sort_values(["cnt", "token"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    assert got["token"].tolist() == exp["token"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def test_heavy_hitters_mg_path_matches_exact():
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    exact = token_heavy_hitters(docs, k=8).to_pandas()
+    mg = token_heavy_hitters(docs, k=8, mg_capacity=16).to_pandas()
+    pd.testing.assert_frame_equal(exact, mg)
+
+
+# ------------------------------------------------------------ redaction --
+
+
+def test_redactor_defaults_plant():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "mail me at a.b@example.com or call 555-123-4567",
+                "server at 10.0.0.1 is fine",
+            ],
+        }
+    )
+    out = Redactor()(df.copy())
+    assert out["text"].tolist() == [
+        "mail me at [EMAIL] or call [PHONE]",
+        "server at [IP] is fine",
+    ]
+    assert out["n_redactions"].tolist() == [2, 1]
+
+
+def test_redactor_word_pattern():
+    df = pd.DataFrame({"doc_id": [0], "text": ["key of the value keychain key"]})
+    out = Redactor([(r"\b(key|value)\b", "[T]")])(df.copy())
+    assert out["text"].iloc[0] == "[T] of the [T] keychain [T]"
+    assert out["n_redactions"].iloc[0] == 3
+
+
+# ----------------------------------------------------------- repetition --
+
+
+def test_repetition_stats_planted():
+    df = pd.DataFrame({"doc_id": [7, 8], "text": ["a a a b", "x y z"]})
+    out = repetition_stats(df).sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "n_distinct"] == 2
+    assert out.loc[0, "top_count"] == 3
+    assert out.loc[0, "top_token_frac"] == 0.75
+    assert out.loc[1, "distinct_ratio"] == 1.0
+
+
+def test_repetition_stats_empty_text():
+    df = pd.DataFrame({"doc_id": [1], "text": [""]})
+    out = repetition_stats(df)
+    assert out["n_tokens"].iloc[0] == 0
+    assert out["top_token_frac"].iloc[0] == 0.0
