@@ -221,6 +221,42 @@ def run_bench() -> dict:
         ).count()
         timings["embed_topk_64q"] = time.perf_counter() - t0
 
+        # text-hygiene ops over a 200k-doc (~13M-token) bench corpus
+        from rustac_ray.stages.decontam import decontaminate, ngram_hash_set
+        from rustac_ray.stages.sketch import token_heavy_hitters
+
+        doc_rows = int(os.environ.get("GRAFT_BENCH_DOC_ROWS", "200000"))
+        docs_path = synth.ensure_bench_docs(doc_rows)
+
+        def bench_docs():
+            return rd.read_parquet(docs_path, override_num_blocks=n_blocks)
+
+        t0 = time.perf_counter()
+        token_heavy_hitters(bench_docs(), k=20).count()
+        timings["heavy_hitters_200k"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        test_side = bench_docs().map_batches(
+            lambda df: df.loc[df["doc_id"] % 100 == 0], batch_format="pandas"
+        )
+        train_side = bench_docs().map_batches(
+            lambda df: df.loc[df["doc_id"] % 100 != 0], batch_format="pandas"
+        )
+        hashes = ngram_hash_set(test_side, n=5)
+        n_contam = (
+            decontaminate(
+                train_side, hashes, n=5, threshold=0.5,
+                concurrency=max(2, num_cpus // 2),
+            )
+            .map_batches(
+                lambda df: df.loc[df["contaminated"], ["doc_id"]],
+                batch_format="pandas",
+            )
+            .count()
+        )
+        timings["decontam_200k"] = time.perf_counter() - t0
+        result_extra["contaminated_docs"] = n_contam
+
     headline = timings["spatial_join"] + timings["tile_assignment"]
     result_extra = locals().get("result_extra", {})
     result = {

@@ -30,6 +30,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "approx_distinct",
@@ -313,23 +314,33 @@ def token_heavy_hitters(
 
     from rustac_ray.query import sorted_topn
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        ex = batch[col].astype(str).str.split().explode().dropna()
-        vc = ex.value_counts()
-        out = pd.DataFrame(
-            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype(np.int64)}
-        )
+    def _batch_counts(batch: pa.Table) -> tuple[pa.Array, pa.Array]:
+        # Arrow tokenizer + value_counts (C kernels, ~10x pandas explode);
+        # drop the empty tokens Arrow emits at leading/trailing whitespace
+        flat = pc.list_flatten(pc.utf8_split_whitespace(batch[col]))
+        vc = pc.value_counts(flat.combine_chunks())
+        tok, cnt = vc.field("values"), pc.cast(vc.field("counts"), pa.int64())
+        nonempty = pc.greater(pc.utf8_length(tok), 0)
+        return tok.filter(nonempty), cnt.filter(nonempty)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tok, cnt = _batch_counts(batch)
+        out = pa.table({"token": tok, "cnt": cnt})
         if mg_capacity is not None and len(out) > mg_capacity:
             # Misra-Gries decrement: subtract the (c+1)-th largest count,
             # drop non-positive — the classic summary, one vectorized op
-            out = out.sort_values(["cnt", "token"], ascending=[False, True])
-            dec = int(out["cnt"].iloc[mg_capacity])
-            out["cnt"] = out["cnt"] - dec
-            out = out[out["cnt"] > 0]
+            out = out.sort_by([("cnt", "descending"), ("token", "ascending")])
+            dec = out["cnt"][mg_capacity].as_py()
+            kept = out.slice(0, mg_capacity)
+            new_cnt = pc.subtract(kept["cnt"], dec)
+            pos = pc.greater(new_cnt, 0)
+            out = pa.table(
+                {"token": kept["token"].filter(pos), "cnt": new_cnt.filter(pos)}
+            )
         return out
 
     grouped = (
-        ds.map_batches(partial_counts, batch_format="pandas")
+        ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
@@ -342,16 +353,15 @@ def token_heavy_hitters(
         grouped, [("cnt", True), ("token", False)], max(4 * k, 64)
     ).take_all()}
 
-    def recount(batch: pd.DataFrame) -> pd.DataFrame:
-        ex = batch[col].astype(str).str.split().explode().dropna()
-        ex = ex[ex.isin(cand)]
-        vc = ex.value_counts()
-        return pd.DataFrame(
-            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype(np.int64)}
-        )
+    cand_arr = pa.array(sorted(cand), pa.string())
+
+    def recount(batch: pa.Table) -> pa.Table:
+        tok, cnt = _batch_counts(batch)
+        m = pc.is_in(tok, value_set=cand_arr)
+        return pa.table({"token": tok.filter(m), "cnt": cnt.filter(m)})
 
     exact = (
-        ds.map_batches(recount, batch_format="pandas")
+        ds.map_batches(recount, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )

@@ -424,6 +424,67 @@ def ensure_bench_meta(n_rows: int) -> str:
     return out
 
 
+def ensure_bench_docs(n_rows: int) -> str:
+    """Write (once) an n-row synthetic documents table as a SHARDED parquet
+    directory (same rationale as ensure_bench_meta); returns its path.
+
+    Zipf-distributed tokens over a 10k-word vocabulary, 32-95 tokens per
+    doc — enough head/tail skew that heavy hitters, decontamination and
+    the dedup family do real work. Every doc with doc_id % 100 == 1 is an
+    exact copy of its predecessor (doc_id % 100 == 0), so a test-side
+    split on % 100 == 0 has planted contamination: the % 100 == 1 docs
+    are true positives, everything else matches only by chance.
+    Deterministic (seed fixed).
+    """
+    out = os.path.join(FIXTURE_ROOT, f"bench_docs_v3_{n_rows}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    rng = np.random.default_rng(20260817)
+    vocab_n = 10_000
+    vocab = np.array(
+        [f"w{i:04x}" for i in range(vocab_n)], dtype=object
+    )
+    lens = rng.integers(32, 96, n_rows)
+    total = int(lens.sum())
+    # proper normalized Zipf(1.0) over the 10k ranks (head word ≈10% of
+    # tokens, not ~half — n-gram space stays diverse enough that only
+    # genuinely duplicated text overlaps): inverse-CDF sampling
+    pmf = 1.0 / np.arange(1, vocab_n + 1)
+    cdf = np.cumsum(pmf / pmf.sum())
+    ranks = np.searchsorted(cdf, rng.random(total), side="left")
+    words = vocab[ranks]
+    offsets = np.cumsum(lens)[:-1]
+    texts = [" ".join(p) for p in np.split(words, offsets)]
+    for i in range(1, n_rows, 100):  # planted near-certain contamination
+        texts[i] = texts[i - 1]
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    shards = min(BENCH_META_SHARDS, max(1, n_rows // 5_000))
+    step = -(-n_rows // shards)
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(tmp, f"part-{i:03d}.parquet"),
+                compression="zstd",
+                row_group_size=25_000,
+            )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("1\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def build_query_points(geoms: pa.Table) -> pa.Table:
     """Flat (query_id, x, y, k) table of the point probes (kNN oracle side)."""
     from .geo.wkb import decode_geometry
