@@ -221,6 +221,25 @@ def run_bench() -> dict:
         ).count()
         timings["embed_topk_64q"] = time.perf_counter() - t0
 
+        # zonal statistics: decode + windowed pixel aggregation over the
+        # 100k-image payload fixture against the 20 query boxes
+        import pandas as pd_
+
+        from rustac_ray.stages.zonal import Zones, zonal_stats
+
+        t0 = time.perf_counter()
+        zboxes = pd_.read_parquet(f"{fdir}/query_boxes.parquet")
+        n_zonal = zonal_stats(
+            rd.read_parquet(
+                f"{fdir}/images.parquet",
+                columns=["image_id", "bytes", "w", "h", "fmt", "transform"],
+            ),
+            Zones.from_boxes(zboxes),
+            concurrency=max(2, num_cpus // 2),
+        ).count()
+        timings["zonal_stats"] = time.perf_counter() - t0
+        result_extra["zonal_zones"] = n_zonal
+
         # text-hygiene ops over a 200k-doc (~13M-token) bench corpus
         from rustac_ray.stages.decontam import decontaminate, ngram_hash_set
         from rustac_ray.stages.sketch import token_heavy_hitters

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "8"
+DERIVED_VERSION = "9"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -649,6 +649,73 @@ def _validation_fixture(fdir: str) -> pa.Table:
 # ------------------------------------------------------------------ ensure --
 
 
+# ----------------------------------------------------------- zonal oracle --
+
+
+def _expected_zonal(fdir: str) -> pa.Table:
+    """Naive zonal statistics: decode every image, evaluate EVERY pixel
+    center against EVERY query box over the full w×h grid (no windowing,
+    no candidate prefilter, no decode-dedup — deliberately the dumb
+    quadratic twin of stages/zonal.py). Inclusive box edges."""
+    from .imaging.codec import decode_image
+
+    import glob as _glob
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"))]
+    )
+    boxes = pq.read_table(os.path.join(fdir, "query_boxes.parquet")).to_pydict()
+    nq = len(boxes["query_id"])
+    n_images = [0] * nq
+    n_pixels = [0] * nq
+    sums = [[0, 0, 0] for _ in range(nq)]
+    for i in range(len(imgs)):
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        h, w = px.shape[0], px.shape[1]
+        cx = x0 + res * (np.arange(w, dtype=np.float64) + 0.5)
+        cy = y0 - res * (np.arange(h, dtype=np.float64) + 0.5)
+        gx, gy = np.meshgrid(cx, cy)
+        flat = px.reshape(-1, 3).astype(np.int64)
+        for q in range(nq):
+            m = (
+                (gx >= boxes["xmin"][q])
+                & (gx <= boxes["xmax"][q])
+                & (gy >= boxes["ymin"][q])
+                & (gy <= boxes["ymax"][q])
+            ).ravel()
+            c = int(np.count_nonzero(m))
+            if c == 0:
+                continue
+            s = flat[m].sum(axis=0)
+            n_images[q] += 1
+            n_pixels[q] += c
+            sums[q][0] += int(s[0])
+            sums[q][1] += int(s[1])
+            sums[q][2] += int(s[2])
+    hit = [q for q in range(nq) if n_images[q] > 0]
+    return pa.table(
+        {
+            "query_id": pa.array([boxes["query_id"][q] for q in hit], pa.string()),
+            "n_images": pa.array([n_images[q] for q in hit], pa.int64()),
+            "n_pixels": pa.array([n_pixels[q] for q in hit], pa.int64()),
+            "sum_r": pa.array([sums[q][0] for q in hit], pa.int64()),
+            "sum_g": pa.array([sums[q][1] for q in hit], pa.int64()),
+            "sum_b": pa.array([sums[q][2] for q in hit], pa.int64()),
+            "mean_r": pa.array(
+                [sums[q][0] / max(n_pixels[q], 1) for q in hit], pa.float64()
+            ),
+            "mean_g": pa.array(
+                [sums[q][1] / max(n_pixels[q], 1) for q in hit], pa.float64()
+            ),
+            "mean_b": pa.array(
+                [sums[q][2] / max(n_pixels[q], 1) for q in hit], pa.float64()
+            ),
+        }
+    )
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -680,6 +747,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("stac_items_validate.parquet", _validation_fixture(fdir))
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
+    write("expected_zonal.parquet", _expected_zonal(fdir))
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir

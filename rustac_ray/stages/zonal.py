@@ -1,0 +1,211 @@
+"""Zonal statistics: raster↔vector pixel aggregation per query zone.
+
+For every query zone (axis-aligned box or arbitrary GeoJSON geometry),
+aggregate the decoded pixels of every image whose footprint overlaps it:
+pixel count, per-channel integer sums, and the derived means. The classic
+"mean NDVI per field / per admin region" operator, re-expressed for the
+image+caption table of the north rule (transform metadata → pixel-center
+lon/lat placement).
+
+Scale shape (the whole point):
+
+- **One pass over the bytes.** Each actor fetches the broadcast zone
+  index once (``__init__``), and each image is decoded AT MOST once per
+  batch regardless of how many zones it overlaps — candidate zones come
+  from a vectorized bbox-overlap test against the footprint. Pixels are
+  NEVER shuffled: each task emits per-zone partial rows
+  (n_images, n_pixels, sum_r/g/b — int64, exact), and the only exchange
+  is a tiny ``groupby(query_id)`` over zones × blocks partials.
+- **Windowed masking.** Only the clipped sub-grid of pixel centers that
+  can fall inside the zone's bbox is evaluated: an inclusive-edge
+  comparison for boxes, even-odd PIP (geo.pip.PreparedGeometry) for
+  general geometries. Cost per (image, zone) is the overlap area, not
+  w×h.
+
+Reference analogue: rustac has no raster math (items are metadata); this
+extends the J2/J5 join/tile family to pixel space per the task's
+multimodal mandate. Decode via imaging.codec (real png/raw/jpeg codecs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo.pip import PreparedGeometry
+from ..imaging.codec import LossyCodecUnavailable, decode_image
+from .multimodal import DEFAULT_IMAGE_BATCH
+
+__all__ = ["zonal_stats", "Zones"]
+
+
+class Zones:
+    """Broadcastable zone set: bbox arrays for the candidate prefilter +
+    an exact per-zone mask evaluator (box fast path / PIP general path)."""
+
+    def __init__(self, ids, xmin, ymin, xmax, ymax, geoms=None):
+        self.ids = np.asarray(ids, dtype=object)
+        self.xmin = np.asarray(xmin, np.float64)
+        self.ymin = np.asarray(ymin, np.float64)
+        self.xmax = np.asarray(xmax, np.float64)
+        self.ymax = np.asarray(ymax, np.float64)
+        self.geoms = geoms  # None → pure boxes; else list[PreparedGeometry]
+
+    @classmethod
+    def from_boxes(cls, df: pd.DataFrame, id_col: str = "query_id") -> "Zones":
+        return cls(
+            df[id_col].to_numpy(),
+            df["xmin"].to_numpy(),
+            df["ymin"].to_numpy(),
+            df["xmax"].to_numpy(),
+            df["ymax"].to_numpy(),
+        )
+
+    @classmethod
+    def from_geometries(cls, ids, geoms) -> "Zones":
+        """``geoms``: GeoJSON dicts or WKB bytes."""
+        prepared = [PreparedGeometry(g) for g in geoms]
+        return cls(
+            ids,
+            [p.xmin for p in prepared],
+            [p.ymin for p in prepared],
+            [p.xmax for p in prepared],
+            [p.ymax for p in prepared],
+            prepared,
+        )
+
+    def mask(self, q: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Exact inclusion of pixel centers in zone q (inclusive edges)."""
+        if self.geoms is None:
+            return (
+                (px >= self.xmin[q])
+                & (px <= self.xmax[q])
+                & (py >= self.ymin[q])
+                & (py <= self.ymax[q])
+            )
+        return self.geoms[q].contains_points(px, py)
+
+
+class _ZonalPartial:
+    """Actor-pool stage: decode-once + windowed per-zone accumulation."""
+
+    def __init__(self, zones_ref, strict: bool = True):
+        import ray
+
+        self.zones: Zones = (
+            ray.get(zones_ref) if isinstance(zones_ref, ray.ObjectRef) else zones_ref
+        )
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        z = self.zones
+        nq = len(z.ids)
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        from .footprint import _transform_matrix
+
+        tr = _transform_matrix(batch)
+        res, lon0, lat0 = tr[:, 0], tr[:, 2], tr[:, 5]
+        # axis-aligned synth transform: bbox straight from the affine
+        ixmin, ixmax = lon0, lon0 + res * w
+        iymin, iymax = lat0 - res * h, lat0
+        # (N, Q) candidate matrix: footprint bbox × zone bbox overlap
+        cand = (
+            (ixmin[:, None] <= z.xmax[None, :])
+            & (ixmax[:, None] >= z.xmin[None, :])
+            & (iymin[:, None] <= z.ymax[None, :])
+            & (iymax[:, None] >= z.ymin[None, :])
+        )
+        n_images = np.zeros(nq, np.int64)
+        n_pixels = np.zeros(nq, np.int64)
+        sums = np.zeros((nq, 3), np.int64)
+        payloads = batch["bytes"].to_pylist() if "bytes" in batch.column_names else None
+        fmts = batch["fmt"].to_pylist() if payloads is not None else None
+        rows, qs = np.nonzero(cand)
+        last_i, px = -1, None
+        for i, q in zip(rows, qs):
+            if i != last_i:
+                try:
+                    px = decode_image(payloads[i], fmts[i])
+                except LossyCodecUnavailable:
+                    if self.strict:
+                        raise
+                    px = None
+                last_i = i
+            if px is None:
+                continue
+            r, x0, y0 = res[i], lon0[i], lat0[i]
+            # conservative window from the zone bbox, then exact centers
+            c_lo = max(int(np.floor((z.xmin[q] - x0) / r - 0.5)) - 1, 0)
+            c_hi = min(int(np.ceil((z.xmax[q] - x0) / r - 0.5)) + 2, int(w[i]))
+            r_lo = max(int(np.floor((y0 - z.ymax[q]) / r - 0.5)) - 1, 0)
+            r_hi = min(int(np.ceil((y0 - z.ymin[q]) / r - 0.5)) + 2, int(h[i]))
+            if c_lo >= c_hi or r_lo >= r_hi:
+                continue
+            cx = x0 + r * (np.arange(c_lo, c_hi, dtype=np.float64) + 0.5)
+            cy = y0 - r * (np.arange(r_lo, r_hi, dtype=np.float64) + 0.5)
+            gx, gy = np.meshgrid(cx, cy)
+            m = z.mask(q, gx.ravel(), gy.ravel()).reshape(gy.shape)
+            np_in = int(np.count_nonzero(m))
+            if np_in == 0:
+                continue
+            win = px[r_lo:r_hi, c_lo:c_hi].reshape(-1, 3)
+            sums[q] += win[m.ravel()].astype(np.int64).sum(axis=0)
+            n_pixels[q] += np_in
+            n_images[q] += 1
+        hit = n_images > 0
+        return pa.table(
+            {
+                "query_id": pa.array(z.ids[hit].astype(str)),
+                "n_images": pa.array(n_images[hit]),
+                "n_pixels": pa.array(n_pixels[hit]),
+                "sum_r": pa.array(sums[hit, 0]),
+                "sum_g": pa.array(sums[hit, 1]),
+                "sum_b": pa.array(sums[hit, 2]),
+            }
+        )
+
+
+def zonal_stats(
+    images_ds,
+    zones: Zones,
+    *,
+    strict: bool = True,
+    concurrency: int = 2,
+    batch_size: int = DEFAULT_IMAGE_BATCH,
+):
+    """→ Dataset (query_id, n_images, n_pixels, sum_r/g/b, mean_r/g/b).
+
+    ``images_ds`` needs columns (image_id, bytes, w, h, fmt, transform).
+    Integer sums are exact (uint8 pixels in int64); means are the single
+    IEEE division sum/n_pixels, reproducible by any oracle.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(zones)
+    partials = images_ds.map_batches(
+        _ZonalPartial,
+        fn_constructor_args=(ref, strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    grouped = partials.groupby("query_id").aggregate(
+        Sum("n_images", alias_name="n_images"),
+        Sum("n_pixels", alias_name="n_pixels"),
+        Sum("sum_r", alias_name="sum_r"),
+        Sum("sum_g", alias_name="sum_g"),
+        Sum("sum_b", alias_name="sum_b"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        npx = np.maximum(b["n_pixels"].to_numpy(), 1).astype(np.float64)
+        for c in ("r", "g", "b"):
+            b = b.append_column(
+                f"mean_{c}", pa.array(b[f"sum_{c}"].to_numpy() / npx, pa.float64())
+            )
+        return b
+
+    return grouped.map_batches(finish, batch_format="pyarrow")

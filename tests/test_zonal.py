@@ -1,0 +1,88 @@
+"""Zonal statistics: box fast path, polygon PIP path, decode-once."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from rustac_ray import synth
+from rustac_ray.stages.zonal import Zones, zonal_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _images_ds(fdir):
+    return rd.read_parquet(
+        f"{fdir}/images.parquet",
+        columns=["image_id", "bytes", "w", "h", "fmt", "transform"],
+    )
+
+
+def test_box_and_polygon_zone_agree(fixtures_dir):
+    """A rectangle expressed as a polygon must aggregate the same pixels
+    as the box fast path (inclusive edges both ways)."""
+    boxes = pd.read_parquet(f"{fixtures_dir}/query_boxes.parquet").head(5)
+    zb = Zones.from_boxes(boxes)
+    polys = [
+        {
+            "type": "Polygon",
+            "coordinates": [[
+                [r.xmin, r.ymin], [r.xmax, r.ymin], [r.xmax, r.ymax],
+                [r.xmin, r.ymax], [r.xmin, r.ymin],
+            ]],
+        }
+        for r in boxes.itertuples()
+    ]
+    zp = Zones.from_geometries(boxes["query_id"].tolist(), polys)
+    a = zonal_stats(_images_ds(fixtures_dir), zb).to_pandas().sort_values("query_id").reset_index(drop=True)
+    b = zonal_stats(_images_ds(fixtures_dir), zp).to_pandas().sort_values("query_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_zonal_matches_naive_single_image(fixtures_dir):
+    """Full-grid naive accumulation over one image == engine windowed path."""
+    import glob
+
+    from rustac_ray.imaging.codec import decode_image
+
+    shard = sorted(glob.glob(f"{fixtures_dir}/images.parquet/*.parquet"))[0]
+    t = pq.read_table(shard).slice(0, 1)
+    tr = t["transform"][0].as_py()
+    res, x0, y0 = tr[0], tr[2], tr[5]
+    w, h = t["w"][0].as_py(), t["h"][0].as_py()
+    # zone = left half of the image footprint
+    zone = pd.DataFrame(
+        {
+            "query_id": ["z"],
+            "xmin": [x0],
+            "ymin": [y0 - res * h],
+            "xmax": [x0 + res * w / 2],
+            "ymax": [y0],
+        }
+    )
+    out = zonal_stats(
+        rd.from_arrow(t.select(["image_id", "bytes", "w", "h", "fmt", "transform"])),
+        Zones.from_boxes(zone),
+    ).to_pandas()
+    px = decode_image(t["bytes"][0].as_py(), t["fmt"][0].as_py())
+    cx = x0 + res * (np.arange(w) + 0.5)
+    cy = y0 - res * (np.arange(h) + 0.5)
+    gx, gy = np.meshgrid(cx, cy)
+    m = (
+        (gx >= zone.xmin[0]) & (gx <= zone.xmax[0])
+        & (gy >= zone.ymin[0]) & (gy <= zone.ymax[0])
+    )
+    flat = px.reshape(-1, 3).astype(np.int64)[m.ravel()]
+    assert out["n_pixels"].iloc[0] == int(m.sum())
+    assert out["sum_r"].iloc[0] == int(flat[:, 0].sum())
+    assert out["mean_b"].iloc[0] == flat[:, 2].sum() / m.sum()
+
+
+def test_zonal_disjoint_zone_empty(fixtures_dir):
+    zone = pd.DataFrame(
+        {"query_id": ["far"], "xmin": [170.0], "ymin": [80.0], "xmax": [171.0], "ymax": [81.0]}
+    )
+    out = zonal_stats(_images_ds(fixtures_dir), Zones.from_boxes(zone)).to_pandas()
+    assert len(out) == 0
