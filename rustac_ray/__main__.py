@@ -231,6 +231,59 @@ def cmd_pack(args):
     _emit(out, args.output)
 
 
+def cmd_decontam(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.decontam import build_bloom, decontaminate, ngram_hash_set
+
+    train = rd.read_parquet(args.input)
+    test = rd.read_parquet(args.test)
+    member = (
+        build_bloom(test, col=args.text, n=args.n, m_bits=args.bloom_bits)
+        if args.bloom
+        else ngram_hash_set(test, col=args.text, n=args.n)
+    )
+    out = decontaminate(
+        train, member, col=args.text, id_col=args.id,
+        n=args.n, threshold=args.threshold,
+    )
+    if args.drop:
+        out = out.map_batches(
+            lambda df: df.loc[~df["contaminated"], [args.id]],
+            batch_format="pandas",
+        )
+    _emit(out, args.output)
+
+
+def cmd_hitters(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.sketch import token_heavy_hitters
+
+    out = token_heavy_hitters(
+        rd.read_parquet(args.input), col=args.text, k=args.k,
+        mg_capacity=args.mg_capacity,
+    )
+    _emit(out, args.output)
+
+
+def cmd_zonal(args):
+    _ensure_ray()
+    import pandas as pd
+    import ray.data as rd
+
+    from .stages.zonal import Zones, zonal_stats
+
+    zones = Zones.from_boxes(pd.read_parquet(args.zones))
+    ds = rd.read_parquet(
+        args.input,
+        columns=["image_id", "bytes", "w", "h", "fmt", "transform"],
+    )
+    _emit(zonal_stats(ds, zones, strict=not args.lenient), args.output)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rustac_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -317,6 +370,41 @@ def main(argv=None):
     pk.add_argument("--buckets", type=int, default=64)
     pk.add_argument("-o", "--output")
     pk.set_defaults(fn=cmd_pack)
+
+    dc = sub.add_parser(
+        "decontam", help="drop/flag train docs overlapping a test-set's ngrams"
+    )
+    dc.add_argument("input", help="train-side parquet")
+    dc.add_argument("--test", required=True, help="test/benchmark-side parquet")
+    dc.add_argument("--n", type=int, default=5, help="ngram width")
+    dc.add_argument("--threshold", type=float, default=0.5)
+    dc.add_argument("--id", default="doc_id")
+    dc.add_argument("--text", default="text")
+    dc.add_argument("--bloom", action="store_true",
+                    help="Bloom membership (fixed memory; giant test sets)")
+    dc.add_argument("--bloom-bits", type=int, default=1 << 23)
+    dc.add_argument("--drop", action="store_true",
+                    help="emit only surviving doc ids instead of scores")
+    dc.add_argument("-o", "--output")
+    dc.set_defaults(fn=cmd_decontam)
+
+    hh = sub.add_parser("hitters", help="exact global top-k frequent tokens")
+    hh.add_argument("input")
+    hh.add_argument("--k", type=int, default=20)
+    hh.add_argument("--text", default="text")
+    hh.add_argument("--mg-capacity", type=int, default=None,
+                    help="Misra-Gries candidate cap (unbounded-vocab path)")
+    hh.add_argument("-o", "--output")
+    hh.set_defaults(fn=cmd_hitters)
+
+    zn = sub.add_parser("zonal", help="per-zone decoded-pixel statistics")
+    zn.add_argument("input", help="image payload parquet (input_hint schema)")
+    zn.add_argument("--zones", required=True,
+                    help="parquet of (query_id, xmin, ymin, xmax, ymax)")
+    zn.add_argument("--lenient", action="store_true",
+                    help="skip undecodable payloads instead of failing")
+    zn.add_argument("-o", "--output")
+    zn.set_defaults(fn=cmd_zonal)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "embedding_near_dup"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "assign_clusters", "embedding_near_dup"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -393,3 +393,47 @@ def ivf_topk(
         return g.nlargest(k, "cosine")
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def assign_clusters(
+    ds,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 2,
+):
+    """Nearest-centroid (cosine) cluster assignment: → (id_col, cluster).
+
+    The k-means "predict" half of :func:`train_ivf_centroids` as a
+    first-class operator: centroids go to the object store ONCE
+    (``ray.put``), every batch is one float64 matmul + argmax — the
+    standard broadcast-small-side shape, no shuffle at any scale.
+    Ties break to the lowest centroid id (np.argmax's first-max rule),
+    matching a SQL ``row_number() ... ORDER BY sim DESC, cid``.
+    """
+    import pandas as pd
+    import ray
+
+    cent = _normalize(np.ascontiguousarray(centroids, dtype=np.float64))
+    ref = ray.put(cent)
+
+    class _Assign:
+        def __init__(self, cref):
+            self.c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "cluster": np.argmax(m @ self.c.T, axis=1).astype(np.int64),
+                }
+            )
+
+    return ds.map_batches(
+        _Assign,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )

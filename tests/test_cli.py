@@ -85,3 +85,31 @@ def test_cli_job_resumable(sf_dir, tmp_path, capsys):
     main(["job", sf_dir, "-o", out, "--concurrency", "2", "-z", "6"])
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (m2["join_rows"], m2["tile_rows"]) == (m1["join_rows"], m1["tile_rows"])
+
+
+def test_cli_hitters(sf_dir, capsys):
+    main(["hitters", f"{sf_dir}/documents.parquet", "--k", "3"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+    assert rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
+
+
+def test_cli_decontam_drop(sf_dir, tmp_path, capsys):
+    import pandas as pd
+
+    test_path = str(tmp_path / "test.parquet")
+    pd.read_parquet(f"{sf_dir}/documents.parquet").head(10).to_parquet(test_path)
+    main(["decontam", f"{sf_dir}/documents.parquet", "--test", test_path,
+          "--n", "3", "--threshold", "0.99", "--drop"])
+    out = capsys.readouterr()
+    survivors = {json.loads(l)["doc_id"]
+                 for l in out.out.strip().splitlines() if l.startswith("{")}
+    # the 10 test docs trivially overlap themselves 100% and are dropped
+    assert survivors.isdisjoint(set(range(10)))
+
+
+def test_cli_zonal(fixtures_dir, capsys):
+    main(["zonal", f"{fixtures_dir}/images.parquet",
+          "--zones", f"{fixtures_dir}/query_boxes.parquet"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["n_pixels"] > 0 for r in rows)
