@@ -240,6 +240,20 @@ def run_bench() -> dict:
         timings["zonal_stats"] = time.perf_counter() - t0
         result_extra["zonal_zones"] = n_zonal
 
+        t0 = time.perf_counter()
+        from rustac_ray.stages.zonal import tile_pixel_stats
+
+        n_mosaic = tile_pixel_stats(
+            rd.read_parquet(
+                f"{fdir}/images.parquet",
+                columns=["image_id", "bytes", "w", "h", "fmt", "transform"],
+            ),
+            z=8,
+            concurrency=max(2, num_cpus // 2),
+        ).count()
+        timings["tile_mosaic"] = time.perf_counter() - t0
+        result_extra["mosaic_tiles"] = n_mosaic
+
         # text-hygiene ops over a 200k-doc (~13M-token) bench corpus
         from rustac_ray.stages.decontam import decontaminate, ngram_hash_set
         from rustac_ray.stages.sketch import token_heavy_hitters

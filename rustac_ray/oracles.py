@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "9"
+DERIVED_VERSION = "10"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -716,6 +716,89 @@ def _expected_zonal(fdir: str) -> pa.Table:
         }
     )
 
+
+def _expected_tile_mosaic(fdir: str, z: int = 8) -> pa.Table:
+    """Naive tile mosaic: pure-Python per-pixel slippy-map math (math.tan
+    scalar formula + bitwise scalar Morton interleave — written
+    independently of geo/tiles' vectorized fraction/_part1by1 kernels)
+    over the image_id %% 20 == 0 subset."""
+    import math
+
+    from .imaging.codec import decode_image
+
+    import glob as _glob
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"))]
+    )
+
+    def scalar_tile(lon: float, lat: float) -> tuple:
+        n = 1 << z
+        x = int((lon + 180.0) / 360.0 * n)
+        lat = max(min(lat, 85.05112877980659), -85.05112877980659)
+        rad = math.radians(lat)
+        y = int((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi) / 2.0 * n)
+        return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+    def scalar_key(x: int, y: int) -> int:
+        m = 0
+        for b in range(29):
+            m |= ((x >> b) & 1) << (2 * b)
+            m |= ((y >> b) & 1) << (2 * b + 1)
+        return (z << 58) | m
+
+    acc = {}
+    for i in range(len(imgs)):
+        iid = imgs["image_id"][i].as_py()
+        if int(iid.split("-")[1]) % 20 != 0:
+            continue
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        seen = set()
+        for r in range(px.shape[0]):
+            lat = y0 - res * (r + 0.5)
+            for c in range(px.shape[1]):
+                lon = x0 + res * (c + 0.5)
+                k = scalar_key(*scalar_tile(lon, lat))
+                if k not in acc:
+                    acc[k] = [0, 0, 0, 0, 0]  # n_img, n_pix, r, g, b
+                a = acc[k]
+                a[1] += 1
+                a[2] += int(px[r, c, 0])
+                a[3] += int(px[r, c, 1])
+                a[4] += int(px[r, c, 2])
+                seen.add(k)
+        for k in seen:
+            acc[k][0] += 1
+    keys = sorted(acc)
+    from .geo.tiles import tile_unkey
+
+    zz, xx, yy = tile_unkey(np.asarray(keys, np.uint64))
+    return pa.table(
+        {
+            "tile_key": pa.array(keys, pa.int64()),
+            "n_images": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "n_pixels": pa.array([acc[k][1] for k in keys], pa.int64()),
+            "sum_r": pa.array([acc[k][2] for k in keys], pa.int64()),
+            "sum_g": pa.array([acc[k][3] for k in keys], pa.int64()),
+            "sum_b": pa.array([acc[k][4] for k in keys], pa.int64()),
+            "z": pa.array(zz.astype(np.int64)),
+            "x": pa.array(xx.astype(np.int64)),
+            "y": pa.array(yy.astype(np.int64)),
+            "mean_r": pa.array(
+                [acc[k][2] / max(acc[k][1], 1) for k in keys], pa.float64()
+            ),
+            "mean_g": pa.array(
+                [acc[k][3] / max(acc[k][1], 1) for k in keys], pa.float64()
+            ),
+            "mean_b": pa.array(
+                [acc[k][4] / max(acc[k][1], 1) for k in keys], pa.float64()
+            ),
+        }
+    )
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -748,6 +831,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
     write("expected_zonal.parquet", _expected_zonal(fdir))
+    write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir

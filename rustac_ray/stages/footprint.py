@@ -37,7 +37,14 @@ def _transform_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["transform"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+    if isinstance(col, (pa.FixedSizeListArray, pa.ListArray, pa.LargeListArray)):
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+    # Ray tensor-extension array (appears after a pandas round-trip) or
+    # any other representation: to_numpy gives (N,6) or object-of-arrays
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        arr = np.stack([np.asarray(a, dtype=np.float64) for a in arr])
+    return np.asarray(arr, dtype=np.float64).reshape(-1, 6)
 
 
 def derive_footprints(batch: pa.Table, with_wkb: bool = False) -> pa.Table:

@@ -37,7 +37,7 @@ from ..geo.pip import PreparedGeometry
 from ..imaging.codec import LossyCodecUnavailable, decode_image
 from .multimodal import DEFAULT_IMAGE_BATCH
 
-__all__ = ["zonal_stats", "Zones"]
+__all__ = ["zonal_stats", "tile_pixel_stats", "Zones"]
 
 
 class Zones:
@@ -201,6 +201,132 @@ def zonal_stats(
     )
 
     def finish(b: pa.Table) -> pa.Table:
+        npx = np.maximum(b["n_pixels"].to_numpy(), 1).astype(np.float64)
+        for c in ("r", "g", "b"):
+            b = b.append_column(
+                f"mean_{c}", pa.array(b[f"sum_{c}"].to_numpy() / npx, pa.float64())
+            )
+        return b
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+class _TileMosaicPartial:
+    """Actor-pool stage: decode each image once, assign every pixel center
+    to its zoom-``z`` web-mercator tile (each pixel lands in EXACTLY one
+    tile — a partition, unlike the overlap-based zone masks above), and
+    fold the batch into per-tile int64 partials."""
+
+    def __init__(self, z: int, strict: bool = True):
+        self.z = z
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geo import tiles as T
+        from .footprint import _transform_matrix
+
+        z = self.z
+        tr = _transform_matrix(batch)
+        res, lon0, lat0 = tr[:, 0], tr[:, 2], tr[:, 5]
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        keys_parts, px_parts, img_keys = [], [], []
+        for i in range(len(batch)):
+            try:
+                px = decode_image(payloads[i], fmts[i])
+            except LossyCodecUnavailable:
+                if self.strict:
+                    raise
+                continue
+            h, w = px.shape[0], px.shape[1]
+            cx = lon0[i] + res[i] * (np.arange(w, dtype=np.float64) + 0.5)
+            cy = lat0[i] - res[i] * (np.arange(h, dtype=np.float64) + 0.5)
+            gx, gy = np.meshgrid(cx, cy)
+            ix, iy = T.lonlat_to_tile(gx.ravel(), gy.ravel(), z)
+            k = T.tile_key(z, ix, iy).astype(np.int64)
+            keys_parts.append(k)
+            px_parts.append(px.reshape(-1, 3).astype(np.int64))
+            img_keys.append(np.unique(k))
+        if not keys_parts:
+            return pa.table(
+                {
+                    "tile_key": pa.array([], pa.int64()),
+                    "n_images": pa.array([], pa.int64()),
+                    "n_pixels": pa.array([], pa.int64()),
+                    "sum_r": pa.array([], pa.int64()),
+                    "sum_g": pa.array([], pa.int64()),
+                    "sum_b": pa.array([], pa.int64()),
+                }
+            )
+        keys = np.concatenate(keys_parts)
+        pix = np.concatenate(px_parts)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n_pixels = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sums = np.stack(
+            [
+                np.bincount(inv, weights=pix[:, c], minlength=len(uniq))
+                for c in range(3)
+            ],
+            axis=1,
+        ).astype(np.int64)
+        all_img = np.concatenate(img_keys)
+        n_images = np.bincount(
+            np.searchsorted(uniq, all_img), minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tile_key": pa.array(uniq),
+                "n_images": pa.array(n_images),
+                "n_pixels": pa.array(n_pixels),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def tile_pixel_stats(
+    images_ds,
+    z: int = 8,
+    *,
+    strict: bool = True,
+    concurrency: int = 2,
+    batch_size: int = DEFAULT_IMAGE_BATCH,
+):
+    """Tile MOSAIC: → (tile_key, z, x, y, n_images, n_pixels, sum_r/g/b,
+    mean_r/g/b) — the mean color of every zoom-``z`` web-mercator tile
+    across all decoded pixels whose center falls in it.
+
+    The pixel→tile map is a partition (floor index math), so the global
+    ``sum(n_pixels)`` equals the corpus pixel count exactly and the only
+    shuffle is the per-tile int64 partial groupby — pixels never move.
+    Extends the J5 metadata tile-assignment to pixel space; Z-order tile
+    keys keep downstream sorted writes spatially clustered.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..geo import tiles as T
+
+    partials = images_ds.map_batches(
+        _TileMosaicPartial,
+        fn_constructor_args=(z, strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    grouped = partials.groupby("tile_key").aggregate(
+        Sum("n_images", alias_name="n_images"),
+        Sum("n_pixels", alias_name="n_pixels"),
+        Sum("sum_r", alias_name="sum_r"),
+        Sum("sum_g", alias_name="sum_g"),
+        Sum("sum_b", alias_name="sum_b"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        zz, x, y = T.tile_unkey(b["tile_key"].to_numpy().astype(np.uint64))
+        b = b.append_column("z", pa.array(zz.astype(np.int64)))
+        b = b.append_column("x", pa.array(x.astype(np.int64)))
+        b = b.append_column("y", pa.array(y.astype(np.int64)))
         npx = np.maximum(b["n_pixels"].to_numpy(), 1).astype(np.float64)
         for c in ("r", "g", "b"):
             b = b.append_column(

@@ -86,3 +86,39 @@ def test_zonal_disjoint_zone_empty(fixtures_dir):
     )
     out = zonal_stats(_images_ds(fixtures_dir), Zones.from_boxes(zone)).to_pandas()
     assert len(out) == 0
+
+
+def test_tile_mosaic_partitions_all_pixels(fixtures_dir):
+    """Every pixel lands in exactly one tile: global n_pixels == corpus
+    pixel count, and int sums equal the corpus-wide channel sums."""
+    import glob
+
+    from rustac_ray.stages.zonal import tile_pixel_stats
+
+    out = tile_pixel_stats(_images_ds(fixtures_dir), z=8).to_pandas()
+    total = 0
+    for shard in glob.glob(f"{fixtures_dir}/images.parquet/*.parquet"):
+        t = pq.read_table(shard, columns=["w", "h"])
+        total += int(
+            (t["w"].to_numpy().astype(np.int64) * t["h"].to_numpy()).sum()
+        )
+    assert out["n_pixels"].sum() == total
+    assert (out["z"] == 8).all()
+
+
+def test_tile_mosaic_zoom_consistent(fixtures_dir):
+    """z=9 children aggregate exactly to their z=8 parents (pixel sums
+    are a refinement of the same partition)."""
+    from rustac_ray.stages.zonal import tile_pixel_stats
+
+    z8 = tile_pixel_stats(_images_ds(fixtures_dir), z=8).to_pandas()
+    z9 = tile_pixel_stats(_images_ds(fixtures_dir), z=9).to_pandas()
+    z9["px"] = z9["x"] // 2
+    z9["py"] = z9["y"] // 2
+    roll = z9.groupby(["px", "py"])[["n_pixels", "sum_r", "sum_g", "sum_b"]].sum()
+    merged = z8.set_index(["x", "y"])[["n_pixels", "sum_r", "sum_g", "sum_b"]]
+    pd.testing.assert_frame_equal(
+        merged.sort_index(),
+        roll.sort_index().rename_axis(["x", "y"]),
+        check_names=False,
+    )
