@@ -36,6 +36,9 @@ __all__ = [
     "encode_image",
     "decode_image",
     "psnr",
+    "encode_rawv",
+    "decode_rawv_frame",
+    "rawv_info",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -176,3 +179,47 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+# ------------------------------------------------------------ raw video --
+
+_RAWV_MAGIC = b"RAWV"
+_RAWV_HDR = 12  # magic(4) + w(2) + h(2) + n_frames(2) + fps(2), little-endian
+
+
+def encode_rawv(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Deterministic seekable raw-video container: fixed 12-byte header +
+    n contiguous uncompressed (h, w, 3) uint8 frames. The O(1) per-frame
+    offset is the property real frame-sampling pipelines rely on (decode
+    ONLY the sampled frames, never the whole clip)."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = frames.shape
+    hdr = _RAWV_MAGIC + struct.pack("<HHHH", w, h, n, fps)
+    return hdr + frames.tobytes()
+
+
+def rawv_info(data: bytes) -> tuple[int, int, int, int]:
+    """(w, h, n_frames, fps) from the header only — no frame IO."""
+    import struct
+
+    if data[:4] != _RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    return struct.unpack("<HHHH", data[4:_RAWV_HDR])
+
+
+def decode_rawv_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Decode exactly one frame by offset seek (no full-clip decode)."""
+    w, h, n, _ = rawv_info(data)
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} out of range (n={n})")
+    sz = w * h * 3
+    off = _RAWV_HDR + frame_idx * sz
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=sz, offset=off)
+        .reshape(h, w, 3)
+        .copy()
+    )

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "10"
+DERIVED_VERSION = "11"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -799,6 +799,86 @@ def _expected_tile_mosaic(fdir: str, z: int = 8) -> pa.Table:
         }
     )
 
+
+# ----------------------------------------------------------- video oracle --
+
+
+def _videos_table(n_videos: int, seed: int = 4242) -> pa.Table:
+    """Deterministic rawv clips: per-frame drifting gradient + seeded noise
+    so consecutive frames differ predictably."""
+    from .imaging.codec import encode_rawv
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, fmts, nfr, ws, hs = [], [], [], [], [], []
+    for v in range(n_videos):
+        w = int(rng.choice([8, 12, 16]))
+        h = int(rng.choice([8, 12, 16]))
+        n = int(rng.integers(10, 41))
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.empty((n, h, w, 3), np.uint8)
+        for f in range(n):
+            base = (xx * 7 + yy * 11 + f * 5 + v) % 256
+            noise = rng.integers(0, 32, (h, w, 3))
+            frames[f] = np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+        fmt = "mp4" if v % 25 == 24 else "rawv"  # planted codec-less rows
+        payload = encode_rawv(frames, fps=10) if fmt == "rawv" else b"\x00garbage"
+        ids.append(f"vid-{v:06d}")
+        payloads.append(payload)
+        fmts.append(fmt)
+        nfr.append(n if fmt == "rawv" else 0)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "fmt": pa.array(fmts, pa.string()),
+            "n_frames": pa.array(nfr, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+        }
+    )
+
+
+def _expected_frame_stats(videos: pa.Table, every_n: int = 7) -> pa.Table:
+    """Independent scalar re-implementation: parse the RAWV container with
+    struct directly (no imaging.codec reader), slice every_n-th frame,
+    exact int sums → means."""
+    import struct
+
+    rows = []
+    for i in range(len(videos)):
+        if videos["fmt"][i].as_py() != "rawv":
+            continue
+        data = videos["bytes"][i].as_py()
+        w, h, n, _fps = struct.unpack("<HHHH", data[4:12])
+        sz = w * h * 3
+        for idx in range(0, n, every_n):
+            buf = np.frombuffer(data, np.uint8, count=sz, offset=12 + idx * sz)
+            px = buf.reshape(-1, 3).astype(np.int64)
+            s = px.sum(axis=0)
+            npx = px.shape[0]
+            rows.append(
+                (
+                    videos["media_id"][i].as_py(),
+                    idx,
+                    npx,
+                    s[0] / npx,
+                    s[1] / npx,
+                    s[2] / npx,
+                )
+            )
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.string()),
+            "frame_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "n_px": pa.array([r[2] for r in rows], pa.int64()),
+            "mean_r": pa.array([r[3] for r in rows], pa.float64()),
+            "mean_g": pa.array([r[4] for r in rows], pa.float64()),
+            "mean_b": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -832,6 +912,9 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_packing.parquet", _expected_packing(docs))
     write("expected_zonal.parquet", _expected_zonal(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
+    vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
+    write("videos.parquet", vids)
+    write("expected_frame_stats.parquet", _expected_frame_stats(vids))
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir

@@ -148,11 +148,16 @@ class VerifyPayload:
 
 
 class FrameSample:
-    """Video frame-sampling stage (STUB — no video codec in this container,
-    per task instructions). The Ray-side plumbing is real: actor pool,
-    small payload batches, (media_id, frame_idx, frame_png) output schema.
-    ``decode_frame`` raises LossyCodecUnavailable until a codec library is
-    present; tests exercise the plumbing via the error path."""
+    """Video frame-sampling stage: emit every ``every_n``-th frame of each
+    clip as PNG rows (media_id, frame_idx, frame_png).
+
+    The ``rawv`` container (imaging.codec — deterministic seekable raw
+    video, the container-permitted stand-in for real codecs) decodes for
+    real via O(1) offset seeks: only the SAMPLED frames are ever read,
+    never the whole clip — the property a 100-TB video pipeline depends
+    on. Compressed formats (mp4/webm…) still raise LossyCodecUnavailable
+    (no codec library in this container, task-permitted stub path);
+    ``strict=False`` skips them, mirroring DecodeStats."""
 
     OUTPUT_SCHEMA = pa.schema(
         [
@@ -162,30 +167,49 @@ class FrameSample:
         ]
     )
 
-    def __init__(self, every_n_frames: int = 30):
+    def __init__(self, every_n_frames: int = 30, strict: bool = False):
         self.every_n = every_n_frames
+        self.strict = strict
 
     def decode_frame(self, payload: bytes, fmt: str, frame_idx: int) -> np.ndarray:
+        if fmt == "rawv":
+            from ..imaging.codec import decode_rawv_frame
+
+            return decode_rawv_frame(payload, frame_idx)
+        raise LossyCodecUnavailable(
+            f"video codec for {fmt!r} not available in this environment"
+        )
+
+    def _n_frames(self, payload: bytes, fmt: str) -> int:
+        if fmt == "rawv":
+            from ..imaging.codec import rawv_info
+
+            return rawv_info(payload)[2]
         raise LossyCodecUnavailable(
             f"video codec for {fmt!r} not available in this environment"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import encode_png
+
         out_ids, out_idx, out_png = [], [], []
+        id_col = "media_id" if "media_id" in batch.column_names else "image_id"
         for mid, payload, fmt in zip(
-            batch["image_id"].to_pylist(),
+            batch[id_col].to_pylist(),
             batch["bytes"].to_pylist(),
             batch["fmt"].to_pylist(),
         ):
             try:
-                frame = self.decode_frame(payload, fmt, 0)
+                n = self._n_frames(payload, fmt)
+                for idx in range(0, n, self.every_n):
+                    frame = self.decode_frame(payload, fmt, idx)
+                    out_ids.append(mid)
+                    out_idx.append(idx)
+                    out_png.append(encode_png(frame))
             except LossyCodecUnavailable:
-                continue  # stubbed: no frames emitted for codec-less formats
-            from ..imaging.codec import encode_png
-
-            out_ids.append(mid)
-            out_idx.append(0)
-            out_png.append(encode_png(frame))
+                if self.strict:
+                    raise
+                continue  # codec-less format: no frames emitted
         return pa.table(
             {
                 "media_id": pa.array(out_ids, pa.string()),

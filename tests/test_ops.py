@@ -261,3 +261,47 @@ def test_frame_sample_stub(fixtures_dir):
         multimodal.FrameSample, batch_format="pyarrow", batch_size=8, concurrency=1
     )
     assert out.count() == 0
+
+
+def test_frame_sample_rawv_real_decode():
+    """rawv clips decode for real: every_n sampling, exact frame pixels
+    via O(1) seek, png round-trip lossless; codec-less fmt rows skipped."""
+    import pyarrow as pa
+
+    from rustac_ray.imaging.codec import decode_image, decode_rawv_frame, encode_rawv
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (13, 6, 4, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "media_id": pa.array(["a", "b"]),
+            "bytes": pa.array([encode_rawv(frames), b"\x00junk"], pa.binary()),
+            "fmt": pa.array(["rawv", "mp4"]),
+        }
+    )
+    out = multimodal.FrameSample(every_n_frames=5)(batch)
+    df = out.to_pandas()
+    assert df["media_id"].tolist() == ["a", "a", "a"]
+    assert df["frame_idx"].tolist() == [0, 5, 10]
+    for _, row in df.iterrows():
+        rt = decode_image(row["frame_png"], "png")
+        assert (rt == frames[row["frame_idx"]]).all()
+    # O(1) seek agrees with the source array at an arbitrary index
+    assert (decode_rawv_frame(encode_rawv(frames), 7) == frames[7]).all()
+
+
+def test_frame_sample_strict_raises():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from rustac_ray.imaging.codec import LossyCodecUnavailable
+
+    batch = pa.table(
+        {
+            "media_id": pa.array(["x"]),
+            "bytes": pa.array([b"zz"], pa.binary()),
+            "fmt": pa.array(["webm"]),
+        }
+    )
+    with _pytest.raises(LossyCodecUnavailable):
+        multimodal.FrameSample(strict=True)(batch)
