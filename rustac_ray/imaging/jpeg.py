@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import struct
 
+import functools
+
 import numpy as np
 
 __all__ = ["encode_jpeg", "decode_jpeg"]
@@ -116,17 +118,32 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _decode_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
-    """16-bit-prefix lookup tables (symbol, code length) — one array index
-    decodes any huffman symbol (max JPEG code length is 16)."""
-    sym = np.zeros(1 << 16, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.uint8)
-    for s, (code, length) in _canonical_codes(bits, vals).items():
+def _decode_lut_uncached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[list[int], list[int]]:
+    """16-bit-prefix lookup tables (symbol, code length) — one list index
+    decodes any huffman symbol (max JPEG code length is 16). Plain Python
+    lists: list indexing is ~15x faster than numpy scalar indexing in the
+    per-symbol decode loop."""
+    sym = np.zeros(1 << 16, dtype=np.int64)
+    ln = np.zeros(1 << 16, dtype=np.int64)
+    for s, (code, length) in _canonical_codes(list(bits), list(vals)).items():
         start = code << (16 - length)
         end = (code + 1) << (16 - length)
         sym[start:end] = s
         ln[start:end] = length
-    return sym, ln
+    return sym.tolist(), ln.tolist()
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_lut_cached(bits: tuple[int, ...], vals: tuple[int, ...]):
+    return _decode_lut_uncached(bits, vals)
+
+
+def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    # every self-encoded image uses the standard annex-K tables, so the
+    # expensive 65536-entry build runs once per process, not per image
+    return _decode_lut_cached(tuple(bits), tuple(vals))
 
 
 def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
@@ -288,22 +305,23 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
 
 
 class _BitReader:
-    """Destuffs the entropy segment once, then serves any 16-bit window by
-    indexing a precomputed uint32 sliding view — no per-bit byte walking."""
+    """Destuffs the entropy segment once (vectorized), then serves any
+    16-bit window with three pure-Python byte reads — bytes indexing is
+    ~15x faster per call than a numpy scalar index in this loop."""
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, dtype=np.uint8)
         keep = np.ones(len(arr), dtype=bool)
         if len(arr) > 1:  # drop the 0x00 of every FF00 stuffing pair
             keep[1:][(arr[:-1] == 0xFF) & (arr[1:] == 0x00)] = False
-        arr = arr[keep]
-        a = np.concatenate([arr, np.zeros(8, np.uint8)]).astype(np.uint32)
-        self.v32 = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+        self.buf = arr[keep].tobytes() + b"\x00" * 8
         self.pos = 0  # bit position
 
     def peek16(self) -> int:
-        byte, sh = self.pos >> 3, self.pos & 7
-        return int((self.v32[byte] >> (16 - sh)) & 0xFFFF)
+        p = self.pos
+        byte, sh = p >> 3, p & 7
+        b = self.buf
+        return (((b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2]) >> (8 - sh)) & 0xFFFF
 
     def read_bits(self, n: int) -> int:
         if n == 0:
@@ -320,13 +338,13 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _read_symbol(br: _BitReader, lut: tuple[np.ndarray, np.ndarray]) -> int:
+def _read_symbol(br: _BitReader, lut: tuple[list[int], list[int]]) -> int:
     w = br.peek16()
-    length = int(lut[1][w])
+    length = lut[1][w]
     if length == 0:
         raise ValueError("invalid huffman code in JPEG stream")
     br.pos += length
-    return int(lut[0][w])
+    return lut[0][w]
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
