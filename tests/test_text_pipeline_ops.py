@@ -173,3 +173,32 @@ def test_repetition_stats_empty_text():
     out = repetition_stats(df)
     assert out["n_tokens"].iloc[0] == 0
     assert out["top_token_frac"].iloc[0] == 0.0
+
+
+# ---------------------------------------------- layout independence --
+
+
+def test_ngram_hashes_batch_layout_independent():
+    """The ngram hash of a token sequence must not depend on which batch
+    (and thus which batch-local dictionary) produced it."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet").head(40)
+    whole = ngram_hashes(docs["text"], 3)
+    whole_sets = {
+        r: frozenset(whole.loc[whole["row"] == r, "h"]) for r in range(len(docs))
+    }
+    for lo, hi in [(0, 7), (7, 23), (23, 40)]:
+        part = ngram_hashes(docs["text"].iloc[lo:hi].reset_index(drop=True), 3)
+        for local_r in range(hi - lo):
+            got = frozenset(part.loc[part["row"] == local_r, "h"])
+            assert got == whole_sets[lo + local_r]
+
+
+def test_heavy_hitters_block_layout_independent():
+    """Same result at 1 block and at 13 blocks."""
+    import ray.data as rd
+
+    ds1 = rd.read_parquet(f"{SF}/documents.parquet", override_num_blocks=1)
+    ds13 = rd.read_parquet(f"{SF}/documents.parquet", override_num_blocks=13)
+    a = token_heavy_hitters(ds1, k=7).to_pandas()
+    b = token_heavy_hitters(ds13, k=7).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
