@@ -76,14 +76,14 @@ class Zones:
         )
 
     def mask(self, q: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        """Exact inclusion of pixel centers in zone q (inclusive edges)."""
+        """Exact inclusion of pixel centers in zone q (inclusive edges).
+        Boxes with xmin > xmax are antimeridian-crossing (STAC-legal) and
+        match either side of the wrap."""
         if self.geoms is None:
-            return (
-                (px >= self.xmin[q])
-                & (px <= self.xmax[q])
-                & (py >= self.ymin[q])
-                & (py <= self.ymax[q])
-            )
+            in_y = (py >= self.ymin[q]) & (py <= self.ymax[q])
+            if self.xmin[q] > self.xmax[q]:
+                return ((px >= self.xmin[q]) | (px <= self.xmax[q])) & in_y
+            return (px >= self.xmin[q]) & (px <= self.xmax[q]) & in_y
         return self.geoms[q].contains_points(px, py)
 
 
@@ -110,10 +110,19 @@ class _ZonalPartial:
         # axis-aligned synth transform: bbox straight from the affine
         ixmin, ixmax = lon0, lon0 + res * w
         iymin, iymax = lat0 - res * h, lat0
-        # (N, Q) candidate matrix: footprint bbox × zone bbox overlap
+        # (N, Q) candidate matrix: footprint bbox × zone bbox overlap;
+        # antimeridian-crossing zones (xmin > xmax) overlap in x when the
+        # footprint touches EITHER side of the wrap
+        wrapped = z.xmin > z.xmax
+        x_overlap = (ixmin[:, None] <= z.xmax[None, :]) & (
+            ixmax[:, None] >= z.xmin[None, :]
+        )
+        if wrapped.any():
+            x_overlap[:, wrapped] = (
+                ixmin[:, None][:, wrapped] <= z.xmax[None, wrapped]
+            ) | (ixmax[:, None][:, wrapped] >= z.xmin[None, wrapped])
         cand = (
-            (ixmin[:, None] <= z.xmax[None, :])
-            & (ixmax[:, None] >= z.xmin[None, :])
+            x_overlap
             & (iymin[:, None] <= z.ymax[None, :])
             & (iymax[:, None] >= z.ymin[None, :])
         )
@@ -136,9 +145,13 @@ class _ZonalPartial:
             if px is None:
                 continue
             r, x0, y0 = res[i], lon0[i], lat0[i]
-            # conservative window from the zone bbox, then exact centers
-            c_lo = max(int(np.floor((z.xmin[q] - x0) / r - 0.5)) - 1, 0)
-            c_hi = min(int(np.ceil((z.xmax[q] - x0) / r - 0.5)) + 2, int(w[i]))
+            # conservative window from the zone bbox, then exact centers;
+            # a wrapped zone can touch both image edges → full-width window
+            if z.xmin[q] > z.xmax[q]:
+                c_lo, c_hi = 0, int(w[i])
+            else:
+                c_lo = max(int(np.floor((z.xmin[q] - x0) / r - 0.5)) - 1, 0)
+                c_hi = min(int(np.ceil((z.xmax[q] - x0) / r - 0.5)) + 2, int(w[i]))
             r_lo = max(int(np.floor((y0 - z.ymax[q]) / r - 0.5)) - 1, 0)
             r_hi = min(int(np.ceil((y0 - z.ymin[q]) / r - 0.5)) + 2, int(h[i]))
             if c_lo >= c_hi or r_lo >= r_hi:

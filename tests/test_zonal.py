@@ -122,3 +122,29 @@ def test_tile_mosaic_zoom_consistent(fixtures_dir):
         roll.sort_index().rename_axis(["x", "y"]),
         check_names=False,
     )
+
+
+def test_zonal_antimeridian_zone_splits(fixtures_dir):
+    """A wrapped zone (xmin > xmax) equals the union of its two
+    non-wrapping halves."""
+    from rustac_ray.stages.zonal import Zones, zonal_stats
+
+    # wrap box whose east half covers the fixture's lon range
+    wrapped = pd.DataFrame(
+        {"query_id": ["w"], "xmin": [150.0], "ymin": [-90.0],
+         "xmax": [-60.0], "ymax": [90.0]}
+    )
+    halves = pd.DataFrame(
+        {
+            "query_id": ["a", "b"],
+            "xmin": [150.0, -180.0],
+            "ymin": [-90.0, -90.0],
+            "xmax": [180.0, -60.0],
+            "ymax": [90.0, 90.0],
+        }
+    )
+    wz = zonal_stats(_images_ds(fixtures_dir), Zones.from_boxes(wrapped)).to_pandas()
+    hz = zonal_stats(_images_ds(fixtures_dir), Zones.from_boxes(halves)).to_pandas()
+    assert len(wz) == 1
+    assert wz["n_pixels"].iloc[0] == hz["n_pixels"].sum()
+    assert wz["sum_r"].iloc[0] == hz["sum_r"].sum()
