@@ -202,3 +202,10 @@ def test_heavy_hitters_block_layout_independent():
     a = token_heavy_hitters(ds1, k=7).to_pandas()
     b = token_heavy_hitters(ds13, k=7).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_heavy_hitters_combine_paths_agree():
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    a = token_heavy_hitters(docs, k=6).to_pandas()
+    b = token_heavy_hitters(docs, k=6, combine="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
