@@ -180,6 +180,52 @@ class _ZonalPartial:
         )
 
 
+
+_SUM_COLS = ["n_images", "n_pixels", "sum_r", "sum_g", "sum_b"]
+
+
+def _combine_partials(partials, key_col: str, combine: str):
+    """Merge per-task partial rows keyed by ``key_col``.
+
+    ``combine="driver"`` (default): stream the partial batches (keys ×
+    blocks rows — independent of corpus size) and merge with one pandas
+    groupby; the merged state is one row per distinct key, which for
+    query zones (broadcast-bounded) and low/mid-zoom tiles always fits
+    the driver. ``combine="shuffle"`` keeps the distributed groupby for
+    key spaces beyond driver memory (deep-zoom pyramids).
+    """
+    import pandas as pd_
+
+    if combine == "shuffle":
+        from ray.data.aggregate import Sum
+
+        return partials.groupby(key_col).aggregate(
+            *[Sum(c, alias_name=c) for c in _SUM_COLS]
+        )
+    import ray.data as rd
+
+    parts = [
+        b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {key_col: pa.array([], pa.string() if key_col == "query_id" else pa.int64())}
+                | {c: pa.array([], pa.int64()) for c in _SUM_COLS}
+            )
+        )
+    merged = (
+        pd_.concat(parts, ignore_index=True)
+        .groupby(key_col, sort=True)[_SUM_COLS]
+        .sum()
+        .reset_index()
+    )
+    for c in _SUM_COLS:
+        merged[c] = merged[c].astype("int64")
+    return rd.from_pandas(merged)
+
+
 def zonal_stats(
     images_ds,
     zones: Zones,
@@ -187,6 +233,7 @@ def zonal_stats(
     strict: bool = True,
     concurrency: int = 2,
     batch_size: int = DEFAULT_IMAGE_BATCH,
+    combine: str = "driver",
 ):
     """→ Dataset (query_id, n_images, n_pixels, sum_r/g/b, mean_r/g/b).
 
@@ -195,7 +242,6 @@ def zonal_stats(
     IEEE division sum/n_pixels, reproducible by any oracle.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     ref = ray.put(zones)
     partials = images_ds.map_batches(
@@ -205,13 +251,7 @@ def zonal_stats(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    grouped = partials.groupby("query_id").aggregate(
-        Sum("n_images", alias_name="n_images"),
-        Sum("n_pixels", alias_name="n_pixels"),
-        Sum("sum_r", alias_name="sum_r"),
-        Sum("sum_g", alias_name="sum_g"),
-        Sum("sum_b", alias_name="sum_b"),
-    )
+    grouped = _combine_partials(partials, "query_id", combine)
 
     def finish(b: pa.Table) -> pa.Table:
         npx = np.maximum(b["n_pixels"].to_numpy(), 1).astype(np.float64)
@@ -305,6 +345,7 @@ def tile_pixel_stats(
     strict: bool = True,
     concurrency: int = 2,
     batch_size: int = DEFAULT_IMAGE_BATCH,
+    combine: str = "driver",
 ):
     """Tile MOSAIC: → (tile_key, z, x, y, n_images, n_pixels, sum_r/g/b,
     mean_r/g/b) — the mean color of every zoom-``z`` web-mercator tile
@@ -316,8 +357,6 @@ def tile_pixel_stats(
     Extends the J5 metadata tile-assignment to pixel space; Z-order tile
     keys keep downstream sorted writes spatially clustered.
     """
-    from ray.data.aggregate import Sum
-
     from ..geo import tiles as T
 
     partials = images_ds.map_batches(
@@ -327,13 +366,7 @@ def tile_pixel_stats(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    grouped = partials.groupby("tile_key").aggregate(
-        Sum("n_images", alias_name="n_images"),
-        Sum("n_pixels", alias_name="n_pixels"),
-        Sum("sum_r", alias_name="sum_r"),
-        Sum("sum_g", alias_name="sum_g"),
-        Sum("sum_b", alias_name="sum_b"),
-    )
+    grouped = _combine_partials(partials, "tile_key", combine)
 
     def finish(b: pa.Table) -> pa.Table:
         zz, x, y = T.tile_unkey(b["tile_key"].to_numpy().astype(np.uint64))

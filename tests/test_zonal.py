@@ -148,3 +148,24 @@ def test_zonal_antimeridian_zone_splits(fixtures_dir):
     assert len(wz) == 1
     assert wz["n_pixels"].iloc[0] == hz["n_pixels"].sum()
     assert wz["sum_r"].iloc[0] == hz["sum_r"].sum()
+
+
+def test_zonal_combine_paths_agree(fixtures_dir):
+    from rustac_ray.stages.zonal import Zones, tile_pixel_stats, zonal_stats
+
+    boxes = pd.read_parquet(f"{fixtures_dir}/query_boxes.parquet")
+    a = zonal_stats(_images_ds(fixtures_dir), Zones.from_boxes(boxes)).to_pandas()
+    b = zonal_stats(
+        _images_ds(fixtures_dir), Zones.from_boxes(boxes), combine="shuffle"
+    ).to_pandas()
+    key = ["query_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(b.columns)],
+    )
+    m1 = tile_pixel_stats(_images_ds(fixtures_dir), z=8).to_pandas()
+    m2 = tile_pixel_stats(_images_ds(fixtures_dir), z=8, combine="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(
+        m1.sort_values("tile_key").reset_index(drop=True)[sorted(m1.columns)],
+        m2.sort_values("tile_key").reset_index(drop=True)[sorted(m2.columns)],
+    )
