@@ -284,6 +284,23 @@ def cmd_zonal(args):
     _emit(zonal_stats(ds, zones, strict=not args.lenient), args.output)
 
 
+def cmd_shards(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.shuffle import write_training_shards
+
+    recs = write_training_shards(
+        rd.read_parquet(args.input),
+        args.output,
+        args.key,
+        salt=args.salt,
+        rows_per_shard=args.rows_per_shard,
+        resume=not args.no_resume,
+    )
+    print(f"{len(recs)} shards -> {args.output}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rustac_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -405,6 +422,18 @@ def main(argv=None):
                     help="skip undecodable payloads instead of failing")
     zn.add_argument("-o", "--output")
     zn.set_defaults(fn=cmd_zonal)
+
+    sh = sub.add_parser(
+        "shards",
+        help="deterministic-shuffle + resumable training-shard writes",
+    )
+    sh.add_argument("input")
+    sh.add_argument("output")
+    sh.add_argument("--key", default="doc_id", help="non-negative int key column")
+    sh.add_argument("--salt", type=int, default=0, help="epoch salt")
+    sh.add_argument("--rows-per-shard", type=int, default=10_000)
+    sh.add_argument("--no-resume", action="store_true")
+    sh.set_defaults(fn=cmd_shards)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -113,3 +113,13 @@ def test_cli_zonal(fixtures_dir, capsys):
           "--zones", f"{fixtures_dir}/query_boxes.parquet"])
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows and all(r["n_pixels"] > 0 for r in rows)
+
+
+def test_cli_shards(sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "shards")
+    main(["shards", f"{sf_dir}/documents.parquet", out,
+          "--rows-per-shard", "100"])
+    assert "shards ->" in capsys.readouterr().out
+    import glob
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert files
