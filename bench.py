@@ -290,6 +290,26 @@ def run_bench() -> dict:
         timings["decontam_200k"] = time.perf_counter() - t0
         result_extra["contaminated_docs"] = n_contam
 
+        # end-to-end curation: dedup -> decontaminate -> shard order
+        from rustac_ray.stages.dedup import exact_dedup
+        from rustac_ray.stages.shuffle import shuffle_positions
+
+        t0 = time.perf_counter()
+        deduped = exact_dedup(bench_docs(), col="text", id_col="doc_id")
+        train2 = deduped.map_batches(
+            lambda df: df.loc[df["doc_id"] % 100 != 0], batch_format="pandas"
+        )
+        clean = decontaminate(
+            train2, hashes, n=5, threshold=0.5,
+            concurrency=max(2, num_cpus // 2),
+        ).map_batches(
+            lambda df: df.loc[~df["contaminated"], ["doc_id"]],
+            batch_format="pandas",
+        )
+        n_curated = len(shuffle_positions(clean, "doc_id", rows_per_shard=10_000))
+        timings["curated_shards_200k"] = time.perf_counter() - t0
+        result_extra["curated_docs"] = n_curated
+
     headline = timings["spatial_join"] + timings["tile_assignment"]
     result_extra = locals().get("result_extra", {})
     result = {
