@@ -1,0 +1,49 @@
+"""Stage registry: the public operator surface, one import away.
+
+Lazy re-exports (PEP 562) so ``from rustac_ray.stages import zonal_stats``
+works without importing every stage module (and its numpy kernels) up
+front — stages stay import-light for Ray worker startup.
+"""
+
+from __future__ import annotations
+
+_EXPORTS = {
+    "aggregates": ["global_extent", "collection_extents", "grouped_topk"],
+    "decontam": ["BloomFilter", "decontaminate", "ngram_hash_set", "build_bloom"],
+    "dedup": [
+        "exact_dedup", "minhash_lsh_candidates", "simhash_near_dup",
+        "ngram_jaccard_near_dup", "phash_near_dup", "connected_components",
+        "near_dup_filter",
+    ],
+    "embed": [
+        "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
+        "assign_clusters", "embedding_near_dup",
+    ],
+    "footprint": ["derive_footprints"],
+    "knn": ["knn_join", "CellKNNIndex", "ShardedKNNIndex"],
+    "multimodal": ["DecodeStats", "Thumbnail", "VerifyPayload", "FrameSample"],
+    "packing": ["pack_sequences"],
+    "sampling": ["hash_sample", "stratified_sample", "grouped_sample_n"],
+    "shuffle": ["deterministic_shuffle", "shuffle_positions", "write_training_shards"],
+    "sketch": ["approx_distinct", "exact_quantiles", "token_heavy_hitters"],
+    "spatial_join": [
+        "broadcast_spatial_join", "partitioned_spatial_join", "hash_spatial_join",
+    ],
+    "temporal_join": ["asof_join", "interval_join"],
+    "text": ["TextStats", "LangId", "Fingerprint", "Redactor", "repetition_stats"],
+    "tiling": ["assign_tiles", "tile_counts", "hot_tile_set"],
+    "windows": ["tumbling", "sliding", "session_windows"],
+    "zonal": ["zonal_stats", "tile_pixel_stats", "Zones"],
+}
+
+_ORIGIN = {name: mod for mod, names in _EXPORTS.items() for name in names}
+__all__ = sorted(_ORIGIN)
+
+
+def __getattr__(name: str):
+    mod = _ORIGIN.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'rustac_ray.stages' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f"rustac_ray.stages.{mod}"), name)
