@@ -209,3 +209,16 @@ def test_heavy_hitters_combine_paths_agree():
     a = token_heavy_hitters(docs, k=6).to_pandas()
     b = token_heavy_hitters(docs, k=6, combine="shuffle").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_dedup_string_ids_planted():
+    df = pd.DataFrame(
+        {
+            "image_id": ["img-9", "img-2", "img-5", "img-1"],
+            "caption": ["dup", "dup", "uniq", "dup"],
+        }
+    )
+    from rustac_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(rd.from_pandas(df), col="caption", id_col="image_id").to_pandas()
+    assert sorted(out["image_id"]) == ["img-1", "img-5"]  # min string id wins
