@@ -33,7 +33,7 @@ _EXPORTS = {
     "text": ["TextStats", "LangId", "Fingerprint", "Redactor", "repetition_stats"],
     "tiling": ["assign_tiles", "tile_counts", "hot_tile_set"],
     "windows": ["tumbling", "sliding", "session_windows"],
-    "zonal": ["zonal_stats", "tile_pixel_stats", "Zones"],
+    "zonal": ["zonal_stats", "tile_pixel_stats", "write_mosaic_pyramid", "Zones"],
 }
 
 _ORIGIN = {name: mod for mod, names in _EXPORTS.items() for name in names}

@@ -37,7 +37,7 @@ from ..geo.pip import PreparedGeometry
 from ..imaging.codec import LossyCodecUnavailable, decode_image
 from .multimodal import DEFAULT_IMAGE_BATCH
 
-__all__ = ["zonal_stats", "tile_pixel_stats", "Zones"]
+__all__ = ["zonal_stats", "tile_pixel_stats", "write_mosaic_pyramid", "Zones"]
 
 
 class Zones:
@@ -381,3 +381,27 @@ def tile_pixel_stats(
         return b
 
     return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+def write_mosaic_pyramid(
+    images_ds,
+    out_dir: str,
+    *,
+    z: int = 8,
+    strict: bool = True,
+    concurrency: int = 2,
+    resume: bool = True,
+) -> list[dict]:
+    """Materialize the rendered mosaic: per-tile pixel stats sorted by the
+    Z-order tile key and written as resumable partitioned parquet with a
+    lineage manifest (same layout contract as the assignment pyramid —
+    each output file covers a contiguous Morton range ≈ a compact map
+    region). Finished partitions are skipped on re-run."""
+    from ..state.manifest import write_partitioned
+
+    mosaic = tile_pixel_stats(
+        images_ds, z=z, strict=strict, concurrency=concurrency
+    ).sort("tile_key")
+    return write_partitioned(
+        mosaic, out_dir, resume=resume, digest_cols=["tile_key", "n_pixels"]
+    )

@@ -169,3 +169,27 @@ def test_zonal_combine_paths_agree(fixtures_dir):
         m1.sort_values("tile_key").reset_index(drop=True)[sorted(m1.columns)],
         m2.sort_values("tile_key").reset_index(drop=True)[sorted(m2.columns)],
     )
+
+
+def test_write_mosaic_pyramid_resume(fixtures_dir, tmp_path):
+    import glob
+    import os
+
+    from rustac_ray.stages.zonal import tile_pixel_stats, write_mosaic_pyramid
+
+    out = str(tmp_path / "mosaic")
+    recs = write_mosaic_pyramid(_images_ds(fixtures_dir), out, z=8)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert files and os.path.exists(f"{out}/_manifest.jsonl")
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    recs2 = write_mosaic_pyramid(_images_ds(fixtures_dir), out, z=8)
+    assert len(recs2) == len(recs)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes  # all skipped
+    # files are Morton-ordered and cover all tiles exactly once
+    rows = pd.concat(
+        [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+    )
+    assert rows["tile_key"].is_monotonic_increasing
+    direct = tile_pixel_stats(_images_ds(fixtures_dir), z=8).to_pandas()
+    assert set(rows["tile_key"]) == set(direct["tile_key"])
+    assert rows["n_pixels"].sum() == direct["n_pixels"].sum()
