@@ -147,12 +147,13 @@ class _BroadcastJoiner:
     get per-query exact quad tests with lazily-built prepared geometries.
     """
 
-    def __init__(self, prepared_ref, derive: bool = False):
+    def __init__(self, prepared_ref, derive: bool = False, emit: str = "pairs"):
         # map_batches passes the raw ObjectRef; plain ray actors auto-resolve
         self.pq: PreparedQueries = (
             prepared_ref if isinstance(prepared_ref, PreparedQueries) else ray.get(prepared_ref)
         )
         self.derive = derive
+        self.emit = emit  # "pairs" | "counts" (left-join match counts)
         self._prepared: dict[int, PreparedGeometry] = {}
         # Arrow copy of the query-id column: output assembly is one C++
         # pc.take instead of per-row Python string handling
@@ -174,7 +175,7 @@ class _BroadcastJoiner:
         ymax = batch["fp_ymax"].to_numpy()
         n = len(batch)
         if n == 0:
-            return _EMPTY_PAIRS
+            return _EMPTY_PAIRS if self.emit == "pairs" else _EMPTY_COUNTS
         col = batch["fp_corners"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -196,7 +197,7 @@ class _BroadcastJoiner:
         cnt = hi - lo
         total = int(cnt.sum())
         if total == 0:
-            return _EMPTY_PAIRS
+            return self._finish(batch, np.empty(0, np.int64), np.empty(0, np.int64))
         starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
         offs = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
         cand_q = pq_.q_sorted[np.repeat(lo, cnt) + offs]
@@ -240,13 +241,22 @@ class _BroadcastJoiner:
             keep_parts_r.append(rh[hit])
         qidx = np.concatenate(keep_parts_q)
         ridx = np.concatenate(keep_parts_r)
-        if len(qidx) == 0:
-            return _EMPTY_PAIRS
+        return self._finish(batch, qidx, ridx)
+
+    def _finish(self, batch: pa.Table, qidx: np.ndarray, ridx: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = batch["image_id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        import pyarrow.compute as pc
-
+        if self.emit == "counts":
+            # LEFT-join semantics with zero shuffle: every image row lives
+            # in exactly one batch, so its global match count is this
+            # batch-local bincount — rows with no match emit 0
+            counts = np.bincount(ridx, minlength=len(batch)).astype(np.int64)
+            return pa.table({"image_id": ids, "n_matches": pa.array(counts)})
+        if len(qidx) == 0:
+            return _EMPTY_PAIRS
         return pa.table(
             {
                 "image_id": ids.take(pa.array(ridx)),
@@ -259,6 +269,10 @@ _EMPTY_PAIRS = pa.table(
     {"image_id": pa.array([], pa.string()), "query_id": pa.array([], pa.string())}
 )
 
+_EMPTY_COUNTS = pa.table(
+    {"image_id": pa.array([], pa.string()), "n_matches": pa.array([], pa.int64())}
+)
+
 
 def broadcast_spatial_join(
     images_ds: "ray.data.Dataset",
@@ -268,8 +282,13 @@ def broadcast_spatial_join(
     concurrency: int | tuple[int, int] = 4,
     batch_size: int | None = None,
     footprints_derived: bool = False,
+    emit: str = "pairs",
 ) -> "ray.data.Dataset":
     """images × queries → (image_id, query_id), broadcast strategy.
+
+    ``emit="counts"`` returns the LEFT-join shape instead: one row per
+    image with its match count (0 included) — still one pass, zero
+    shuffle, because each image row lives in exactly one batch.
 
     When footprints aren't pre-derived, derivation happens INSIDE the
     joiner actor (one fused stage: no intermediate corner columns through
@@ -278,7 +297,7 @@ def broadcast_spatial_join(
     prepared_ref = ray.put(PreparedQueries(query_table, res))
     return images_ds.map_batches(
         _BroadcastJoiner,
-        fn_constructor_args=(prepared_ref, not footprints_derived),
+        fn_constructor_args=(prepared_ref, not footprints_derived, emit),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -602,7 +621,7 @@ def hash_spatial_join(
     def exact(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return _EMPTY_PAIRS
+            return _EMPTY_PAIRS if self.emit == "pairs" else _EMPTY_COUNTS
         xmin = batch["fp_xmin"].to_numpy()
         ymin = batch["fp_ymin"].to_numpy()
         xmax = batch["fp_xmax"].to_numpy()

@@ -225,3 +225,27 @@ def test_write_tile_pyramid_zorder_and_resume(ray_session, tmp_path):
     with open(f"{out}/_manifest.jsonl") as fh:
         lines = [json.loads(line) for line in fh if line.strip()]
     assert len(lines) == len(recs)  # no re-written partitions appended
+
+
+def test_broadcast_join_counts_match_pairs(fixtures_dir):
+    """emit='counts' equals the pairs output aggregated, zeros included."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from rustac_ray.pipelines.flagship import read_images_metadata
+    from rustac_ray.stages.spatial_join import broadcast_spatial_join
+
+    geoms = pq.read_table(f"{fixtures_dir}/query_geoms.parquet")
+    boxes = geoms.filter(pc.equal(geoms["kind"], "box"))
+    imgs = read_images_metadata("/root/testdata/sf0.001")
+    pairs = broadcast_spatial_join(imgs, boxes, concurrency=2).to_pandas()
+    counts = broadcast_spatial_join(
+        imgs, boxes, concurrency=2, emit="counts"
+    ).to_pandas()
+    assert len(counts) == imgs.count()  # every image exactly once
+    agg = pairs.groupby("image_id").size()
+    merged = counts.set_index("image_id")["n_matches"]
+    assert (merged.loc[agg.index] == agg).all()
+    assert (merged.drop(agg.index) == 0).all()
+    assert merged.sum() == len(pairs)
