@@ -313,7 +313,10 @@ def run_bench() -> dict:
     headline = timings["spatial_join"] + timings["tile_assignment"]
     result_extra = locals().get("result_extra", {})
     result = {
-        "metric": "spatial-join + tile-assignment wall time (1M-row metadata bench table)",
+        "metric": (
+            "spatial-join + tile-assignment wall time "
+            f"({bench_rows:,}-row metadata bench table)"
+        ),
         "value": round(headline, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},

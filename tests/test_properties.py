@@ -323,3 +323,60 @@ def test_search_differential_vs_duckdb(
     expected = [r[0] for r in con.sql(sql).fetchall()]
     con.close()
     assert got == expected, (spec, got, expected)
+
+
+# ---------------------------------------------------------------- rawv --
+
+
+@given(
+    n=st.integers(1, 6),
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_rawv_roundtrip_any_shape(n, w, h, seed):
+    from rustac_ray.imaging.codec import decode_rawv_frame, encode_rawv, rawv_info
+
+    frames = np.random.default_rng(seed).integers(
+        0, 255, (n, h, w, 3), dtype=np.uint8
+    )
+    payload = encode_rawv(frames, fps=7)
+    assert rawv_info(payload) == (w, h, n, 7)
+    for i in range(n):
+        assert (decode_rawv_frame(payload, i) == frames[i]).all()
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_ngram_hashes_match_scalar_reference(texts, n):
+    """Vectorized ngram hashing vs a scalar token-tuple reference: same
+    per-row distinct-ngram count, identical rows get identical hash sets,
+    and the whole computation is deterministic across calls."""
+    import pandas as pd
+
+    from rustac_ray.stages.decontam import ngram_hashes
+
+    f = ngram_hashes(pd.Series(texts), n)
+    hash_sets = {}
+    for r, text in enumerate(texts):
+        toks = text.split()
+        grams = {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        got = frozenset(f.loc[f["row"] == r, "h"])
+        assert len(got) == len(grams), (texts, r)
+        hash_sets[r] = (frozenset(grams), got)
+    # equal token sequences across rows -> equal hash sets (and vice versa
+    # modulo 64-bit collisions, absent at these sizes)
+    for a in hash_sets:
+        for b in hash_sets:
+            if hash_sets[a][0] == hash_sets[b][0]:
+                assert hash_sets[a][1] == hash_sets[b][1]
+    f2 = ngram_hashes(pd.Series(texts), n)
+    pd.testing.assert_frame_equal(
+        f.reset_index(drop=True), f2.reset_index(drop=True)
+    )
