@@ -28,6 +28,7 @@ _EXPORTS = {
     "sketch": ["approx_distinct", "exact_quantiles", "token_heavy_hitters"],
     "spatial_join": [
         "broadcast_spatial_join", "partitioned_spatial_join", "hash_spatial_join",
+        "within_distance_join",
     ],
     "temporal_join": ["asof_join", "interval_join"],
     "text": ["TextStats", "LangId", "Fingerprint", "Redactor", "repetition_stats"],

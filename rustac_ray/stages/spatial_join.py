@@ -659,3 +659,99 @@ def hash_spatial_join(
         return out.select(["image_id", "query_id"])
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- within-distance join --
+
+
+class _DWithinJoiner:
+    """Actor-pool stage: ST_DWithin-style join of broadcast query points
+    against image footprints (axis-aligned rects).
+
+    Exact test: squared point→rect distance
+    ``dx² + dy²`` with ``dx = max(xmin-px, px-xmax, 0)`` — zero when the
+    point is inside. Candidates come from one vectorized (P, N)
+    bbox-expansion overlap (P = points, broadcast-small), so per-batch
+    work is P×N boolean ops + exact math only on survivors; no shuffle.
+    """
+
+    def __init__(self, pts_ref, d: float, derive: bool = True):
+        pts = ray.get(pts_ref) if isinstance(pts_ref, ray.ObjectRef) else pts_ref
+        self.qid, self.px, self.py = pts
+        self.d = float(d)
+        self.derive = derive
+        self._qid_arr = pa.array(self.qid, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.derive:
+            batch = derive_footprints(batch)
+        if len(batch) == 0:
+            return _EMPTY_PAIRS_D
+        xmin = batch["fp_xmin"].to_numpy()
+        ymin = batch["fp_ymin"].to_numpy()
+        xmax = batch["fp_xmax"].to_numpy()
+        ymax = batch["fp_ymax"].to_numpy()
+        d = self.d
+        # (P, N) candidate mask on d-expanded bboxes
+        cand = (
+            (self.px[:, None] >= xmin[None, :] - d)
+            & (self.px[:, None] <= xmax[None, :] + d)
+            & (self.py[:, None] >= ymin[None, :] - d)
+            & (self.py[:, None] <= ymax[None, :] + d)
+        )
+        qi, ri = np.nonzero(cand)
+        if len(qi) == 0:
+            return _EMPTY_PAIRS_D
+        dx = np.maximum(np.maximum(xmin[ri] - self.px[qi], self.px[qi] - xmax[ri]), 0.0)
+        dy = np.maximum(np.maximum(ymin[ri] - self.py[qi], self.py[qi] - ymax[ri]), 0.0)
+        dist2 = dx * dx + dy * dy
+        hit = dist2 <= d * d
+        qi, ri, dist2 = qi[hit], ri[hit], dist2[hit]
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "query_id": pc.take(self._qid_arr, pa.array(qi)),
+                "image_id": ids.take(pa.array(ri)),
+                "dist2": pa.array(dist2, pa.float64()),
+            }
+        )
+
+
+_EMPTY_PAIRS_D = pa.table(
+    {
+        "query_id": pa.array([], pa.string()),
+        "image_id": pa.array([], pa.string()),
+        "dist2": pa.array([], pa.float64()),
+    }
+)
+
+
+def within_distance_join(
+    images_ds: "ray.data.Dataset",
+    points: "pa.Table",
+    d: float,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    footprints_derived: bool = False,
+) -> "ray.data.Dataset":
+    """All (query point, image) pairs with point→footprint distance ≤ d
+    (planar degrees — the ST_DWithin analogue for the synth grid).
+
+    ``points``: Arrow table/pandas with (query_id, x, y). Broadcast once
+    via ``ray.put``; the corpus streams through the actor pool with no
+    shuffle, same shape as the broadcast spatial join.
+    """
+    qid = np.asarray(points["query_id"].to_pylist() if isinstance(points, pa.Table) else points["query_id"], dtype=object)
+    px = np.asarray(points["x"].to_pylist() if isinstance(points, pa.Table) else points["x"], np.float64)
+    py = np.asarray(points["y"].to_pylist() if isinstance(points, pa.Table) else points["y"], np.float64)
+    ref = ray.put((qid, px, py))
+    return images_ds.map_batches(
+        _DWithinJoiner,
+        fn_constructor_args=(ref, d, not footprints_derived),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -249,3 +249,33 @@ def test_broadcast_join_counts_match_pairs(fixtures_dir):
     assert (merged.loc[agg.index] == agg).all()
     assert (merged.drop(agg.index) == 0).all()
     assert merged.sum() == len(pairs)
+
+
+def test_dwithin_join_brute_force(fixtures_dir):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rustac_ray.pipelines.flagship import read_images_metadata
+    from rustac_ray.stages.spatial_join import within_distance_join
+    from rustac_ray.stages.footprint import derive_footprints
+
+    pts = pq.read_table(f"{fixtures_dir}/query_points.parquet")
+    imgs = read_images_metadata("/root/testdata/sf0.001")
+    got = within_distance_join(imgs, pts, d=0.7, concurrency=2).to_pandas()
+    # brute force on the driver
+    meta = imgs.map_batches(derive_footprints, batch_format="pyarrow").to_pandas()
+    px, py = pts["x"].to_numpy(), pts["y"].to_numpy()
+    exp = set()
+    for q in range(len(pts)):
+        dx = np.maximum(
+            np.maximum(meta["fp_xmin"] - px[q], px[q] - meta["fp_xmax"]), 0.0
+        )
+        dy = np.maximum(
+            np.maximum(meta["fp_ymin"] - py[q], py[q] - meta["fp_ymax"]), 0.0
+        )
+        hit = dx * dx + dy * dy <= 0.49
+        for iid in meta.loc[hit, "image_id"]:
+            exp.add((pts["query_id"][q].as_py(), iid))
+    assert set(zip(got["query_id"], got["image_id"])) == exp
+    assert (got["dist2"] <= 0.49).all()
