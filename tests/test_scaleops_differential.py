@@ -164,3 +164,62 @@ def test_interval_join_differential(ray_session, seed, strategy):
         ).fetchall()
     )
     assert got == exp
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 4),
+    threshold=st.sampled_from([0.1, 0.3, 0.5, 0.8]),
+)
+@settings(max_examples=12, deadline=None)
+def test_decontaminate_differential_vs_duckdb(seed, n, threshold):
+    """Random single-space corpora, random ngram width + threshold:
+    engine == the SQL twin (constant-series ngram explosion)."""
+    import duckdb
+
+    from rustac_ray.stages.decontam import decontaminate
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = 30
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 15)))
+        for _ in range(n_docs)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    test_df = df[df.doc_id % 5 == 0]
+    train_df = df[df.doc_id % 5 != 0]
+    got = (
+        decontaminate(
+            rd.from_pandas(train_df), rd.from_pandas(test_df), n=n, threshold=threshold
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(
+        f"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        s AS (SELECT unnest(generate_series(1, 64)) AS i),
+        tri AS (SELECT doc_id, list_aggregate(w[i:i+{n}-1], 'string_agg', ' ') AS g
+                FROM tok, s WHERE s.i <= len(tok.w) - {n} + 1),
+        test_g AS (SELECT DISTINCT g FROM tri WHERE doc_id % 5 = 0),
+        ov AS (SELECT t.doc_id, count(*) AS n_ngrams,
+               sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+               FROM (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 5 <> 0) t
+               LEFT JOIN test_g tg USING (g) GROUP BY t.doc_id)
+        SELECT d.doc_id, CAST(coalesce(ov.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(coalesce(ov.n_matched, 0) AS BIGINT) AS n_matched
+        FROM documents d LEFT JOIN ov USING (doc_id) WHERE d.doc_id % 5 <> 0
+        ORDER BY doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_ngrams"].tolist() == exp["n_ngrams"].astype(int).tolist()
+    assert got["n_matched"].tolist() == exp["n_matched"].astype(int).tolist()
+    assert (
+        got["contaminated"]
+        == (got["n_matched"] / got["n_ngrams"].clip(lower=1) >= threshold)
+    ).all()
