@@ -193,3 +193,63 @@ def test_write_mosaic_pyramid_resume(fixtures_dir, tmp_path):
     direct = tile_pixel_stats(_images_ds(fixtures_dir), z=8).to_pandas()
     assert set(rows["tile_key"]) == set(direct["tile_key"])
     assert rows["n_pixels"].sum() == direct["n_pixels"].sum()
+
+
+def test_zonal_random_boxes_vs_naive(fixtures_dir):
+    """Random zones over a slice of real images: engine windowed path ==
+    naive full-grid accumulation."""
+    import glob
+
+    from rustac_ray.imaging.codec import decode_image
+
+    rng = np.random.default_rng(123)
+    shard = sorted(glob.glob(f"{fixtures_dir}/images.parquet/*.parquet"))[0]
+    t = pq.read_table(shard).slice(0, 60)
+    # random zones roughly covering the fixture's lon/lat span
+    zones = pd.DataFrame(
+        {
+            "query_id": [f"r{i}" for i in range(6)],
+            "xmin": rng.uniform(-120, -70, 6),
+            "ymin": rng.uniform(15, 45, 6),
+            "xmax": 0.0,
+            "ymax": 0.0,
+        }
+    )
+    zones["xmax"] = zones["xmin"] + rng.uniform(0.05, 8.0, 6)
+    zones["ymax"] = zones["ymin"] + rng.uniform(0.05, 8.0, 6)
+    got = (
+        zonal_stats(
+            rd.from_arrow(t.select(["image_id", "bytes", "w", "h", "fmt", "transform"])),
+            Zones.from_boxes(zones),
+        )
+        .to_pandas()
+        .set_index("query_id")
+    )
+    # naive
+    acc = {q: [0, 0, np.zeros(3, np.int64)] for q in zones["query_id"]}
+    for i in range(len(t)):
+        px = decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+        tr = t["transform"][i].as_py()
+        res, x0, y0 = tr[0], tr[2], tr[5]
+        h, w = px.shape[0], px.shape[1]
+        gx, gy = np.meshgrid(
+            x0 + res * (np.arange(w) + 0.5), y0 - res * (np.arange(h) + 0.5)
+        )
+        flat = px.reshape(-1, 3).astype(np.int64)
+        for _, z in zones.iterrows():
+            m = (
+                (gx >= z.xmin) & (gx <= z.xmax) & (gy >= z.ymin) & (gy <= z.ymax)
+            ).ravel()
+            c = int(m.sum())
+            if c:
+                a = acc[z.query_id]
+                a[0] += 1
+                a[1] += c
+                a[2] += flat[m].sum(axis=0)
+    for q, (ni, npx, s) in acc.items():
+        if ni == 0:
+            assert q not in got.index
+        else:
+            row = got.loc[q]
+            assert (row["n_images"], row["n_pixels"]) == (ni, npx)
+            assert [row["sum_r"], row["sum_g"], row["sum_b"]] == list(s)
