@@ -66,18 +66,37 @@ class LangId:
         self.tables = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def detect(text: str) -> str:
-            toks = self.token_re.findall(text.lower())[:200]
-            if not toks:
-                return "und"
-            best, best_n = "und", 0
-            for lang, table in self.tables.items():
-                n = sum(t in table for t in toks)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
-        batch["lang_pred"] = batch["text"].astype(str).map(detect)
+        # vectorized stopword voting with the exact scalar semantics:
+        # first 200 [a-zà-ÿ]+ tokens of the lowercased text, strict-">"
+        # first-max over the language order, 'und' on zero votes
+        langs = list(self.tables)
+        toks = (
+            batch["text"].astype(str).str.lower().str.findall(self.token_re)
+        )
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        pos_of = pd.Series(np.arange(len(batch), dtype=np.int64), index=batch.index)
+        if len(ex):
+            rows = pos_of[ex.index].to_numpy()
+            # cap at the first 200 tokens per doc (rows arrive in order)
+            within = np.ones(len(rows), bool)
+            run = np.ones(len(rows), np.int64)
+            starts = np.flatnonzero(np.diff(rows, prepend=rows[0] - 1))
+            run = np.arange(len(rows)) - np.repeat(starts, np.diff(np.append(starts, len(rows))))
+            within = run < 200
+            rows = rows[within]
+            words = ex.to_numpy()[within]
+            votes = np.zeros((len(batch), len(langs)), np.int64)
+            wser = pd.Series(words)
+            for j, lang in enumerate(langs):
+                hit = wser.isin(self.tables[lang]).to_numpy()
+                votes[:, j] = np.bincount(rows[hit], minlength=len(batch))
+        else:
+            votes = np.zeros((len(batch), len(langs)), np.int64)
+        best = np.argmax(votes, axis=1)  # first max wins, same as strict ">"
+        pred = np.array(langs, dtype=object)[best]
+        pred[votes.max(axis=1) == 0] = "und"
+        batch["lang_pred"] = pred
         return batch
 
 

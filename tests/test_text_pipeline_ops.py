@@ -222,3 +222,31 @@ def test_exact_dedup_string_ids_planted():
 
     out = exact_dedup(rd.from_pandas(df), col="caption", id_col="image_id").to_pandas()
     assert sorted(out["image_id"]) == ["img-1", "img-5"]  # min string id wins
+
+
+def test_langid_vectorized_equals_scalar_reference():
+    import re
+
+    from rustac_ray.stages.text import LangId, _STOPWORDS
+
+    li = LangId()
+
+    def scalar(text):
+        toks = li.token_re.findall(text.lower())[:200]
+        if not toks:
+            return "und"
+        best, best_n = "und", 0
+        for lang, table in li.tables.items():
+            n = sum(t in table for t in toks)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    rng = np.random.default_rng(11)
+    vocab = sum((list(v) for v in _STOPWORDS.values()), []) + ["zz", "été"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 260))))
+        for _ in range(200)
+    ] + ["", "  ", "42 !!"]
+    out = li(pd.DataFrame({"text": texts}))
+    assert out["lang_pred"].tolist() == [scalar(t) for t in texts]
