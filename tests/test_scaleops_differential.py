@@ -223,3 +223,56 @@ def test_decontaminate_differential_vs_duckdb(seed, n, threshold):
         got["contaminated"]
         == (got["n_matched"] / got["n_ngrams"].clip(lower=1) >= threshold)
     ).all()
+
+
+@given(seed=st.integers(0, 10_000), k=st.integers(1, 8), mg=st.booleans())
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_differential_vs_duckdb(seed, k, mg):
+    import duckdb
+
+    from rustac_ray.stages.sketch import token_heavy_hitters
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 20))) for _ in range(40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": texts})
+    got = token_heavy_hitters(
+        rd.from_pandas(df), k=k, mg_capacity=16 if mg else None
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(
+        "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+        f"GROUP BY token ORDER BY cnt DESC, token LIMIT {k}"
+    ).df()
+    assert got["token"].tolist() == exp["token"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].astype(int).tolist()
+
+
+@given(seed=st.integers(0, 10_000), rps=st.integers(1, 17), salt=st.integers(0, 3))
+@settings(max_examples=10, deadline=None)
+def test_shuffle_positions_differential_vs_duckdb(seed, rps, salt):
+    import duckdb
+
+    from rustac_ray.stages.shuffle import shuffle_positions
+
+    rng = np.random.default_rng(seed)
+    ids = np.unique(rng.integers(0, 10_000, 60)).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    got = shuffle_positions(
+        rd.from_pandas(df), "doc_id", salt=salt, rows_per_shard=rps
+    ).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(
+        f"SELECT doc_id, (rn - 1) // {rps} AS shard, (rn - 1) % {rps} AS pos "
+        "FROM (SELECT doc_id, row_number() OVER (ORDER BY "
+        f"((doc_id + {salt}) * 2654435761) % 4294967296, doc_id) AS rn "
+        "FROM documents) ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["shard"].tolist() == exp["shard"].astype(int).tolist()
+    assert got["pos_in_shard"].tolist() == exp["pos"].astype(int).tolist()
