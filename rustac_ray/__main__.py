@@ -122,10 +122,19 @@ def cmd_join(args):
     import pyarrow.parquet as pq
 
     from .sources.io import read_items
-    from .stages.spatial_join import broadcast_spatial_join
+    from .stages.spatial_join import broadcast_spatial_join, within_distance_join
 
     queries = pq.read_table(args.queries)
-    ds = broadcast_spatial_join(read_items(args.input), queries, concurrency=args.concurrency)
+    if args.dwithin is not None:
+        ds = within_distance_join(
+            read_items(args.input), queries, args.dwithin,
+            concurrency=args.concurrency,
+        )
+    else:
+        ds = broadcast_spatial_join(
+            read_items(args.input), queries,
+            concurrency=args.concurrency, emit=args.emit,
+        )
     _emit(ds, args.output)
 
 
@@ -344,6 +353,10 @@ def main(argv=None):
     j.add_argument("input")
     j.add_argument("queries")
     j.add_argument("--concurrency", type=int, default=4)
+    j.add_argument("--emit", choices=["pairs", "counts"], default="pairs",
+                   help="counts = LEFT-join per-image match counts")
+    j.add_argument("--dwithin", type=float, default=None,
+                   help="within-distance join against (query_id, x, y) points")
     j.add_argument("-o", "--output")
     j.set_defaults(fn=cmd_join)
 

@@ -123,3 +123,18 @@ def test_cli_shards(sf_dir, tmp_path, capsys):
     import glob
     files = glob.glob(f"{out}/part-*.parquet")
     assert files
+
+
+def test_cli_join_counts_and_dwithin(fixtures_dir, capsys):
+    main(["join", f"{fixtures_dir}/images.parquet",
+          f"{fixtures_dir}/query_geoms.parquet", "--emit", "counts",
+          "--concurrency", "2"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and all("n_matches" in r for r in rows)
+    main(["join", f"{fixtures_dir}/images.parquet",
+          f"{fixtures_dir}/query_points.parquet", "--dwithin", "0.5",
+          "--concurrency", "2"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and all("dist2" in r for r in rows)
