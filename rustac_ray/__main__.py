@@ -11,6 +11,10 @@ no analogue — there is no server in scope, SURVEY.md §3.3).
     python -m rustac_ray job SF_DIR -o OUT_DIR      # ray job submit payload
     python -m rustac_ray sample T.parquet --key doc_id --rate 0.1 [-o OUT]
     python -m rustac_ray pack DOCS.parquet --budget 512 [-o OUT]
+    python -m rustac_ray decontam TRAIN.parquet --test EVAL.parquet [--bloom --drop]
+    python -m rustac_ray hitters DOCS.parquet --k 20 [--mg-capacity 4096]
+    python -m rustac_ray zonal IMAGES.parquet --zones BOXES.parquet
+    python -m rustac_ray shards DOCS.parquet OUT_DIR --rows-per-shard 10000
 
 Owns its Ray session (guarded init), unlike the library code.
 """
