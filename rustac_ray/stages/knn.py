@@ -97,6 +97,7 @@ def knn_join(
     batch_size: int = 8192,
     concurrency: int | tuple[int, int] = 4,
     footprints_derived: bool = False,
+    combine: str = "driver",
 ) -> "ray.data.Dataset":
     """→ (query_id, image_id, dist): global k nearest per probe point.
 
@@ -116,11 +117,44 @@ def knn_join(
         concurrency=concurrency,
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        kk = ray.get(k_ref)[g["query_id"].iloc[0]]
-        return g.nsmallest(kk, "dist")
+    if combine == "shuffle":
+        # distributed merge for probe sets beyond driver memory
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+        def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+            kk = ray.get(k_ref)[g["query_id"].iloc[0]]
+            return g.nsmallest(kk, "dist")
+
+        return partials.groupby("query_id").map_groups(
+            final_topk, batch_format="pandas"
+        )
+
+    # default: the partial stream is ≤ probes × kmax × blocks tiny rows —
+    # bounded by the BROADCAST side, not the corpus — so the final merge
+    # is one streamed pandas pass instead of a sort shuffle (the measured
+    # driver-merge rule, BENCH/BASELINE.md)
+    import ray.data as rd
+
+    parts = [
+        b.to_pandas()
+        for b in partials.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "image_id": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        )
+    df = pd.concat(parts, ignore_index=True).sort_values(
+        ["query_id", "dist"], kind="mergesort"
+    )
+    rank = df.groupby("query_id", sort=False).cumcount()
+    keep = rank < df["query_id"].map(per_query_k).fillna(0).astype(int)
+    return rd.from_pandas(df.loc[keep].reset_index(drop=True))
 
 
 class CellKNNIndex:

@@ -279,3 +279,27 @@ def test_dwithin_join_brute_force(fixtures_dir):
             exp.add((pts["query_id"][q].as_py(), iid))
     assert set(zip(got["query_id"], got["image_id"])) == exp
     assert (got["dist2"] <= 0.49).all()
+
+
+def test_knn_combine_paths_agree(fixtures_dir):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rustac_ray.pipelines.flagship import read_images_metadata
+    from rustac_ray.stages.knn import knn_join
+
+    pts = pq.read_table(f"{fixtures_dir}/query_points.parquet")
+    probes = {
+        q: (x, y)
+        for q, x, y in zip(
+            pts["query_id"].to_pylist(), pts["x"].to_pylist(), pts["y"].to_pylist()
+        )
+    }
+    imgs = read_images_metadata("/root/testdata/sf0.001")
+    a = knn_join(imgs, probes, k=5, concurrency=2).to_pandas()
+    b = knn_join(imgs, probes, k=5, concurrency=2, combine="shuffle").to_pandas()
+    key = ["query_id", "image_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
