@@ -24,7 +24,7 @@ _EXPORTS = {
     "multimodal": ["DecodeStats", "Thumbnail", "VerifyPayload", "FrameSample"],
     "packing": ["pack_sequences"],
     "sampling": ["hash_sample", "stratified_sample", "grouped_sample_n"],
-    "shuffle": ["deterministic_shuffle", "shuffle_positions", "write_training_shards"],
+    "shuffle": ["deterministic_shuffle", "shuffle_positions", "write_training_shards", "iter_training_batches"],
     "sketch": ["approx_distinct", "exact_quantiles", "token_heavy_hitters"],
     "spatial_join": [
         "broadcast_spatial_join", "partitioned_spatial_join", "hash_spatial_join",

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["deterministic_shuffle", "shuffle_positions", "write_training_shards"]
+__all__ = ["deterministic_shuffle", "shuffle_positions", "write_training_shards", "iter_training_batches"]
 
 _KNUTH = 2654435761
 _MOD32 = 1 << 32
@@ -115,3 +115,36 @@ def write_training_shards(
         max(ds.count() // rows_per_shard, 1)
     )
     return write_partitioned(shuffled, out_dir, resume=resume)
+
+
+def iter_training_batches(
+    ds,
+    key_col: str,
+    *,
+    epochs: int = 1,
+    batch_size: int = 1024,
+    base_salt: int = 0,
+    batch_format: str = "pyarrow",
+):
+    """Multi-epoch training iterator: epoch e streams the dataset in the
+    ``salt = base_salt + e`` deterministic-shuffle order.
+
+    Each epoch is one fresh range-partitioned sort of the lazy dataset —
+    no epoch ever materializes, and a restarted job replays the exact
+    same batch sequence (the property random_shuffle cannot give).
+    Yields (epoch, batch).
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        for epoch in range(epochs):
+            shuffled = deterministic_shuffle(ds, key_col, salt=base_salt + epoch)
+            for batch in shuffled.iter_batches(
+                batch_size=batch_size, batch_format=batch_format
+            ):
+                yield epoch, batch
+    finally:
+        ctx.execution_options.preserve_order = prev
