@@ -32,6 +32,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "grouped_sample_n",
+    "weighted_sample_n",
     "KNUTH",
     "MOD32",
     "hash_bucket",
@@ -123,6 +124,42 @@ def grouped_sample_n(ds, stratum_col: str, key_col: str, n: int, *, salt: int = 
     )
     return out.map_batches(
         lambda df: df.drop(columns="__h"), batch_format="pandas"
+    )
+
+
+def weighted_sample_n(ds, key_col: str, weight_col: str, n: int, *, salt: int = 0):
+    """Deterministic weighted sampling WITHOUT replacement (top-n of the
+    Efraimidis-Spirakis keys): each row draws u = (hash(key)+1) / 2^32 in
+    (0, 1] from the same Knuth hash as ``hash_sample`` and is ranked by
+    u^(1/w); the n largest ranks are exactly a weight-proportional sample
+    without replacement (Efraimidis & Spirakis 2006, "Weighted random
+    sampling with a reservoir"). Hash-based u keeps every guarantee of the
+    other samplers — reproducible, cluster-size-independent, resumable —
+    and gives an exact SQL twin:
+
+        pow(((key*2654435761 + salt) % 2^32 + 1.0) / 2^32, 1.0 / w)
+        ORDER BY .. DESC, key LIMIT n
+
+    Rows with w <= 0 (or null) are never sampled. Scale shape: one
+    shuffle-free vectorized key stage + the partial-top-k combiner
+    (``sorted_topn``) — at most n rows per block reach the final merge.
+    """
+    from rustac_ray.query import sorted_topn
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (hash_bucket(keys, salt).astype(np.float64) + 1.0) / float(MOD32)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rank = np.power(u, 1.0 / w)
+        ok = np.isfinite(rank) & (w > 0)
+        batch = batch.filter(pa.array(ok))
+        return batch.append_column("__wkey", pa.array(rank[ok], pa.float64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = sorted_topn(keyed, [("__wkey", True), (key_col, False)], n)
+    return out.map_batches(
+        lambda b: b.drop_columns(["__wkey"]), batch_format="pyarrow"
     )
 
 

@@ -104,6 +104,40 @@ def test_stratified_sample_rates(frame):
     assert kept_b == exp_b
 
 
+def test_weighted_sample_matches_brute_force(frame):
+    from rustac_ray.stages.sampling import weighted_sample_n
+
+    df = frame.assign(w=frame["u"] + 1)
+    got = weighted_sample_n(rd.from_pandas(df), "id", "w", 100, salt=11).to_pandas()
+    u = (hash_bucket(df["id"].to_numpy(), 11).astype(np.float64) + 1.0) / MOD32
+    rank = np.power(u, 1.0 / df["w"].to_numpy().astype(np.float64))
+    want = df.assign(rank=rank).sort_values(
+        ["rank", "id"], ascending=[False, True]
+    ).head(100)
+    assert sorted(got["id"]) == sorted(want["id"])
+    assert list(got.columns) == list(df.columns)
+
+
+def test_weighted_sample_skips_nonpositive_weights():
+    from rustac_ray.stages.sampling import weighted_sample_n
+
+    df = pd.DataFrame({"id": np.arange(20), "w": [0] * 10 + [5] * 10})
+    got = weighted_sample_n(rd.from_pandas(df), "id", "w", 15).to_pandas()
+    assert len(got) == 10 and (got["id"] >= 10).all()
+
+
+def test_weighted_sample_is_weight_proportional():
+    """Heavy rows must be sampled far more often: with weights 1 vs 100
+    and a 10% sample, the heavy stratum should dominate the selection."""
+    from rustac_ray.stages.sampling import weighted_sample_n
+
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n), "w": [1] * (n // 2) + [100] * (n // 2)})
+    got = weighted_sample_n(rd.from_pandas(df), "id", "w", 200, salt=5).to_pandas()
+    heavy = (got["id"] >= n // 2).sum()
+    assert heavy > 150  # expectation ~198 under true WRS; light tail is tiny
+
+
 def test_hll_single_register_accuracy():
     rng = np.random.default_rng(9)
     vals = rng.integers(0, 1 << 62, 200_000)
