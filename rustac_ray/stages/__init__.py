@@ -23,6 +23,7 @@ _EXPORTS = {
     "knn": ["knn_join", "CellKNNIndex", "ShardedKNNIndex"],
     "multimodal": ["DecodeStats", "Thumbnail", "VerifyPayload", "FrameSample"],
     "packing": ["pack_sequences"],
+    "relevance": ["corpus_stats", "tfidf_top_terms", "bm25_topk"],
     "sampling": ["hash_sample", "stratified_sample", "grouped_sample_n", "weighted_sample_n"],
     "shuffle": ["deterministic_shuffle", "shuffle_positions", "write_training_shards", "iter_training_batches"],
     "sketch": ["approx_distinct", "exact_quantiles", "token_heavy_hitters"],

@@ -1,0 +1,219 @@
+"""Corpus-relevance operators: TF-IDF term extraction and BM25 retrieval.
+
+Both are TWO-PASS BROADCAST pipelines over a text column of a document
+table — the canonical shape for corpus-statistics operators at 100 TB:
+
+  pass 1 (stats): per-batch Arrow tokenization (``utf8_split_whitespace``
+  + ``list_parent_indices``, all C kernels) folds each block to its local
+  (token, document-frequency) partials plus one meta row carrying the
+  block's doc/token counts. The partial stream is vocabulary-bounded —
+  independent of corpus size — so it merges with one driver-side pandas
+  groupby (NOTES lesson 12); ``combine="shuffle"`` keeps the distributed
+  groupby for token spaces beyond driver memory (URLs, hashes).
+
+  pass 2 (score): the merged stats are broadcast once via ``ray.put``
+  (sorted vocab + idf arrays) and every block scores itself with numpy
+  gathers — no shuffle, no per-row Python. The only wide step is the
+  final partial-top-k merge (``sorted_topn``) for BM25's global top-k.
+
+Tokenization matches the engine-wide convention (whitespace split, empty
+tokens dropped) so both operators have exact DuckDB oracle twins via
+``string_split(text, ' ')``. Float scores are IEEE-reproducible: both
+sides compute the same double expression shape (see oracle_sql()).
+
+No reference counterpart (rustac is a spatial/STAC engine); these cover
+the text-analysis axis of the training-data-pipeline mandate alongside
+stages/text.py and stages/sketch.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["corpus_stats", "tfidf_top_terms", "bm25_topk"]
+
+
+def _tokenize(batch: pa.Table, col: str):
+    """(flat_tokens: pa.Array, parent_row: np.int64[]) with empties dropped."""
+    toks = pc.utf8_split_whitespace(batch[col])
+    flat = pc.list_flatten(toks).combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64, copy=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+    return flat, parent
+
+
+_META = ""  # empty string can never be a token (empties are dropped)
+
+
+def corpus_stats(ds, col: str = "text", *, tokens=None, combine: str = "driver"):
+    """Fold (document frequency per token, n_docs, total_tokens) over a
+    text column. Returns ``(df: pd.DataFrame[token, df], n_docs: int,
+    n_tokens: int)``. ``tokens``: restrict the df fold to this token list
+    (the BM25 case — the partial stream then carries ≤ len(tokens) + 1
+    rows per block no matter the vocabulary)."""
+    token_filter = None if tokens is None else pa.array(sorted(set(tokens)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tokenize(batch, col)
+        n_tok = len(flat)
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        # distinct (doc, token) pairs -> per-token doc counts (the df partial)
+        v = len(d.dictionary)
+        pair = parent * max(v, 1) + codes
+        uniq_codes = np.unique(pair).astype(np.int64) % max(v, 1) if n_tok else codes[:0]
+        dfc = np.bincount(uniq_codes, minlength=v).astype(np.int64)
+        tok_arr, df_arr = d.dictionary, dfc
+        if token_filter is not None:
+            m = pc.is_in(tok_arr, value_set=token_filter).to_numpy(zero_copy_only=False)
+            tok_arr, df_arr = tok_arr.filter(pa.array(m)), df_arr[m]
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [tok_arr.cast(pa.string()), pa.array([_META], pa.string())]
+                ),
+                "df": pa.array(np.concatenate([df_arr, [0]]), pa.int64()),
+                "n_docs": pa.array([0] * len(tok_arr) + [batch.num_rows], pa.int64()),
+                "n_tokens": pa.array([0] * len(tok_arr) + [n_tok], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if combine == "shuffle":
+        from ray.data.aggregate import Sum
+
+        merged = (
+            partials.groupby("token")
+            .aggregate(
+                Sum("df", alias_name="df"),
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("n_tokens", alias_name="n_tokens"),
+            )
+            .to_pandas()
+        )
+    else:
+        parts = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("token", sort=False)[["df", "n_docs", "n_tokens"]]
+            .sum()
+            .reset_index()
+        )
+    meta = merged[merged["token"] == _META]
+    n_docs = int(meta["n_docs"].sum())
+    n_tokens = int(meta["n_tokens"].sum())
+    df = merged.loc[merged["token"] != _META, ["token", "df"]].reset_index(drop=True)
+    df["df"] = df["df"].astype("int64")
+    return df, n_docs, n_tokens
+
+
+def tfidf_top_terms(
+    ds, col: str = "text", id_col: str = "doc_id", m: int = 3, *, combine: str = "driver"
+):
+    """Per-document top-``m`` TF-IDF terms: score = tf * ln(N / df), ties
+    broken by token ascending. Returns (id_col, token, tf, score) rows.
+
+    SQL twin: ``tf * ln(CAST(n AS DOUBLE) / df)`` + ``row_number() OVER
+    (PARTITION BY doc ORDER BY score DESC, token) <= m`` (same double
+    expression shape, bit-identical scores).
+    """
+    import ray
+
+    df_tbl, n_docs, _ = corpus_stats(ds, col, combine=combine)
+    vocab = np.sort(df_tbl["token"].to_numpy())
+    order = np.argsort(df_tbl["token"].to_numpy())
+    idf = np.log(np.float64(n_docs) / df_tbl["df"].to_numpy()[order].astype(np.float64))
+    ref = ray.put((vocab, idf))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        gvocab, gidf = ray.get(ref)
+        flat, parent = _tokenize(batch, col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {id_col: ids[:0], "token": np.array([], str),
+                 "tf": np.array([], np.int64), "score": np.array([], np.float64)}
+            )
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(d.dictionary)
+        key = parent * v + codes
+        uk, tf = np.unique(key, return_counts=True)
+        p, c = uk // v, uk % v
+        bvocab = d.dictionary.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(gvocab, bvocab)
+        ok = (pos < len(gvocab)) & (gvocab[np.minimum(pos, len(gvocab) - 1)] == bvocab)
+        bidf = np.where(ok, gidf[np.minimum(pos, len(gvocab) - 1)], np.nan)
+        sc = tf.astype(np.float64) * bidf[c]
+        out = pd.DataFrame(
+            {id_col: ids[p], "token": bvocab[c], "tf": tf.astype(np.int64), "score": sc}
+        ).dropna(subset=["score"])
+        out = out.sort_values(
+            [id_col, "score", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        return out.groupby(id_col, sort=False).head(m).reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds,
+    query_tokens: list[str],
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Global top-``k`` documents by BM25 score against a fixed token
+    query (Robertson/Sparck Jones idf: ln(1 + (N - df + .5)/(df + .5))).
+    Stats pass folds only the query tokens' dfs; the score pass is one
+    shuffle-free vectorized map; the top-k is the partial-top-k combiner.
+    Term contributions accumulate in ``query_tokens`` order so the double
+    sum is reproducible (and matches the SQL twin's left-assoc ``+``).
+    Returns (id_col, score) rows with score > 0.
+    """
+    from rustac_ray.query import sorted_topn
+
+    df_tbl, n_docs, n_tokens = corpus_stats(ds, col, tokens=query_tokens)
+    dfs = dict(zip(df_tbl["token"], df_tbl["df"]))
+    avgdl = np.float64(n_tokens) / np.float64(n_docs)
+    idfs = [
+        float(
+            np.log(
+                1.0
+                + (np.float64(n_docs) - np.float64(dfs.get(t, 0)) + 0.5)
+                / (np.float64(dfs.get(t, 0)) + 0.5)
+            )
+        )
+        for t in query_tokens
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tokenize(batch, col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent, minlength=len(ids)).astype(np.float64)
+        denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
+        total = np.zeros(len(ids), np.float64)
+        for t, idf_t in zip(query_tokens, idfs):
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[m], minlength=len(ids)).astype(np.float64)
+            total = total + idf_t * (tf * (k1 + 1.0)) / (tf + denom_base)
+        keep = total > 0.0
+        return pa.table(
+            {id_col: pa.array(ids[keep]), "score": pa.array(total[keep], pa.float64())}
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return sorted_topn(scored, [("score", True), (id_col, False)], k)

@@ -1,0 +1,102 @@
+"""TF-IDF / BM25 relevance operators vs brute-force scalar math."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from rustac_ray.stages.relevance import bm25_topk, corpus_stats, tfidf_top_terms
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "cat dog cat fish",
+            "dog dog bird",
+            "cat bird bird bird",
+            "whale",
+        ],
+    }
+)
+
+
+def _brute_stats():
+    toks = {r.doc_id: r.text.split() for r in DOCS.itertuples()}
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    n_tokens = sum(len(ts) for ts in toks.values())
+    return toks, df, len(toks), n_tokens
+
+
+def test_corpus_stats_matches_brute_force():
+    toks, df, n_docs, n_tokens = _brute_stats()
+    for combine in ("driver", "shuffle"):
+        got_df, got_n, got_t = corpus_stats(
+            rd.from_pandas(DOCS), combine=combine
+        )
+        assert got_n == n_docs and got_t == n_tokens
+        assert dict(zip(got_df["token"], got_df["df"])) == df
+
+
+def test_corpus_stats_token_restriction():
+    got_df, n_docs, n_tokens = corpus_stats(
+        rd.from_pandas(DOCS), tokens=["cat", "whale", "absent"]
+    )
+    assert dict(zip(got_df["token"], got_df["df"])) == {"cat": 2, "whale": 1}
+    assert n_docs == 4 and n_tokens == 12
+
+
+def test_tfidf_top_terms_brute_force():
+    toks, df, n, _ = _brute_stats()
+    got = tfidf_top_terms(rd.from_pandas(DOCS), m=2).to_pandas()
+    # brute-force per-doc scores
+    for doc_id, ts in toks.items():
+        scores = {}
+        for t in set(ts):
+            scores[t] = ts.count(t) * math.log(n / df[t])
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        sub = got[got["doc_id"] == doc_id].sort_values(
+            ["score", "token"], ascending=[False, True]
+        )
+        assert list(sub["token"]) == [t for t, _ in want]
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(), [s for _, s in want], rtol=0, atol=0
+        )
+        assert (sub["tf"].to_numpy() == [ts.count(t) for t, _ in want]).all()
+
+
+def test_bm25_brute_force_and_ranking():
+    toks, df, n, n_tokens = _brute_stats()
+    q = ["cat", "bird"]
+    got = bm25_topk(rd.from_pandas(DOCS), q, k=10).to_pandas()
+    avgdl = n_tokens / n
+    k1, b = 1.2, 0.75
+
+    def brute(doc_id):
+        ts = toks[doc_id]
+        s = 0.0
+        for t in q:
+            tf = ts.count(t)
+            idf = math.log(1.0 + (n - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * len(ts)) / avgdl))
+        return s
+
+    want = {d: brute(d) for d in toks if brute(d) > 0}
+    assert set(got["doc_id"]) == set(want)
+    for r in got.itertuples():
+        np.testing.assert_allclose(r.score, want[r.doc_id], rtol=0, atol=0)
+    # doc 4 has no query token: excluded; ranking is descending
+    assert 4 not in set(got["doc_id"])
+    assert (np.diff(got["score"].to_numpy()) <= 0).all()
+
+
+def test_bm25_topk_truncates():
+    got = bm25_topk(rd.from_pandas(DOCS), ["cat", "bird"], k=1).to_pandas()
+    assert len(got) == 1
+    # doc 3 (bird bird bird + cat) dominates
+    assert got["doc_id"].iloc[0] == 3
