@@ -11,9 +11,9 @@ _EXPORTS = {
     "aggregates": ["global_extent", "collection_extents", "grouped_topk"],
     "decontam": ["BloomFilter", "decontaminate", "ngram_hash_set", "build_bloom"],
     "dedup": [
-        "exact_dedup", "minhash_lsh_candidates", "simhash_near_dup",
-        "ngram_jaccard_near_dup", "phash_near_dup", "connected_components",
-        "near_dup_filter",
+        "exact_dedup", "dup_ngram_spans", "minhash_lsh_candidates",
+        "simhash_near_dup", "ngram_jaccard_near_dup", "phash_near_dup",
+        "connected_components", "near_dup_filter",
     ],
     "embed": [
         "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",

@@ -50,20 +50,15 @@ _EMPTY_NGRAMS = pd.DataFrame(
 )
 
 
-def _ngram_frame(text: pd.Series, n: int) -> pd.DataFrame:
-    """Distinct (row_pos, hash) for every word n-gram of every row.
+def _token_hash_rows(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(row_pos:int32[], token_hash:uint64[]) for every nonempty
+    whitespace token of every row, in document order.
 
     All-Arrow/numpy hot path (measured ~20× over the pandas explode +
     string-concat version): Arrow whitespace tokenizer → dictionary
     encode → hash only the per-batch VOCABULARY (pandas siphash, stable
-    across machines) → gather per-token hashes → combine ``n``
-    consecutive token hashes with an order-sensitive FNV-style mix +
-    splitmix64 finalizer. No n-gram string is ever materialized.
-
-    The n-gram identity is the token sequence (equal sequences hash
-    equal everywhere, independent of batch layout); token-boundary
-    semantics match the SQL oracle's single-space ``string_split``.
-    """
+    across machines) → gather per-token hashes. Token-boundary semantics
+    match the SQL oracles' single-space ``string_split``."""
     arr = pa.Array.from_pandas(text.astype(str))
     toks = pc.utf8_split_whitespace(arr)
     flat = pc.list_flatten(toks)
@@ -72,8 +67,8 @@ def _ngram_frame(text: pd.Series, n: int) -> pd.DataFrame:
     nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
     if not nonempty.all():
         flat, row = flat.filter(pa.array(nonempty)), row[nonempty]
-    if len(flat) < n:
-        return _EMPTY_NGRAMS.copy()
+    if len(flat) == 0:
+        return row[:0], np.array([], np.uint64)
     d = pc.dictionary_encode(flat)
     codes = d.indices.to_numpy()  # int32 — valid fancy-index as-is
     vocab_h = splitmix64(
@@ -81,8 +76,22 @@ def _ngram_frame(text: pd.Series, n: int) -> pd.DataFrame:
         .to_numpy()
         .view(np.uint64)
     )
-    th = vocab_h[codes]
+    return row, vocab_h[codes]
+
+
+def ngram_occurrences(
+    text: pd.Series, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """EVERY word-n-gram occurrence of every row, position-aware:
+    (row_pos:int32[], token_start:int64[], hash:uint64[]). The hash
+    combines ``n`` consecutive token hashes with an order-sensitive
+    FNV-style mix + splitmix64 finalizer — equal token sequences hash
+    equal everywhere, independent of batch layout; no n-gram string is
+    ever materialized. ``token_start`` is 0-based within the row."""
+    row, th = _token_hash_rows(text)
     m = len(th) - n + 1
+    if m <= 0:
+        return row[:0], np.array([], np.int64), np.array([], np.uint64)
     h = th[:m].copy()
     mix = np.uint64(0x100000001B3)
     with np.errstate(over="ignore"):
@@ -90,8 +99,23 @@ def _ngram_frame(text: pd.Series, n: int) -> pd.DataFrame:
             np.multiply(h, mix, out=h)
             np.add(h, th[j : m + j], out=h)
     h = splitmix64(h)
+    # 0-based token position within each row: flat index minus the flat
+    # index of the row's first token (rows are contiguous + nondecreasing)
+    is_first = np.ones(len(row), bool)
+    is_first[1:] = row[1:] != row[:-1]
+    run_id = np.cumsum(is_first) - 1
+    row_first = np.flatnonzero(is_first)
+    pos = np.arange(len(row), dtype=np.int64) - row_first[run_id]
     valid = row[:m] == row[n - 1 :]
-    row, h = row[:m][valid], h[valid]
+    return row[:m][valid], pos[:m][valid], h[valid]
+
+
+def _ngram_frame(text: pd.Series, n: int) -> pd.DataFrame:
+    """Distinct (row_pos, hash) for every word n-gram of every row —
+    ``ngram_occurrences`` deduplicated per row."""
+    row, _, h = ngram_occurrences(text, n)
+    if len(row) == 0:
+        return _EMPTY_NGRAMS.copy()
     # distinct per (row, h): lexsort + consecutive-duplicate mask
     order = np.lexsort((h, row))
     row, h = row[order], h[order]

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 __all__ = [
     "exact_dedup",
+    "dup_ngram_spans",
     "near_dup_filter",
     "simhash_near_dup",
     "connected_components",
@@ -115,6 +116,116 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
         return batch.loc[m]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def dup_ngram_spans(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    *,
+    min_count: int = 2,
+    combine: str = "driver",
+):
+    """SUBSTRING-level dedup stats (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", token-n-gram variant):
+    an n-gram occurrence is *duplicated* when the same token sequence
+    appears ≥ ``min_count`` times anywhere in the corpus (within- or
+    cross-document). Per document, reports how many token positions are
+    covered by at least one duplicated n-gram — the span a substring
+    dedup pass would mask/remove.
+
+    Two-pass broadcast shape: pass 1 folds global occurrence counts of
+    every n-gram hash (per-batch Arrow tokenize + rolling-hash
+    ``ngram_occurrences`` + value_counts; partials merge on the driver —
+    bounded by DISTINCT n-grams; ``combine="shuffle"`` keeps the
+    distributed groupby for corpora whose n-gram space exceeds driver
+    memory). Pass 2 broadcasts the sorted duplicated-hash array via
+    ``ray.put`` and each block computes its own interval-union coverage
+    with numpy (sorted starts → min(gap to next start, n) per start).
+
+    N-gram identity is by 64-bit sequence hash: equal sequences always
+    collide, unequal ones collide with ~(#ngrams²)/2⁶⁵ probability —
+    negligible below ~10⁸ distinct n-grams per corpus partition.
+
+    Returns (id_col, n_tokens, n_dup_tokens, dup_frac) per document.
+    """
+    import ray
+
+    from rustac_ray.stages.decontam import ngram_occurrences
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, h = ngram_occurrences(batch[col], n)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pd.DataFrame({"h": uniq, "cnt": cnt.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if combine == "shuffle":
+        from ray.data.aggregate import Sum
+
+        grouped = partials.groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+        dup_parts = [
+            b["h"].to_numpy(zero_copy_only=False)
+            for b in grouped.filter(
+                expr=f"cnt >= {int(min_count)}"
+            ).iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        dup = np.sort(np.concatenate(dup_parts)) if dup_parts else np.array([], np.uint64)
+    else:
+        parts = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        if parts:
+            merged = (
+                pd.concat(parts, ignore_index=True)
+                .groupby("h", sort=False, as_index=False)["cnt"]
+                .sum()
+            )
+            dup = np.sort(
+                merged.loc[merged["cnt"] >= min_count, "h"].to_numpy()
+            ).astype(np.uint64)
+        else:
+            dup = np.array([], np.uint64)
+    dup_ref = ray.put(dup)
+
+    def coverage(batch: pd.DataFrame) -> pd.DataFrame:
+        dset = ray.get(dup_ref)
+        row, pos, h = ngram_occurrences(batch[col], n)
+        ids = batch[id_col].to_numpy()
+        # per-row token counts (rows with no tokens stay 0)
+        from rustac_ray.stages.decontam import _token_hash_rows
+
+        trow, _ = _token_hash_rows(batch[col])
+        dl = np.bincount(trow, minlength=len(batch)).astype(np.int64)
+        if len(h) and len(dset):
+            idx = np.searchsorted(dset, h)
+            idx[idx == len(dset)] = len(dset) - 1
+            is_dup = dset[idx] == h
+        else:
+            is_dup = np.zeros(len(h), bool)
+        prow, ppos = row[is_dup], pos[is_dup]
+        # interval union of [start, start+n) per row: starts are sorted
+        # (document order), so each start contributes min(next-start gap, n)
+        if len(prow):
+            gap = np.full(len(prow), n, np.int64)
+            same = prow[:-1] == prow[1:]
+            gap[:-1][same] = np.minimum(ppos[1:][same] - ppos[:-1][same], n)
+            cov = np.bincount(prow, weights=gap, minlength=len(batch)).astype(np.int64)
+        else:
+            cov = np.zeros(len(batch), np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": dl,
+                "n_dup_tokens": cov,
+                "dup_frac": cov.astype(np.float64) / np.maximum(dl, 1),
+            }
+        )
+
+    return ds.map_batches(coverage, batch_format="pandas")
 
 
 class MinHasher:

@@ -30,6 +30,66 @@ def test_exact_dedup(docs_ds):
     assert (out["doc_id"] < 1_000_000).all()
 
 
+def _brute_dup_spans(texts, n=3, min_count=2):
+    """Naive double-implementation: count every n-gram occurrence in the
+    corpus, mark positions covered by any duplicated occurrence."""
+    grams = []
+    toks = [t.split() for t in texts]
+    for ts in toks:
+        grams += [tuple(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+    from collections import Counter
+
+    dup = {g for g, c in Counter(grams).items() if c >= min_count}
+    out = []
+    for ts in toks:
+        covered = set()
+        for i in range(len(ts) - n + 1):
+            if tuple(ts[i : i + n]) in dup:
+                covered.update(range(i, i + n))
+        out.append((len(ts), len(covered)))
+    return out
+
+
+@pytest.mark.parametrize("combine", ["driver", "shuffle"])
+def test_dup_ngram_spans_brute_force(combine):
+    texts = [
+        "a b c d e f g",          # 'a b c' dup'd with doc 1
+        "x y a b c z w q",        # and within-doc: 'p p p' twice in doc 2
+        "p p p p r s t u v",      # 'p p p' at 0 and 1 (overlap counts once)
+        "unique words only here today",
+        "",                       # empty doc: 0 tokens, 0 covered
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        dedup.dup_ngram_spans(rd.from_pandas(df), n=3, combine=combine)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_dup_spans(texts, n=3)
+    assert list(zip(got["n_tokens"], got["n_dup_tokens"])) == want
+    np.testing.assert_allclose(
+        got["dup_frac"], [c / max(t, 1) for t, c in want]
+    )
+
+
+def test_dup_ngram_spans_random_differential():
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefgh")
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 30)).tolist()) for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        dedup.dup_ngram_spans(rd.from_pandas(df), n=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_dup_spans(texts, n=4)
+    assert list(zip(got["n_tokens"], got["n_dup_tokens"])) == want
+
+
 def test_minhash_finds_planted_near_dups():
     base = (
         "the quick brown fox jumps over the lazy dog and runs far away "
