@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "11"
+DERIVED_VERSION = "12"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -717,6 +717,169 @@ def _expected_zonal(fdir: str) -> pa.Table:
     )
 
 
+def _expected_bpe(docs: pa.Table, num_merges: int = 50) -> pa.Table:
+    """Naive scalar BPE twin of stages/tokenize.py: dict-based pair
+    counting for training (max count, lexicographically smallest tie) and
+    replay-merges-IN-ORDER apply (equivalent to the engine's greedy
+    lowest-rank apply for any training-produced merge list, since a
+    compound pair can only be learned after its constituents)."""
+    eow = "</w>"
+    freqs: dict = {}
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    seqs = {w: list(w) + [eow] for w in freqs}
+    merges = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for w, f in freqs.items():
+            s = seqs[w]
+            for j in range(len(s) - 1):
+                pc[(s[j], s[j + 1])] = pc.get((s[j], s[j + 1]), 0) + f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        for w in seqs:
+            s, out, j = seqs[w], [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == best[0] and s[j + 1] == best[1]:
+                    out.append(best[0] + best[1])
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[w] = out
+
+    def apply(word: str) -> list:
+        s = list(word) + [eow]
+        for l, r in merges:
+            out, j = [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            s = out
+        return s
+
+    n_out, first, last = [], [], []
+    for t in texts:
+        ws = t.split()
+        toks_n = 0
+        f = l = ""
+        for k, w in enumerate(ws):
+            enc = apply(w)
+            toks_n += len(enc)
+            if k == 0:
+                f = enc[0]
+            l = enc[-1]
+        n_out.append(toks_n)
+        first.append(f)
+        last.append(l)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(n_out, pa.int64()),
+            "first_token": pa.array(first, pa.string()),
+            "last_token": pa.array(last, pa.string()),
+        }
+    )
+
+
+def _expected_lm_scores(docs: pa.Table) -> pa.Table:
+    """Naive scalar twin of stages/lm.py: dict bigram counting, math.log
+    per-cell cost, char-by-char integer accumulation. Integer micro-nat
+    costs make the per-doc sums order-independent exact."""
+    import math
+
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    counts: dict = {}
+    rowsum = [0] * 256
+    for t in texts:
+        b = t.encode("utf-8", "ignore")
+        for j in range(len(b) - 1):
+            counts[(b[j], b[j + 1])] = counts.get((b[j], b[j + 1]), 0) + 1
+            rowsum[b[j]] += 1
+    # np.round is half-to-even; Python round matches for floats
+    cost = {
+        (a, c): round(-(math.log(n + 1) - math.log(rowsum[a] + 256)) * 1e6)
+        for (a, c), n in counts.items()
+    }
+
+    def cell(a, c):
+        got = cost.get((a, c))
+        if got is None:
+            got = round(-(math.log(1) - math.log(rowsum[a] + 256)) * 1e6)
+        return got
+
+    n_pairs, nll = [], []
+    for t in texts:
+        b = t.encode("utf-8", "ignore")
+        s = 0
+        for j in range(len(b) - 1):
+            s += cell(b[j], b[j + 1])
+        n_pairs.append(max(len(b) - 1, 0))
+        nll.append(s)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "nll_micro": pa.array(nll, pa.int64()),
+        }
+    )
+
+
+def _expected_point_samples(fdir: str) -> pa.Table:
+    """Naive raster point sampling: scalar math.floor affine inversion per
+    (point, image) pair over EVERY pair, one decode per hit image — the
+    dumb quadratic twin of stages/zonal._PointSampler."""
+    import glob as _glob
+    import math
+
+    from .imaging.codec import decode_image
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"))]
+    )
+    pts = pq.read_table(os.path.join(fdir, "query_points.parquet")).to_pydict()
+    out = {"query_id": [], "image_id": [], "px_r": [], "px_g": [], "px_b": []}
+    for i in range(len(imgs)):
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        w, h = imgs["w"][i].as_py(), imgs["h"][i].as_py()
+        px = None
+        for q in range(len(pts["query_id"])):
+            col = math.floor((pts["x"][q] - x0) / res)
+            row = math.floor((y0 - pts["y"][q]) / res)
+            if not (0 <= col < w and 0 <= row < h):
+                continue
+            if px is None:
+                px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+            out["query_id"].append(pts["query_id"][q])
+            out["image_id"].append(imgs["image_id"][i].as_py())
+            out["px_r"].append(int(px[row, col, 0]))
+            out["px_g"].append(int(px[row, col, 1]))
+            out["px_b"].append(int(px[row, col, 2]))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.string()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "px_r": pa.array(out["px_r"], pa.int64()),
+            "px_g": pa.array(out["px_g"], pa.int64()),
+            "px_b": pa.array(out["px_b"], pa.int64()),
+        }
+    )
+
+
 def _expected_tile_mosaic(fdir: str, z: int = 8) -> pa.Table:
     """Naive tile mosaic: pure-Python per-pixel slippy-map math (math.tan
     scalar formula + bitwise scalar Morton interleave — written
@@ -911,6 +1074,9 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
     write("expected_zonal.parquet", _expected_zonal(fdir))
+    write("expected_point_samples.parquet", _expected_point_samples(fdir))
+    write("expected_bpe.parquet", _expected_bpe(docs))
+    write("expected_lm_scores.parquet", _expected_lm_scores(docs))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)

@@ -32,8 +32,12 @@ from .footprint import derive_footprints
 __all__ = ["knn_join", "CellKNNIndex", "ShardedKNNIndex"]
 
 
+_EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
 class _PartialTopK:
-    def __init__(self, probes_ref, k: int, derive: bool = False):
+    def __init__(self, probes_ref, k: int, derive: bool = False,
+                 metric: str = "planar"):
         probes = ray.get(probes_ref)  # dict: query_id → (x, y)
         self.qids = list(probes.keys())
         pts = np.asarray(list(probes.values()), dtype=np.float64)
@@ -41,6 +45,14 @@ class _PartialTopK:
         self.py = pts[:, 1]
         self.k = k
         self.derive = derive
+        if metric not in ("planar", "haversine"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
+        if metric == "haversine":
+            # probe-side trig once per actor, not per batch
+            self.plat = np.radians(self.py)
+            self.plon = np.radians(self.px)
+            self.pcos = np.cos(self.plat)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.derive:
@@ -60,6 +72,11 @@ class _PartialTopK:
             )
         k = min(self.k, n)
         nq = len(self.qids)
+        if self.metric == "haversine":
+            # corpus-side trig once per batch (N-length, reused per chunk)
+            lat = np.radians(cy)
+            lon = np.radians(cx)
+            ccos = np.cos(lat)
         rows_parts, qidx_parts, dist_parts = [], [], []
         # probe-chunked so the (chunk, N) distance matrix stays L3-resident
         # (same lesson as the join's exact kernel — see BENCH/BASELINE.md);
@@ -68,15 +85,31 @@ class _PartialTopK:
         chunk = max(1, 1_000_000 // max(n, 1))
         for s in range(0, nq, chunk):
             e = min(s + chunk, nq)
-            d2 = (cx[None, :] - self.px[s:e, None]) ** 2 + (
-                cy[None, :] - self.py[s:e, None]
-            ) ** 2
+            if self.metric == "haversine":
+                # hav term h = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2):
+                # monotonic in great-circle distance, so top-k selects on h
+                # and only the ≤ q×k winners pay the asin
+                sdlat = np.sin((lat[None, :] - self.plat[s:e, None]) * 0.5)
+                sdlon = np.sin((lon[None, :] - self.plon[s:e, None]) * 0.5)
+                d2 = sdlat * sdlat + (
+                    self.pcos[s:e, None] * ccos[None, :]
+                ) * (sdlon * sdlon)
+            else:
+                d2 = (cx[None, :] - self.px[s:e, None]) ** 2 + (
+                    cy[None, :] - self.py[s:e, None]
+                ) ** 2
             part = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (q,k) local winners
             rows = part.ravel()
             qidx = np.repeat(np.arange(s, e), k)
             rows_parts.append(rows)
             qidx_parts.append(qidx)
-            dist_parts.append(np.sqrt(d2[np.repeat(np.arange(e - s), k), rows]))
+            sel = d2[np.repeat(np.arange(e - s), k), rows]
+            if self.metric == "haversine":
+                dist_parts.append(
+                    2.0 * _EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.minimum(sel, 1.0)))
+                )
+            else:
+                dist_parts.append(np.sqrt(sel))
         rows = np.concatenate(rows_parts)
         qidx = np.concatenate(qidx_parts)
         dist = np.concatenate(dist_parts)
@@ -98,12 +131,19 @@ def knn_join(
     concurrency: int | tuple[int, int] = 4,
     footprints_derived: bool = False,
     combine: str = "driver",
+    metric: str = "planar",
 ) -> "ray.data.Dataset":
     """→ (query_id, image_id, dist): global k nearest per probe point.
 
     ``k`` may be a single int or a per-query dict {query_id: k}; the
     per-batch partial keeps max(k) per probe, the final per-query group
     trims to that probe's own k.
+
+    ``metric="planar"`` (default) is Euclidean degrees on footprint
+    centers (matches the reference's planar search semantics);
+    ``metric="haversine"`` is great-circle km on the sphere — the
+    partial top-k selects on the monotonic hav term so the trig stays
+    one vectorized pass per batch and only winners pay the asin.
     """
     per_query_k = k if isinstance(k, dict) else {q: k for q in probes}
     kmax = max(per_query_k.values()) if per_query_k else 0
@@ -111,7 +151,7 @@ def knn_join(
     k_ref = ray.put(per_query_k)
     partials = images_ds.map_batches(
         _PartialTopK,
-        fn_constructor_args=(probes_ref, kmax, not footprints_derived),
+        fn_constructor_args=(probes_ref, kmax, not footprints_derived, metric),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -37,7 +37,13 @@ from ..geo.pip import PreparedGeometry
 from ..imaging.codec import LossyCodecUnavailable, decode_image
 from .multimodal import DEFAULT_IMAGE_BATCH
 
-__all__ = ["zonal_stats", "tile_pixel_stats", "write_mosaic_pyramid", "Zones"]
+__all__ = [
+    "zonal_stats",
+    "sample_raster_at_points",
+    "tile_pixel_stats",
+    "write_mosaic_pyramid",
+    "Zones",
+]
 
 
 class Zones:
@@ -262,6 +268,128 @@ def zonal_stats(
         return b
 
     return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+class _PointSampler:
+    """Actor-pool stage: decode-once raster value extraction at points.
+
+    For every broadcast query point that lands inside an image's
+    footprint, emit the decoded pixel under it. The (batch × points)
+    hit matrix is pure affine arithmetic (floor((p - origin)/res)), so
+    candidate discovery is one vectorized pass; each image decodes AT
+    MOST once per batch no matter how many points hit it, and only the
+    hit pixels are gathered (no mask grids). Every image row lives in
+    exactly one batch, so the flat output needs no combine/dedup —
+    zero shuffle end to end.
+    """
+
+    def __init__(self, points_ref, strict: bool = True):
+        import ray
+
+        pts = (
+            ray.get(points_ref)
+            if isinstance(points_ref, ray.ObjectRef)
+            else points_ref
+        )  # dict: query_id → (x, y)
+        self.qids = np.asarray(list(pts.keys()), dtype=object)
+        arr = (
+            np.asarray(list(pts.values()), np.float64)
+            if pts
+            else np.zeros((0, 2))
+        )
+        self.px = arr[:, 0]
+        self.py = arr[:, 1]
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .footprint import _transform_matrix
+
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "image_id": pa.array([], pa.string()),
+                "px_r": pa.array([], pa.int64()),
+                "px_g": pa.array([], pa.int64()),
+                "px_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0 or len(self.px) == 0:
+            return empty
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        tr = _transform_matrix(batch)
+        res, lon0, lat0 = tr[:, 0], tr[:, 2], tr[:, 5]
+        # (N_img, Q) pixel indices; in-bounds ⇔ the point is inside the
+        # image's half-open footprint (pixels tile it exactly)
+        col = np.floor((self.px[None, :] - lon0[:, None]) / res[:, None]).astype(
+            np.int64
+        )
+        row = np.floor((lat0[:, None] - self.py[None, :]) / res[:, None]).astype(
+            np.int64
+        )
+        ok = (col >= 0) & (col < w[:, None]) & (row >= 0) & (row < h[:, None])
+        ii, qq = np.nonzero(ok)
+        if len(ii) == 0:
+            return empty
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        out_q, out_i, out_rgb = [], [], []
+        last_i, px = -1, None
+        for i, q in zip(ii, qq):
+            if i != last_i:
+                try:
+                    px = decode_image(payloads[i], fmts[i])
+                except LossyCodecUnavailable:
+                    if self.strict:
+                        raise
+                    px = None
+                last_i = i
+            if px is None:
+                continue
+            out_q.append(self.qids[q])
+            out_i.append(ids[i])
+            out_rgb.append(px[row[i, q], col[i, q]])
+        if not out_q:
+            return empty
+        rgb = np.asarray(out_rgb, np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(out_q, dtype=object), pa.string()),
+                "image_id": pa.array(out_i, pa.string()),
+                "px_r": pa.array(rgb[:, 0]),
+                "px_g": pa.array(rgb[:, 1]),
+                "px_b": pa.array(rgb[:, 2]),
+            }
+        )
+
+
+def sample_raster_at_points(
+    images_ds,
+    points: dict,
+    *,
+    strict: bool = True,
+    concurrency: int = 2,
+    batch_size: int = DEFAULT_IMAGE_BATCH,
+):
+    """→ Dataset (query_id, image_id, px_r/g/b): decoded pixel value under
+    each query point, for every image whose footprint contains it.
+
+    The point-sampling dual of :func:`zonal_stats` (zones aggregate many
+    pixels; this extracts one per hit). ``images_ds`` needs columns
+    (image_id, bytes, w, h, fmt, transform); ``points`` is broadcast once
+    via ``ray.put``.
+    """
+    import ray
+
+    ref = ray.put(points)
+    return images_ds.map_batches(
+        _PointSampler,
+        fn_constructor_args=(ref, strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class _TileMosaicPartial:

@@ -139,6 +139,41 @@ def test_knn_matches_bruteforce(fixtures_dir, corpus):
         assert got == expected, qid
 
 
+def test_knn_haversine_matches_bruteforce(fixtures_dir, corpus):
+    import math
+
+    _, corners, ids = corpus
+    cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
+    cy = (corners[:, :, 1].min(1) + corners[:, :, 1].max(1)) / 2
+    probes = {"p0": (-100.0, 35.0), "p1": (-61.0, 21.0)}
+    res = knn.knn_join(
+        _images_ds(fixtures_dir), probes, k=7, concurrency=2, metric="haversine"
+    ).to_pandas()
+    R = 6371.0088
+    for qid, (px, py) in probes.items():
+        d = np.array(
+            [
+                2.0
+                * R
+                * math.asin(
+                    math.sqrt(
+                        math.sin(math.radians(y - py) / 2) ** 2
+                        + math.cos(math.radians(py))
+                        * math.cos(math.radians(y))
+                        * math.sin(math.radians(x - px) / 2) ** 2
+                    )
+                )
+                for x, y in zip(cx, cy)
+            ]
+        )
+        expected = set(ids[np.argsort(d, kind="stable")[:7]])
+        sub = res[res["query_id"] == qid].sort_values("dist")
+        assert set(sub["image_id"]) == expected, qid
+        # emitted dist is great-circle km of the selected winner
+        want = np.sort(d)[:7]
+        assert np.allclose(np.sort(sub["dist"].to_numpy()), want, rtol=1e-9)
+
+
 def test_cell_knn_index_matches_bruteforce(corpus):
     _, corners, ids = corpus
     cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2

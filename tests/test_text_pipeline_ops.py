@@ -250,3 +250,163 @@ def test_langid_vectorized_equals_scalar_reference():
     ] + ["", "  ", "42 !!"]
     out = li(pd.DataFrame({"text": texts}))
     assert out["lang_pred"].tolist() == [scalar(t) for t in texts]
+
+
+# ----------------------------------------------------------------- bpe --
+
+
+def test_bpe_train_classic_example():
+    """Sennrich's toy corpus: merges pick the most frequent pair, ties
+    break lexicographically, and greedy apply matches training segments."""
+    from rustac_ray.stages.tokenize import _encode_word, train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, num_merges=10)
+    ranks = {m: i for i, m in enumerate(merges)}
+    # the classic trace: ('e','s') count 9 first, then ('es','t') 9, ...
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    # training-set words must encode to the sequences training converged to
+    enc = _encode_word("newest", ranks)
+    assert "".join(enc).replace("</w>", "") == "newest"
+    assert len(enc) <= 4
+
+
+def test_bpe_encoder_matches_naive_on_docs():
+    """Distributed encode == the oracle's replay-in-order scalar twin."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from rustac_ray.oracles import _expected_bpe
+    from rustac_ray.stages.tokenize import BPEEncoder, train_bpe, word_frequencies
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(word_frequencies(docs), num_merges=50)
+    got = (
+        docs.map_batches(
+            BPEEncoder,
+            fn_constructor_args=(ray.put(merges),),
+            batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected_bpe(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]),
+            num_merges=50,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bpe_word_frequencies_sample_mod():
+    from rustac_ray.stages.tokenize import word_frequencies
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["a a", "b", "a c", "b b"]})
+    )
+    assert word_frequencies(docs) == {"a": 3, "b": 3, "c": 1}
+    # doc_id % 2 == 0 slice only
+    assert word_frequencies(docs, sample_mod=2) == {"a": 3, "c": 1}
+
+
+# ------------------------------------------------------------ char LM --
+
+
+def test_lm_scorer_matches_naive():
+    """Vectorized reduceat scoring == scalar char-by-char oracle twin."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from rustac_ray.oracles import _expected_lm_scores
+    from rustac_ray.stages.lm import PerplexityScorer, bigram_cost_table, train_char_lm
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cost = bigram_cost_table(train_char_lm(docs))
+    got = (
+        docs.map_batches(
+            PerplexityScorer,
+            fn_constructor_args=(ray.put(cost),),
+            batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected_lm_scores(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lm_filter_mode_planted():
+    """A gibberish doc scores above the in-domain cutoff and is dropped."""
+    import ray
+
+    from rustac_ray.stages.lm import PerplexityScorer, bigram_cost_table, train_char_lm
+
+    train = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(8)),
+                "text": ["the quick brown fox jumps over the lazy dog"] * 8,
+            }
+        )
+    )
+    cost = bigram_cost_table(train_char_lm(train))
+    probe = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["the quick brown fox", "zqxj vwkp qqzz xjxj"],
+            }
+        )
+    )
+    ref = ray.put(cost)
+    scores = probe.map_batches(
+        PerplexityScorer, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=1,
+    ).to_pandas().set_index("doc_id")
+    mean0 = scores.loc[0, "nll_micro"] / scores.loc[0, "n_pairs"]
+    mean1 = scores.loc[1, "nll_micro"] / scores.loc[1, "n_pairs"]
+    assert mean1 > mean0 * 1.5
+    cutoff = int((mean0 + mean1) / 2)
+    kept = probe.map_batches(
+        PerplexityScorer,
+        fn_constructor_args=(ref, cutoff, "filter"),
+        batch_format="pandas",
+        concurrency=1,
+    ).to_pandas()
+    assert kept["doc_id"].tolist() == [0]
+
+
+def test_lm_empty_and_single_char_docs():
+    import ray
+
+    from rustac_ray.stages.lm import PerplexityScorer, bigram_cost_table, train_char_lm
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "a", "ab"]})
+    )
+    cost = bigram_cost_table(train_char_lm(docs))
+    out = docs.map_batches(
+        PerplexityScorer, fn_constructor_args=(ray.put(cost),), batch_format="pandas",
+        concurrency=1,
+    ).to_pandas().sort_values("doc_id")
+    assert out["n_pairs"].tolist() == [0, 0, 1]
+    assert out["nll_micro"].tolist()[:2] == [0, 0]
+    assert out["nll_micro"].tolist()[2] > 0

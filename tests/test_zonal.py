@@ -253,3 +253,60 @@ def test_zonal_random_boxes_vs_naive(fixtures_dir):
             row = got.loc[q]
             assert (row["n_images"], row["n_pixels"]) == (ni, npx)
             assert [row["sum_r"], row["sum_g"], row["sum_b"]] == list(s)
+
+
+def test_sample_points_matches_naive(fixtures_dir):
+    """Vectorized point sampler == scalar affine inversion + decode."""
+    import glob
+    import math
+
+    from rustac_ray.imaging.codec import decode_image
+    from rustac_ray.stages.zonal import sample_raster_at_points
+
+    pts = pq.read_table(f"{fixtures_dir}/query_points.parquet")
+    points = {
+        q: (x, y)
+        for q, x, y in zip(
+            pts["query_id"].to_pylist(), pts["x"].to_pylist(), pts["y"].to_pylist()
+        )
+    }
+    got = (
+        sample_raster_at_points(_images_ds(fixtures_dir), points, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for shard in sorted(glob.glob(f"{fixtures_dir}/images.parquet/*.parquet")):
+        t = pq.read_table(shard)
+        for i in range(len(t)):
+            tr = t["transform"][i].as_py()
+            res, x0, y0 = tr[0], tr[2], tr[5]
+            w, h = t["w"][i].as_py(), t["h"][i].as_py()
+            px = None
+            for q, (x, y) in points.items():
+                col = math.floor((x - x0) / res)
+                row = math.floor((y0 - y) / res)
+                if not (0 <= col < w and 0 <= row < h):
+                    continue
+                if px is None:
+                    px = decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+                rows.append(
+                    (q, t["image_id"][i].as_py(), *[int(v) for v in px[row, col]])
+                )
+    assert rows, "fixture points must hit at least one footprint"
+    exp = (
+        pd.DataFrame(rows, columns=["query_id", "image_id", "px_r", "px_g", "px_b"])
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False
+    )
+
+
+def test_sample_points_empty_inputs(fixtures_dir):
+    from rustac_ray.stages.zonal import sample_raster_at_points
+
+    out = sample_raster_at_points(_images_ds(fixtures_dir), {}, concurrency=1)
+    assert out.count() == 0
