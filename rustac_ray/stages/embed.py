@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "assign_clusters", "embedding_near_dup"]
+__all__ = ["brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "assign_clusters", "embedding_near_dup"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -41,7 +41,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _PartialCosineTopK:
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 neg_labels_ref=None, label_col: str = "label"):
         q = ray.get(queries_ref)  # dict qid → vector
         self.qids = list(q.keys())
         # float64 so rank order matches a double-precision SQL oracle
@@ -49,6 +50,13 @@ class _PartialCosineTopK:
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        # hard-negative mining: per-query label to EXCLUDE (same-class
+        # candidates are not negatives)
+        neg = ray.get(neg_labels_ref) if neg_labels_ref is not None else None
+        self.qlabels = (
+            np.asarray([neg[q_] for q_ in self.qids]) if neg is not None else None
+        )
+        self.label_col = label_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float64))
@@ -60,15 +68,22 @@ class _PartialCosineTopK:
                  self.id_col: pa.array([], batch[self.id_col].type),
                  "cosine": pa.array([], pa.float64())}
             )
+        if self.qlabels is not None:
+            bl = batch[self.label_col].to_numpy()
+            sims[bl[None, :] == self.qlabels[:, None]] = -np.inf
         k = min(self.k, n)
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows = part.ravel()
         qidx = np.repeat(np.arange(len(self.qids)), k)
+        vals = sims[qidx, rows]
+        if self.qlabels is not None:
+            ok = np.isfinite(vals)  # fewer than k eligible rows in batch
+            rows, qidx, vals = rows[ok], qidx[ok], vals[ok]
         return pa.table(
             {
                 "query_id": pa.array([self.qids[i] for i in qidx], pa.string()),
                 self.id_col: batch[self.id_col].take(pa.array(rows)),
-                "cosine": pa.array(sims[qidx, rows].astype(np.float64)),
+                "cosine": pa.array(vals.astype(np.float64)),
             }
         )
 
@@ -97,6 +112,44 @@ def brute_force_topk(
         return g.nlargest(k, "cosine")
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def hard_negative_topk(
+    ds,
+    queries: dict[str, np.ndarray],
+    query_labels: dict,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    batch_size: int = 4096,
+    concurrency: int | tuple[int, int] = 4,
+):
+    """→ (query_id, id, cosine): contrastive hard-negative mining — the k
+    most-similar vectors whose ``label_col`` DIFFERS from the query's own
+    label (similar embedding + different class = the informative negative
+    for metric learning / CLIP-style training).
+
+    Same partial-top-k shape as :func:`brute_force_topk` (broadcast query
+    matrix, one matmul per batch, tiny final groupby); the label exclusion
+    is a vectorized mask on the similarity matrix, not a pre-filter pass,
+    so the corpus is still read exactly once.
+    """
+    qref = ray.put(queries)
+    lref = ray.put(query_labels)
+    partials = ds.map_batches(
+        _PartialCosineTopK,
+        fn_constructor_args=(qref, k, id_col, vec_col, lref, label_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def final_neg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "cosine")
+
+    return partials.groupby("query_id").map_groups(final_neg, batch_format="pandas")
 
 
 class _LshTopK:

@@ -205,6 +205,32 @@ def test_brute_force_topk_matches_numpy(sf_dir):
         assert got == expected, qid
 
 
+def test_hard_negative_topk_matches_numpy(sf_dir):
+    """Masked top-k == numpy brute force restricted to differing labels;
+    no same-label row ever survives."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    lbl = emb["label"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = {"q0": m[0], "q7": m[7]}
+    qlabels = {"q0": int(lbl[0]), "q7": int(lbl[7])}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = embed.hard_negative_topk(
+        ds, queries, qlabels, k=5, concurrency=1
+    ).to_pandas()
+    lbl_of = dict(zip(ids, lbl))
+    for qid, vec in queries.items():
+        v = vec / np.linalg.norm(vec)
+        sims = mn @ v
+        elig = lbl != qlabels[qid]
+        order = np.argsort(-sims, kind="stable")
+        expected = set(ids[order[elig[order]][:5]])
+        got = set(res[res["query_id"] == qid]["vec_id"])
+        assert got == expected, qid
+        assert all(lbl_of[i] != qlabels[qid] for i in got)
+
+
 def test_lsh_topk_recall(sf_dir):
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
