@@ -730,6 +730,93 @@ _EMPTY_PAIRS_D = pa.table(
 )
 
 
+class _ClipAreaJoiner:
+    """Actor-pool stage: per-pair footprint ∩ query-box intersection AREA
+    (the ST_Intersection/ST_Area building block of area-weighted overlays).
+
+    For axis-aligned rectangles the clip is closed-form:
+    ``max(0, min(xmaxs) - max(xmins)) × max(0, min(ymaxs) - max(ymins))``
+    — the exact same min/max/sub/mul sequence a SQL twin evaluates, so
+    per-pair areas are IEEE-identical on both sides (no aggregation, no
+    summation-order ambiguity). Candidates come from the (Q, N) bbox
+    overlap mask; only overlapping pairs pay the area math. No shuffle.
+    """
+
+    def __init__(self, boxes_ref, derive: bool = True):
+        b = ray.get(boxes_ref) if isinstance(boxes_ref, ray.ObjectRef) else boxes_ref
+        self.qid, self.qxmin, self.qymin, self.qxmax, self.qymax = b
+        self.derive = derive
+        self._qid_arr = pa.array(self.qid, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.derive:
+            batch = derive_footprints(batch)
+        if len(batch) == 0:
+            return _EMPTY_PAIRS_AREA
+        xmin = batch["fp_xmin"].to_numpy()
+        ymin = batch["fp_ymin"].to_numpy()
+        xmax = batch["fp_xmax"].to_numpy()
+        ymax = batch["fp_ymax"].to_numpy()
+        # (Q, N) strict-overlap mask (zero-area touches excluded)
+        cand = (
+            (np.minimum(self.qxmax[:, None], xmax[None, :])
+             > np.maximum(self.qxmin[:, None], xmin[None, :]))
+            & (np.minimum(self.qymax[:, None], ymax[None, :])
+               > np.maximum(self.qymin[:, None], ymin[None, :]))
+        )
+        qi, ri = np.nonzero(cand)
+        if len(qi) == 0:
+            return _EMPTY_PAIRS_AREA
+        w = np.minimum(self.qxmax[qi], xmax[ri]) - np.maximum(self.qxmin[qi], xmin[ri])
+        h = np.minimum(self.qymax[qi], ymax[ri]) - np.maximum(self.qymin[qi], ymin[ri])
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "query_id": pc.take(self._qid_arr, pa.array(qi)),
+                "image_id": ids.take(pa.array(ri)),
+                "clip_area": pa.array(w * h, pa.float64()),
+            }
+        )
+
+
+_EMPTY_PAIRS_AREA = pa.table(
+    {
+        "query_id": pa.array([], pa.string()),
+        "image_id": pa.array([], pa.string()),
+        "clip_area": pa.array([], pa.float64()),
+    }
+)
+
+
+def clip_area_join(
+    images_ds: "ray.data.Dataset",
+    boxes: "pa.Table",
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    footprints_derived: bool = False,
+) -> "ray.data.Dataset":
+    """All (query box, image) pairs with positive intersection area, plus
+    the exact area — the overlay primitive under area-weighted zonal /
+    coverage-fraction operators. ``boxes``: (query_id, xmin/ymin/xmax/ymax),
+    broadcast once; zero shuffle."""
+    qid = np.asarray(boxes["query_id"].to_pylist() if isinstance(boxes, pa.Table) else boxes["query_id"], dtype=object)
+    vals = tuple(
+        np.asarray(boxes[c].to_pylist() if isinstance(boxes, pa.Table) else boxes[c], np.float64)
+        for c in ("xmin", "ymin", "xmax", "ymax")
+    )
+    ref = ray.put((qid,) + vals)
+    return images_ds.map_batches(
+        _ClipAreaJoiner,
+        fn_constructor_args=(ref, not footprints_derived),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def within_distance_join(
     images_ds: "ray.data.Dataset",
     points: "pa.Table",

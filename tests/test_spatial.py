@@ -338,3 +338,41 @@ def test_knn_combine_paths_agree(fixtures_dir):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_clip_area_join_matches_bruteforce(fixtures_dir, corpus):
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from rustac_ray.geo import affine
+    from rustac_ray.stages.spatial_join import clip_area_join
+
+    _, corners, ids = corpus
+    xmin, ymin, xmax, ymax = affine.corners_bbox(corners)
+    boxes = _pq.read_table(f"{fixtures_dir}/query_boxes.parquet")
+    res = (
+        clip_area_join(_images_ds(fixtures_dir), boxes, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    expected = []
+    bd = boxes.to_pydict()
+    for q in range(len(bd["query_id"])):
+        w = np.minimum(bd["xmax"][q], xmax) - np.maximum(bd["xmin"][q], xmin)
+        h = np.minimum(bd["ymax"][q], ymax) - np.maximum(bd["ymin"][q], ymin)
+        hit = (w > 0) & (h > 0)
+        for r in np.flatnonzero(hit):
+            expected.append((bd["query_id"][q], ids[r], w[r] * h[r]))
+    exp = (
+        pd.DataFrame(expected, columns=["query_id", "image_id", "clip_area"])
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    assert len(res) > 0
+    pd.testing.assert_frame_equal(res, exp)
+    # clip is never larger than either operand's own area
+    img_area = dict(zip(ids, (xmax - xmin) * (ymax - ymin)))
+    assert all(
+        a <= img_area[i] + 1e-12 for i, a in zip(res["image_id"], res["clip_area"])
+    )
