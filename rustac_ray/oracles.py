@@ -837,6 +837,64 @@ def _expected_lm_scores(docs: pa.Table) -> pa.Table:
     )
 
 
+def _expected_coverage(fdir: str, quantum: float = 1e-6) -> pa.Table:
+    """Naive per-collection union area: x-strip sweep with scalar interval
+    merging (a different algorithm from the engine's 2-D difference-array
+    cumsum — the double-implementation point). Integer cell coords via
+    floor(x/quantum), exactly as the engine quantizes."""
+    import glob as _glob
+    import math
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p, columns=["collection", "w", "h", "transform"])
+         for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"),
+                          columns=["collection", "w", "h", "transform"])]
+    )
+    groups: dict = {}
+    for i in range(len(imgs)):
+        t = imgs["transform"][i].as_py()
+        res, x0d, y0d = t[0], t[2], t[5]
+        w, h = imgs["w"][i].as_py(), imgs["h"][i].as_py()
+        box = (
+            math.floor(x0d / quantum),
+            math.floor((y0d - res * h) / quantum),
+            math.floor((x0d + res * w) / quantum),
+            math.floor(y0d / quantum),
+        )
+        groups.setdefault(imgs["collection"][i].as_py(), []).append(box)
+    rows = []
+    for coll in sorted(groups):
+        boxes = groups[coll]
+        live = [b for b in boxes if b[2] > b[0] and b[3] > b[1]]
+        sum_cells = sum((b[2] - b[0]) * (b[3] - b[1]) for b in live)
+        xs = sorted({v for b in live for v in (b[0], b[2])})
+        union = 0
+        for j in range(len(xs) - 1):
+            lo, hi = xs[j], xs[j + 1]
+            ivals = sorted(
+                (b[1], b[3]) for b in live if b[0] <= lo and b[2] >= hi
+            )
+            merged_end, strip = None, 0
+            for a, b_ in ivals:
+                if merged_end is None or a > merged_end:
+                    strip += b_ - a
+                    merged_end = b_
+                elif b_ > merged_end:
+                    strip += b_ - merged_end
+                    merged_end = b_
+            union += strip * (hi - lo)
+        rows.append((coll, len(boxes), union, sum_cells))
+    return pa.table(
+        {
+            "collection": pa.array([r[0] for r in rows], pa.string()),
+            "n_images": pa.array([r[1] for r in rows], pa.int64()),
+            "union_cells": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_box_cells": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _expected_point_samples(fdir: str) -> pa.Table:
     """Naive raster point sampling: scalar math.floor affine inversion per
     (point, image) pair over EVERY pair, one decode per hit image — the
@@ -1077,6 +1135,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_point_samples.parquet", _expected_point_samples(fdir))
     write("expected_bpe.parquet", _expected_bpe(docs))
     write("expected_lm_scores.parquet", _expected_lm_scores(docs))
+    write("expected_coverage.parquet", _expected_coverage(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["collection_extents", "global_extent", "grouped_topk"]
+__all__ = ["collection_extents", "coverage_area", "global_extent", "grouped_topk"]
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
@@ -135,3 +135,81 @@ def global_extent(ds) -> dict:
         "end": df["end"].max(),
         "n_items": int(df["n_items"].sum()),
     }
+
+
+def coverage_area(ds, *, group_col: str = "collection", quantum: float = 1e-6):
+    """Per-group dissolve: exact union area of footprint boxes, in integer
+    ``quantum``-degree cells (µdeg² by default).
+
+    The GIS ``ST_Union → ST_Area`` rollup for axis-aligned footprints.
+    Coordinates are snapped with ``floor(x / quantum)`` — floor is
+    bit-deterministic for any float (unlike half-even rounding near .5),
+    so engine and oracle agree exactly — and every output is an int64
+    (union cells, sum of individual box cells, image count): order-
+    independent exact, no float summation anywhere.
+
+    Scale shape: the per-batch partial ships 4 int64s per image (the
+    quantized box), never pixels or payloads; the union itself runs per
+    group in ``map_groups`` as a 2-D difference-array + cumsum over the
+    coordinate-compressed grid — O(n log n + cells), not O(n²). The
+    shuffle therefore moves metadata only; group cardinality is the
+    collection count. (At petabyte image counts, pre-union per spatial
+    tile before the per-collection pass — same operator, two levels.)
+    """
+    import ray.data as rd
+
+    from .footprint import derive_footprints
+
+    q = float(quantum)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = derive_footprints(batch)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "x0": pa.array(np.floor(batch["fp_xmin"].to_numpy() / q).astype(np.int64)),
+                "y0": pa.array(np.floor(batch["fp_ymin"].to_numpy() / q).astype(np.int64)),
+                "x1": pa.array(np.floor(batch["fp_xmax"].to_numpy() / q).astype(np.int64)),
+                "y1": pa.array(np.floor(batch["fp_ymax"].to_numpy() / q).astype(np.int64)),
+            }
+        )
+
+    boxes = ds.map_batches(partial, batch_format="pyarrow")
+
+    def union_area(g: pd.DataFrame) -> pd.DataFrame:
+        x0 = g["x0"].to_numpy()
+        y0 = g["y0"].to_numpy()
+        x1 = g["x1"].to_numpy()
+        y1 = g["y1"].to_numpy()
+        # degenerate (zero-cell) boxes contribute nothing to either sum
+        keep = (x1 > x0) & (y1 > y0)
+        box_cells = (x1 - x0) * (y1 - y0)
+        sum_cells = int(box_cells[keep].sum())
+        xs = np.unique(np.concatenate([x0[keep], x1[keep]]))
+        ys = np.unique(np.concatenate([y0[keep], y1[keep]]))
+        union = 0
+        if len(xs) > 1 and len(ys) > 1:
+            # 2-D difference array over the compressed grid, then cumsum →
+            # coverage counts; union = Σ cell areas with count > 0
+            d = np.zeros((len(ys), len(xs)), np.int32)
+            xi0 = np.searchsorted(xs, x0[keep])
+            xi1 = np.searchsorted(xs, x1[keep])
+            yi0 = np.searchsorted(ys, y0[keep])
+            yi1 = np.searchsorted(ys, y1[keep])
+            np.add.at(d, (yi0, xi0), 1)
+            np.add.at(d, (yi0, xi1), -1)
+            np.add.at(d, (yi1, xi0), -1)
+            np.add.at(d, (yi1, xi1), 1)
+            cov = d.cumsum(axis=0).cumsum(axis=1)[:-1, :-1] > 0
+            cell_area = np.multiply.outer(np.diff(ys), np.diff(xs))
+            union = int(cell_area[cov].sum())
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_images": np.array([len(g)], np.int64),
+                "union_cells": np.array([union], np.int64),
+                "sum_box_cells": np.array([sum_cells], np.int64),
+            }
+        )
+
+    return boxes.groupby(group_col).map_groups(union_area, batch_format="pandas")

@@ -376,3 +376,59 @@ def test_clip_area_join_matches_bruteforce(fixtures_dir, corpus):
     assert all(
         a <= img_area[i] + 1e-12 for i, a in zip(res["image_id"], res["clip_area"])
     )
+
+
+def test_coverage_area_union_properties(fixtures_dir):
+    """Union ≤ sum of parts; equals the naive sweep oracle exactly; a
+    planted fully-overlapping pair unions to a single box's area."""
+    import pandas as pd
+
+    from rustac_ray import synth
+    from rustac_ray.oracles import _expected_coverage
+    from rustac_ray.stages.aggregates import coverage_area
+
+    got = (
+        coverage_area(_images_ds_with_collection(fixtures_dir))
+        .to_pandas()
+        .sort_values("collection")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected_coverage(str(fixtures_dir))
+        .to_pandas()
+        .sort_values("collection")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["union_cells"] <= got["sum_box_cells"]).all()
+    assert (got["union_cells"] > 0).all()
+
+
+def _images_ds_with_collection(fixtures_dir):
+    return rd.read_parquet(
+        f"{fixtures_dir}/images.parquet",
+        columns=["image_id", "w", "h", "transform", "collection"],
+    )
+
+
+def test_coverage_area_identical_boxes():
+    """Two identical boxes: union == one box, sum == two boxes."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rustac_ray.stages.aggregates import coverage_area
+
+    t = [0.001, 0.0, 10.0, 0.0, -0.001, 20.0]
+    df = pd.DataFrame(
+        {
+            "image_id": ["a", "b"],
+            "w": np.array([100, 100], np.int32),
+            "h": np.array([50, 50], np.int32),
+            "transform": [t, t],
+            "collection": ["c", "c"],
+        }
+    )
+    out = coverage_area(rd.from_pandas(df)).to_pandas()
+    assert out["union_cells"].iloc[0] * 2 == out["sum_box_cells"].iloc[0]
+    # 100*0.001 deg wide × 50*0.001 deg tall = 100000 × 50000 µdeg cells
+    assert out["union_cells"].iloc[0] == 100_000 * 50_000
