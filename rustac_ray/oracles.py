@@ -895,6 +895,49 @@ def _expected_coverage(fdir: str, quantum: float = 1e-6) -> pa.Table:
     )
 
 
+def _expected_hex_counts(fdir: str, size: float = 0.5) -> pa.Table:
+    """Naive scalar hex binning: math-module axial + cube rounding per
+    footprint center (Python round is half-even like np.round; identical
+    IEEE arithmetic to geo/hex.py's vectorized kernels)."""
+    import glob as _glob
+    import math
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p, columns=["w", "h", "transform"])
+         for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"),
+                          columns=["w", "h", "transform"])]
+    )
+    sqrt3 = math.sqrt(3.0)
+    off = 1 << 30
+    counts: dict = {}
+    for i in range(len(imgs)):
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        w, h = imgs["w"][i].as_py(), imgs["h"][i].as_py()
+        cx = (x0 + (x0 + res * w)) * 0.5
+        cy = ((y0 - res * h) + y0) * 0.5
+        qf = (sqrt3 / 3.0 * cx - (1.0 / 3.0) * cy) / size
+        rf = ((2.0 / 3.0) * cy) / size
+        xf, zf = qf, rf
+        yf = -xf - zf
+        rx, ry, rz = round(xf), round(yf), round(zf)
+        dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif dz > dy:
+            rz = -rx - ry
+        key = ((int(rx) + off) << 32) | (int(rz) + off)
+        counts[key] = counts.get(key, 0) + 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "hex_cell": pa.array(keys, pa.int64()),
+            "n_images": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _expected_point_samples(fdir: str) -> pa.Table:
     """Naive raster point sampling: scalar math.floor affine inversion per
     (point, image) pair over EVERY pair, one decode per hit image — the
@@ -1136,6 +1179,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_bpe.parquet", _expected_bpe(docs))
     write("expected_lm_scores.parquet", _expected_lm_scores(docs))
     write("expected_coverage.parquet", _expected_coverage(fdir))
+    write("expected_hex_counts.parquet", _expected_hex_counts(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)

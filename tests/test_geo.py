@@ -219,3 +219,73 @@ def test_res_for_extent():
     dlon, _ = cells.cell_size_deg(r)
     assert dlon >= 0.1  # bbox fits within ~a few cells
     assert cells.res_for_extent(400, 400) == 0
+
+
+# ------------------------------------------------------------------ hex --
+
+
+def test_hex_roundtrip_center():
+    """Every cell's own center encodes back to the same cell."""
+    from rustac_ray.geo import hex as hx
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-179, 179, 500)
+    y = rng.uniform(-89, 89, 500)
+    ids = hx.hex_encode(x, y, 0.5)
+    cx, cy = hx.hex_center(ids, 0.5)
+    assert (hx.hex_encode(cx, cy, 0.5) == ids).all()
+
+
+def test_hex_nearest_center_property():
+    """A point belongs to the hex whose center is nearest (Voronoi
+    property of cube rounding), checked against the cell and its ring."""
+    from rustac_ray.geo import hex as hx
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-10, 10, 300)
+    y = rng.uniform(-10, 10, 300)
+    ids = hx.hex_encode(x, y, 0.5)
+    own_x, own_y = hx.hex_center(ids, 0.5)
+    d_own = np.hypot(x - own_x, y - own_y)
+    ring = hx.hex_ring1(ids)
+    for j in range(6):
+        nx, ny = hx.hex_center(ring[:, j], 0.5)
+        d_n = np.hypot(x - nx, y - ny)
+        assert (d_own <= d_n + 1e-9).all()
+
+
+def test_hex_ring_is_symmetric():
+    from rustac_ray.geo import hex as hx
+
+    ids = hx.hex_encode(np.array([3.0]), np.array([4.0]), 0.5)
+    ring = hx.hex_ring1(ids)[0]
+    assert len(set(ring.tolist())) == 6
+    # each neighbor's ring contains the original cell
+    back = hx.hex_ring1(ring)
+    assert ((back == ids[0]).sum(axis=1) == 1).all()
+
+
+def test_hex_matches_scalar_twin():
+    """Vectorized kernels == the oracle's math-module scalar twin."""
+    import math
+
+    from rustac_ray.geo import hex as hx
+
+    rng = np.random.default_rng(13)
+    xs = rng.uniform(-180, 180, 200)
+    ys = rng.uniform(-90, 90, 200)
+    got = hx.hex_encode(xs, ys, 0.5)
+    sqrt3 = math.sqrt(3.0)
+    off = 1 << 30
+    for x, y, g in zip(xs, ys, got):
+        qf = (sqrt3 / 3.0 * x - (1.0 / 3.0) * y) / 0.5
+        rf = ((2.0 / 3.0) * y) / 0.5
+        xf, zf = qf, rf
+        yf = -xf - zf
+        rx, ry, rz = round(xf), round(yf), round(zf)
+        dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif dz > dy:
+            rz = -rx - ry
+        assert ((int(rx) + off) << 32) | (int(rz) + off) == g
