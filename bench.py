@@ -342,6 +342,41 @@ def run_bench() -> dict:
             n_curated = len(shuffle_positions(clean, "doc_id", rows_per_shard=10_000))
             timings["curated_shards_200k"] = time.perf_counter() - t0
             result_extra["curated_docs"] = n_curated
+            _ck("bpe_encode_200k")
+
+            # tokenizer + LM scoring over the same 200k-doc corpus
+            from rustac_ray.stages.tokenize import (
+                BPEEncoder,
+                train_bpe,
+                word_frequencies,
+            )
+
+            t0 = time.perf_counter()
+            merges = train_bpe(word_frequencies(bench_docs()), num_merges=200)
+            bench_docs().map_batches(
+                BPEEncoder,
+                fn_constructor_args=(ray.put(merges),),
+                batch_format="pandas",
+                concurrency=max(2, num_cpus // 2),
+            ).count()
+            timings["bpe_encode_200k"] = time.perf_counter() - t0
+            _ck("lm_score_200k")
+
+            from rustac_ray.stages.lm import (
+                PerplexityScorer,
+                bigram_cost_table,
+                train_char_lm,
+            )
+
+            t0 = time.perf_counter()
+            cost = bigram_cost_table(train_char_lm(bench_docs()))
+            bench_docs().map_batches(
+                PerplexityScorer,
+                fn_constructor_args=(ray.put(cost),),
+                batch_format="pandas",
+                concurrency=max(2, num_cpus // 2),
+            ).count()
+            timings["lm_score_200k"] = time.perf_counter() - t0
 
 
         except _BudgetExceeded:

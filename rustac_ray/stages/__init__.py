@@ -8,7 +8,7 @@ front — stages stay import-light for Ray worker startup.
 from __future__ import annotations
 
 _EXPORTS = {
-    "aggregates": ["global_extent", "collection_extents", "grouped_topk"],
+    "aggregates": ["global_extent", "collection_extents", "coverage_area", "grouped_topk"],
     "decontam": ["BloomFilter", "decontaminate", "ngram_hash_set", "build_bloom"],
     "dedup": [
         "exact_dedup", "dup_ngram_spans", "minhash_lsh_candidates",
@@ -16,9 +16,10 @@ _EXPORTS = {
         "connected_components", "near_dup_filter",
     ],
     "embed": [
-        "brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids",
-        "assign_clusters", "embedding_near_dup",
+        "brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk",
+        "train_ivf_centroids", "assign_clusters", "embedding_near_dup",
     ],
+    "lm": ["train_char_lm", "bigram_cost_table", "PerplexityScorer"],
     "footprint": ["derive_footprints"],
     "knn": ["knn_join", "CellKNNIndex", "ShardedKNNIndex"],
     "multimodal": ["DecodeStats", "Thumbnail", "VerifyPayload", "FrameSample"],
@@ -29,13 +30,14 @@ _EXPORTS = {
     "sketch": ["approx_distinct", "exact_quantiles", "token_heavy_hitters"],
     "spatial_join": [
         "broadcast_spatial_join", "partitioned_spatial_join", "hash_spatial_join",
-        "within_distance_join",
+        "within_distance_join", "clip_area_join",
     ],
+    "tokenize": ["word_frequencies", "train_bpe", "BPEEncoder"],
     "temporal_join": ["asof_join", "interval_join"],
     "text": ["TextStats", "LangId", "Fingerprint", "Redactor", "repetition_stats"],
     "tiling": ["assign_tiles", "tile_counts", "hot_tile_set"],
     "windows": ["tumbling", "sliding", "session_windows"],
-    "zonal": ["zonal_stats", "tile_pixel_stats", "write_mosaic_pyramid", "Zones"],
+    "zonal": ["zonal_stats", "sample_raster_at_points", "tile_pixel_stats", "write_mosaic_pyramid", "Zones"],
 }
 
 _ORIGIN = {name: mod for mod, names in _EXPORTS.items() for name in names}
