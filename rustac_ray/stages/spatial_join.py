@@ -730,6 +730,130 @@ _EMPTY_PAIRS_D = pa.table(
 )
 
 
+class _LatestScenePartial:
+    """Actor-pool combiner for the spatio-temporal "latest covering scene"
+    join: per broadcast probe (point + as-of timestamp), the batch-local
+    winner among images whose footprint CONTAINS the point (inclusive
+    edges) with datetime ≤ the probe's timestamp — max datetime, ties to
+    the smallest image_id. Emits ≤ Q rows per batch (the probe-bounded
+    partial), so the final merge is a tiny streamed reduce, not a shuffle.
+    """
+
+    def __init__(self, probes_ref, derive: bool = True):
+        p = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) else probes_ref
+        self.qid, self.px, self.py, self.ts = p  # ts: int64 epoch ms
+        self.derive = derive
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.derive:
+            batch = derive_footprints(batch)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "image_id": pa.array([], pa.string()),
+                "scene_ms": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        xmin = batch["fp_xmin"].to_numpy()
+        ymin = batch["fp_ymin"].to_numpy()
+        xmax = batch["fp_xmax"].to_numpy()
+        ymax = batch["fp_ymax"].to_numpy()
+        dt = batch["datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        cand = (
+            (self.px[:, None] >= xmin[None, :])
+            & (self.px[:, None] <= xmax[None, :])
+            & (self.py[:, None] >= ymin[None, :])
+            & (self.py[:, None] <= ymax[None, :])
+            & (dt[None, :] <= self.ts[:, None])
+        )
+        qi, ri = np.nonzero(cand)
+        if len(qi) == 0:
+            return empty
+        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        # batch-local winner per probe: (max dt, then min image_id) via a
+        # lexicographic sort and first-hit-per-query select
+        order = np.lexsort((ids[ri], -dt[ri], qi))
+        qi, ri = qi[order], ri[order]
+        first = np.concatenate([[True], qi[1:] != qi[:-1]])
+        qi, ri = qi[first], ri[first]
+        return pa.table(
+            {
+                "query_id": pa.array(self.qid[qi], pa.string()),
+                "image_id": pa.array(ids[ri], pa.string()),
+                "scene_ms": pa.array(dt[ri], pa.int64()),
+            }
+        )
+
+
+def latest_scene_join(
+    images_ds: "ray.data.Dataset",
+    probes: "pa.Table",
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    footprints_derived: bool = False,
+) -> "ray.data.Dataset":
+    """→ (query_id, image_id, scene_datetime): for each probe (x, y, ts),
+    the MOST RECENT image whose footprint contains the point as of ts —
+    the standard STAC "latest scene over my AOI" ask, expressed as a
+    spatial-containment × as-of join in one zero-shuffle pass.
+
+    ``probes``: table with (query_id, x, y, ts) where ts is epoch ms or a
+    timestamp column. Ties (equal datetime) go to the smallest image_id,
+    matching the SQL twin's ``ORDER BY datetime DESC, image_id``.
+    """
+    import ray.data as rd
+
+    qid = np.asarray(probes["query_id"].to_pylist(), dtype=object)
+    px = np.asarray(probes["x"].to_pylist(), np.float64)
+    py = np.asarray(probes["y"].to_pylist(), np.float64)
+    ts_col = probes["ts"]
+    if pa.types.is_timestamp(ts_col.type):
+        ts = ts_col.cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy()
+    else:
+        ts = ts_col.to_numpy().astype(np.int64)
+    ref = ray.put((qid, px, py, ts))
+    partials = images_ds.map_batches(
+        _LatestScenePartial,
+        fn_constructor_args=(ref, not footprints_derived),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    import pandas as pd
+
+    # probe-bounded partial stream (≤ Q rows × blocks) → streamed reduce
+    parts = [
+        b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow") if len(b)
+    ]
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.string()),
+            ("image_id", pa.string()),
+            ("scene_datetime", pa.timestamp("ms")),
+        ]
+    )
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    df = pd.concat(parts, ignore_index=True).sort_values(
+        ["query_id", "scene_ms", "image_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    win = df.groupby("query_id", sort=False).head(1).reset_index(drop=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(win["query_id"], pa.string()),
+                "image_id": pa.array(win["image_id"], pa.string()),
+                "scene_datetime": pa.array(win["scene_ms"].to_numpy(), pa.int64()).cast(
+                    pa.timestamp("ms")
+                ),
+            }
+        )
+    )
+
+
 class _ClipAreaJoiner:
     """Actor-pool stage: per-pair footprint ∩ query-box intersection AREA
     (the ST_Intersection/ST_Area building block of area-weighted overlays).

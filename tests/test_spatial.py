@@ -432,3 +432,59 @@ def test_coverage_area_identical_boxes():
     assert out["union_cells"].iloc[0] * 2 == out["sum_box_cells"].iloc[0]
     # 100*0.001 deg wide × 50*0.001 deg tall = 100000 × 50000 µdeg cells
     assert out["union_cells"].iloc[0] == 100_000 * 50_000
+
+
+def test_latest_scene_join_matches_bruteforce(fixtures_dir, corpus):
+    import pandas as pd
+    import pyarrow as pa
+
+    from rustac_ray.geo import affine
+    from rustac_ray.stages.spatial_join import latest_scene_join
+
+    imgs, corners, ids = corpus
+    xmin, ymin, xmax, ymax = affine.corners_bbox(corners)
+    dt = imgs["datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+    # probes = centers of every 293rd image, ts staggered by suffix
+    suffix = np.array([int(s[4:]) for s in ids], np.int64)
+    sel = suffix % 293 == 0
+    qx = (xmin[sel] + xmax[sel]) * 0.5
+    qy = (ymin[sel] + ymax[sel]) * 0.5
+    base = np.datetime64("2024-01-01", "ms").astype(np.int64)
+    ts = base + ((suffix[sel] // 293) % 9 + 1) * 37 * 86_400_000
+    qids = ids[sel]
+    probes = pa.table(
+        {"query_id": pa.array(qids, pa.string()),
+         "x": pa.array(qx), "y": pa.array(qy),
+         "ts": pa.array(ts, pa.int64())}
+    )
+    got = (
+        latest_scene_join(_images_ds_with_dt(fixtures_dir), probes, concurrency=2)
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for q, x, y, t in zip(qids, qx, qy, ts):
+        hit = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax) & (dt <= t)
+        if not hit.any():
+            continue
+        cand = sorted(zip(-dt[hit], ids[hit]))  # max dt, then min id
+        rows.append((q, cand[0][1], np.int64(-cand[0][0])))
+    exp = (
+        pd.DataFrame(rows, columns=["query_id", "image_id", "scene_ms"])
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert got["image_id"].tolist() == exp["image_id"].tolist()
+    assert (
+        got["scene_datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        == exp["scene_ms"].to_numpy()
+    ).all()
+
+
+def _images_ds_with_dt(fixtures_dir):
+    return rd.read_parquet(
+        f"{fixtures_dir}/images.parquet",
+        columns=["image_id", "w", "h", "transform", "datetime"],
+    )
