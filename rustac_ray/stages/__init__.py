@@ -8,10 +8,10 @@ front — stages stay import-light for Ray worker startup.
 from __future__ import annotations
 
 _EXPORTS = {
-    "aggregates": ["global_extent", "collection_extents", "coverage_area", "grouped_topk"],
+    "aggregates": ["global_extent", "collection_extents", "coverage_area", "scene_gaps", "grouped_topk"],
     "decontam": ["BloomFilter", "decontaminate", "ngram_hash_set", "build_bloom"],
     "dedup": [
-        "exact_dedup", "dup_ngram_spans", "minhash_lsh_candidates",
+        "exact_dedup", "incremental_dedup", "dup_ngram_spans", "minhash_lsh_candidates",
         "simhash_near_dup", "ngram_jaccard_near_dup", "phash_near_dup",
         "connected_components", "near_dup_filter",
     ],

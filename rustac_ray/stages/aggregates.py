@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["collection_extents", "coverage_area", "global_extent", "grouped_topk"]
+__all__ = ["collection_extents", "coverage_area", "scene_gaps", "global_extent", "grouped_topk"]
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
@@ -213,3 +213,38 @@ def coverage_area(ds, *, group_col: str = "collection", quantum: float = 1e-6):
         )
 
     return boxes.groupby(group_col).map_groups(union_area, batch_format="pandas")
+
+
+def scene_gaps(ds, *, group_col: str = "collection", ts_col: str = "datetime",
+               id_col: str = "image_id"):
+    """Per-group temporal gap analysis: the LAG-window rollup (max/min gap
+    between consecutive scene timestamps, tie-ordered by id) — revisit
+    cadence per collection, the standard acquisition-QA query.
+
+    Shuffle ships only (group, ts, id) triples; the in-group sort runs on
+    int64 epoch-ms inside ``map_groups``. All outputs are int64 (exact).
+    At billion-scene groups, pre-sort partials per batch and merge gap
+    candidates instead (gaps can only occur at batch seams after a
+    range partition by ts — same two-level trick as coverage_area).
+    """
+    import ray.data as rd  # noqa: F401  (documented alternative path)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, ts))
+        d = np.diff(ts[order])
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_scenes": np.array([len(g)], np.int64),
+                "max_gap_ms": np.array([d.max() if len(d) else 0], np.int64),
+                "min_gap_ms": np.array([d.min() if len(d) else 0], np.int64),
+            }
+        )
+
+    cols = ds.map_batches(
+        lambda b: b.select([group_col, ts_col, id_col]),
+        batch_format="pyarrow",
+    )
+    return cols.groupby(group_col).map_groups(gaps, batch_format="pandas")

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 __all__ = [
     "exact_dedup",
+    "incremental_dedup",
     "dup_ngram_spans",
     "near_dup_filter",
     "simhash_near_dup",
@@ -890,3 +891,46 @@ def phash_near_dup(
         .groupby("pkey")
         .map_groups(pairs_in_partition, batch_format="pandas")
     )
+
+
+def incremental_dedup(new_ds, prior_ds, col: str = "text", id_col: str = "doc_id"):
+    """Filter NEW rows whose content already exists in a PRIOR corpus —
+    the incremental-ingestion dedup (today's crawl vs everything shipped).
+
+    The prior side is reduced to its distinct 64-bit content hashes by a
+    per-block combiner (unique within block, then one driver merge of the
+    8-byte keys — bounded by distinct contents, not corpus size) and
+    broadcast once via ``ray.put``; the new side streams through one
+    vectorized ``isin`` filter. No shuffle on either side. Beyond
+    driver-memory hash sets, swap the broadcast for a Bloom filter
+    (stages/decontam.BloomFilter — same mergeable pattern) at the cost of
+    a bounded false-drop rate.
+    """
+    import ray as _ray
+
+    def prior_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_text_column(batch, col)
+        return pd.DataFrame({"_content_hash": pd.unique(h)})
+
+    parts = [
+        b.to_pandas()
+        for b in prior_ds.map_batches(prior_hashes, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    seen = (
+        np.sort(pd.concat(parts, ignore_index=True)["_content_hash"].unique())
+        if parts
+        else np.array([], np.int64)
+    )
+    seen_ref = _ray.put(seen)
+
+    def fresh(batch: pd.DataFrame) -> pd.DataFrame:
+        table = _ray.get(seen_ref)
+        h = _hash_text_column(batch, col).to_numpy()
+        idx = np.searchsorted(table, h)
+        idx = np.minimum(idx, max(len(table) - 1, 0))
+        dup = (len(table) > 0) & (table[idx] == h) if len(table) else np.zeros(len(batch), bool)
+        return batch.loc[~dup]
+
+    return new_ds.map_batches(fresh, batch_format="pandas")

@@ -391,3 +391,57 @@ def test_frame_sample_strict_raises():
     )
     with _pytest.raises(LossyCodecUnavailable):
         multimodal.FrameSample(strict=True)(batch)
+
+
+def test_incremental_dedup_planted():
+    """New rows whose text shipped in the prior corpus are dropped;
+    fresh text survives; prior side itself is untouched."""
+    from rustac_ray.stages.dedup import incremental_dedup
+
+    prior = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta", "gamma"]})
+    )
+    new = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [10, 11, 12], "text": ["alpha beta", "delta", "gamma"]}
+        )
+    )
+    out = incremental_dedup(new, prior).to_pandas()
+    assert out["doc_id"].tolist() == [11]
+
+
+def test_incremental_dedup_empty_prior():
+    from rustac_ray.stages.dedup import incremental_dedup
+
+    prior = rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []}))
+    new = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    assert incremental_dedup(new, prior).to_pandas()["doc_id"].tolist() == [1]
+
+
+def test_scene_gaps_matches_pandas(sf_dir):
+    from rustac_ray import synth
+    from rustac_ray.stages.aggregates import scene_gaps
+
+    fdir = synth.ensure_fixtures(sf_dir)
+    ds = rd.read_parquet(
+        f"{fdir}/images.parquet",
+        columns=["image_id", "collection", "datetime"],
+    )
+    got = (
+        scene_gaps(ds).to_pandas().sort_values("collection").reset_index(drop=True)
+    )
+    imgs = pq.read_table(
+        f"{fdir}/images.parquet", columns=["image_id", "collection", "datetime"]
+    ).to_pandas()
+    rows = []
+    for coll, g in imgs.groupby("collection"):
+        ts = g["datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        order = np.lexsort((g["image_id"].to_numpy(), ts))
+        d = np.diff(ts[order])
+        rows.append((coll, len(g), d.max(), d.min()))
+    exp = (
+        pd.DataFrame(rows, columns=["collection", "n_scenes", "max_gap_ms", "min_gap_ms"])
+        .sort_values("collection")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
