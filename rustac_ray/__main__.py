@@ -15,6 +15,9 @@ no analogue — there is no server in scope, SURVEY.md §3.3).
     python -m rustac_ray hitters DOCS.parquet --k 20 [--mg-capacity 4096]
     python -m rustac_ray zonal IMAGES.parquet --zones BOXES.parquet
     python -m rustac_ray shards DOCS.parquet OUT_DIR --rows-per-shard 10000
+    python -m rustac_ray tokenize DOCS.parquet --merges 200 [-o OUT]
+    python -m rustac_ray lmfilter DOCS.parquet [--cutoff 1750000] [-o OUT]
+    python -m rustac_ray coverage IMAGES.parquet --group collection [-o OUT]
 
 Owns its Ray session (guarded init), unlike the library code.
 """
@@ -314,6 +317,64 @@ def cmd_shards(args):
     print(f"{len(recs)} shards -> {args.output}")
 
 
+def cmd_tokenize(args):
+    _ensure_ray()
+    import ray
+    import ray.data as rd
+
+    from .stages.tokenize import BPEEncoder, train_bpe, word_frequencies
+
+    def load():
+        return rd.read_parquet(args.input, columns=[args.id, args.text])
+
+    merges = train_bpe(
+        word_frequencies(load(), text_col=args.text, sample_mod=args.sample_mod),
+        num_merges=args.merges,
+    )
+    out = load().map_batches(
+        BPEEncoder,
+        fn_constructor_args=(ray.put(merges),),
+        batch_format="pandas",
+        concurrency=2,  # < session CPUs, or the actor pool starves the read
+    )
+    _emit(out, args.output)
+
+
+def cmd_lmfilter(args):
+    _ensure_ray()
+    import ray
+    import ray.data as rd
+
+    from .stages.lm import PerplexityScorer, bigram_cost_table, train_char_lm
+
+    def load():
+        return rd.read_parquet(args.input, columns=[args.id, args.text])
+
+    cost = bigram_cost_table(
+        train_char_lm(load(), text_col=args.text, sample_mod=args.sample_mod)
+    )
+    mode = "filter" if args.cutoff is not None else "score"
+    out = load().map_batches(
+        PerplexityScorer,
+        fn_constructor_args=(ray.put(cost), args.cutoff, mode),
+        batch_format="pandas",
+        concurrency=2,  # < session CPUs, or the actor pool starves the read
+    )
+    _emit(out, args.output)
+
+
+def cmd_coverage(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.aggregates import coverage_area
+
+    ds = rd.read_parquet(
+        args.input, columns=["image_id", "w", "h", "transform", args.group]
+    )
+    _emit(coverage_area(ds, group_col=args.group, quantum=args.quantum), args.output)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rustac_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -451,6 +512,33 @@ def main(argv=None):
     sh.add_argument("--rows-per-shard", type=int, default=10_000)
     sh.add_argument("--no-resume", action="store_true")
     sh.set_defaults(fn=cmd_shards)
+
+    tk = sub.add_parser("tokenize", help="BPE-train on the corpus, encode every doc")
+    tk.add_argument("input")
+    tk.add_argument("--merges", type=int, default=200)
+    tk.add_argument("--sample-mod", type=int, default=None,
+                    help="train on the doc_id %% m == 0 slice only")
+    tk.add_argument("--id", default="doc_id")
+    tk.add_argument("--text", default="text")
+    tk.add_argument("-o", "--output")
+    tk.set_defaults(fn=cmd_tokenize)
+
+    lf = sub.add_parser("lmfilter", help="char-bigram LM perplexity score/filter")
+    lf.add_argument("input")
+    lf.add_argument("--cutoff", type=int, default=None,
+                    help="keep docs with mean cost <= cutoff micro-nats/bigram")
+    lf.add_argument("--sample-mod", type=int, default=None)
+    lf.add_argument("--id", default="doc_id")
+    lf.add_argument("--text", default="text")
+    lf.add_argument("-o", "--output")
+    lf.set_defaults(fn=cmd_lmfilter)
+
+    cv = sub.add_parser("coverage", help="per-group footprint union area (dissolve)")
+    cv.add_argument("input", help="image metadata parquet")
+    cv.add_argument("--group", default="collection")
+    cv.add_argument("--quantum", type=float, default=1e-6)
+    cv.add_argument("-o", "--output")
+    cv.set_defaults(fn=cmd_coverage)
 
     args = p.parse_args(argv)
     args.fn(args)

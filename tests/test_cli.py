@@ -138,3 +138,32 @@ def test_cli_join_counts_and_dwithin(fixtures_dir, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
             if l.startswith("{")]
     assert rows and all("dist2" in r for r in rows)
+
+
+def test_cli_tokenize(sf_dir, capsys):
+    main(["tokenize", f"{sf_dir}/documents.parquet", "--merges", "30"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and all("n_bpe_tokens" in r for r in rows)
+    assert all(r["n_bpe_tokens"] > 0 for r in rows if r.get("first_token"))
+
+
+def test_cli_lmfilter(sf_dir, capsys):
+    main(["lmfilter", f"{sf_dir}/documents.parquet"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and all("nll_micro" in r for r in rows)
+    # filter mode: every emitted row satisfies the integer predicate,
+    # and the unfiltered sample contains at least one violator
+    main(["lmfilter", f"{sf_dir}/documents.parquet", "--cutoff", "1750000"])
+    kept = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert kept and all(r["nll_micro"] <= 1750000 * r["n_pairs"] for r in kept)
+    assert any(r["nll_micro"] > 1750000 * r["n_pairs"] for r in rows)
+
+
+def test_cli_coverage(fixtures_dir, capsys):
+    main(["coverage", f"{fixtures_dir}/images.parquet"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and all(r["union_cells"] <= r["sum_box_cells"] for r in rows)
