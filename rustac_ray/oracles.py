@@ -717,7 +717,8 @@ def _expected_zonal(fdir: str) -> pa.Table:
     )
 
 
-def _expected_bpe(docs: pa.Table, num_merges: int = 50) -> pa.Table:
+def _expected_bpe(docs: pa.Table, num_merges: int = 50,
+                  id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Naive scalar BPE twin of stages/tokenize.py: dict-based pair
     counting for training (max count, lexicographically smallest tie) and
     replay-merges-IN-ORDER apply (equivalent to the engine's greedy
@@ -725,8 +726,7 @@ def _expected_bpe(docs: pa.Table, num_merges: int = 50) -> pa.Table:
     compound pair can only be learned after its constituents)."""
     eow = "</w>"
     freqs: dict = {}
-    texts = docs["text"].to_pylist()
-    ids = docs["doc_id"].to_pylist()
+    texts = docs[text_col].to_pylist()
     for t in texts:
         for w in t.split():
             freqs[w] = freqs.get(w, 0) + 1
@@ -783,9 +783,12 @@ def _expected_bpe(docs: pa.Table, num_merges: int = 50) -> pa.Table:
         n_out.append(toks_n)
         first.append(f)
         last.append(l)
+    id_arr = docs[id_col]
+    if isinstance(id_arr, pa.ChunkedArray):
+        id_arr = id_arr.combine_chunks()
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
+            id_col: id_arr,
             "n_bpe_tokens": pa.array(n_out, pa.int64()),
             "first_token": pa.array(first, pa.string()),
             "last_token": pa.array(last, pa.string()),
@@ -1180,6 +1183,16 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_lm_scores.parquet", _expected_lm_scores(docs))
     write("expected_coverage.parquet", _expected_coverage(fdir))
     write("expected_hex_counts.parquet", _expected_hex_counts(fdir))
+    import glob as _glob
+
+    caps = pa.concat_tables(
+        [pq.read_table(p, columns=["image_id", "caption"])
+         for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+    )
+    write(
+        "expected_caption_bpe.parquet",
+        _expected_bpe(caps, id_col="image_id", text_col="caption"),
+    )
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)

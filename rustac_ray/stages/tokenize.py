@@ -34,7 +34,8 @@ __all__ = ["word_frequencies", "train_bpe", "BPEEncoder", "END_OF_WORD"]
 END_OF_WORD = "</w>"
 
 
-def word_frequencies(ds, *, text_col: str = "text", sample_mod: int | None = None):
+def word_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     sample_mod: int | None = None):
     """Distributed word-frequency table → driver dict {word: count}.
 
     Each task emits its local value_counts (keys × blocks partials,
@@ -46,7 +47,7 @@ def word_frequencies(ds, *, text_col: str = "text", sample_mod: int | None = Non
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if sample_mod is not None:
-            batch = batch[batch["doc_id"] % sample_mod == 0]
+            batch = batch[batch[id_col] % sample_mod == 0]
         words = batch[text_col].astype(str).str.split().explode().dropna()
         if not len(words):
             return pd.DataFrame({"word": pd.Series([], dtype=object),
@@ -154,7 +155,7 @@ class BPEEncoder:
     order-sensitive witnesses of the actual tokenization).
     """
 
-    def __init__(self, merges_ref):
+    def __init__(self, merges_ref, text_col: str = "text", id_col: str = "doc_id"):
         import ray
 
         merges = (
@@ -163,6 +164,8 @@ class BPEEncoder:
             else merges_ref
         )
         self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self.text_col = text_col
+        self.id_col = id_col
         self.cache: dict[str, tuple[int, str, str]] = {}
 
     def _word_stats(self, word: str) -> tuple[int, str, str]:
@@ -174,7 +177,7 @@ class BPEEncoder:
         return hit
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].astype(str).str.split()
+        toks = batch[self.text_col].astype(str).str.split()
         ex = toks.explode().dropna()
         pos_of = pd.Series(np.arange(len(batch), dtype=np.int64), index=batch.index)
         n = np.zeros(len(batch), np.int64)
@@ -207,7 +210,7 @@ class BPEEncoder:
                     last[d] = stats[words[last_idx[d]]][2]
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].to_numpy(),
+                self.id_col: batch[self.id_col].to_numpy(),
                 "n_bpe_tokens": n,
                 "first_token": first.astype(str),
                 "last_token": last.astype(str),
