@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "12"
+DERIVED_VERSION = "13"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -898,6 +898,59 @@ def _expected_coverage(fdir: str, quantum: float = 1e-6) -> pa.Table:
     )
 
 
+def _expected_random_crop(fdir: str, crop: int = 16, seed: int = 0) -> pa.Table:
+    """Naive scalar twin of multimodal.RandomCrop: pure-Python FNV-1a +
+    splitmix64 (int masks instead of numpy uint64 wraparound), scalar
+    per-pixel accumulation over the crop window."""
+    import glob as _glob
+
+    from .imaging.codec import decode_image
+
+    mask = (1 << 64) - 1
+
+    def fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for byte in b:
+            h = ((h ^ byte) * 0x100000001B3) & mask
+        return h
+
+    def mix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+        return x ^ (x >> 31)
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p, columns=["image_id", "bytes", "w", "h", "fmt"])
+         for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+    )
+    rows = []
+    for i in range(len(imgs)):
+        iid = imgs["image_id"][i].as_py()
+        w, h = imgs["w"][i].as_py(), imgs["h"][i].as_py()
+        base = fnv(iid.encode())
+        ox = mix((base + 2 * seed) & mask) % (max(w - crop, 0) + 1)
+        oy = mix((base + 2 * seed + 1) & mask) % (max(h - crop, 0) + 1)
+        cw, ch = min(w, crop), min(h, crop)
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        s = [0, 0, 0]
+        for yy in range(oy, oy + ch):
+            for xx in range(ox, ox + cw):
+                s[0] += int(px[yy, xx, 0])
+                s[1] += int(px[yy, xx, 1])
+                s[2] += int(px[yy, xx, 2])
+        rows.append((iid, ox, oy, cw, ch, s[0], s[1], s[2]))
+    names = ["image_id", "crop_x", "crop_y", "crop_w", "crop_h",
+             "sum_r", "sum_g", "sum_b"]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "image_id": pa.array(cols[0], pa.string()),
+            **{n: pa.array(cols[j], pa.int64()) for j, n in enumerate(names) if j > 0},
+        }
+    )
+
+
 def _expected_hex_counts(fdir: str, size: float = 0.5) -> pa.Table:
     """Naive scalar hex binning: math-module axial + cube rounding per
     footprint center (Python round is half-even like np.round; identical
@@ -1193,6 +1246,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
         "expected_caption_bpe.parquet",
         _expected_bpe(caps, id_col="image_id", text_col="caption"),
     )
+    write("expected_random_crop.parquet", _expected_random_crop(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)

@@ -20,7 +20,7 @@ import pyarrow as pa
 from ..imaging.codec import LossyCodecUnavailable, decode_image
 from ..imaging.phash import average_hash
 
-__all__ = ["DecodeStats", "Thumbnail", "VerifyPayload", "DEFAULT_IMAGE_BATCH"]
+__all__ = ["DecodeStats", "Thumbnail", "VerifyPayload", "RandomCrop", "DEFAULT_IMAGE_BATCH"]
 
 # image rows are wide (KBs of binary each): keep payload batches small so
 # batch_size x concurrency x row_width stays well inside a worker heap
@@ -217,3 +217,82 @@ class FrameSample:
                 "frame_png": pa.array(out_png, pa.binary()),
             }
         )
+
+
+class RandomCrop:
+    """Deterministic training-augmentation crop: decode → take a
+    (crop × crop) window at an offset derived from a seeded splitmix64
+    hash of ``image_id`` → emit the window's exact integer channel sums.
+
+    "Random" but REPRODUCIBLE: the offset is a pure function of
+    (image_id, seed), so re-running the pipeline — or resuming it from a
+    checkpoint manifest on a different cluster layout — crops every image
+    identically (the same property the deterministic shuffle relies on).
+    Images smaller than the crop emit their full extent. Integer sums
+    (not float means) keep the oracle comparison exact.
+    """
+
+    def __init__(self, crop: int = 16, seed: int = 0, strict: bool = True):
+        self.crop = int(crop)
+        self.seed = int(seed)
+        self.strict = strict
+
+    @staticmethod
+    def _splitmix64(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def offsets(self, image_ids, w: np.ndarray, h: np.ndarray):
+        """Vectorized (ox, oy) per image: two lanes of one splitmix64."""
+        base = np.array(
+            [hash_bytes_u64(s.encode()) for s in image_ids], dtype=np.uint64
+        )
+        hx = self._splitmix64(base + np.uint64(2 * self.seed))
+        hy = self._splitmix64(base + np.uint64(2 * self.seed + 1))
+        span_x = np.maximum(w - self.crop, 0).astype(np.uint64) + np.uint64(1)
+        span_y = np.maximum(h - self.crop, 0).astype(np.uint64) + np.uint64(1)
+        return (hx % span_x).astype(np.int64), (hy % span_y).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ox, oy = self.offsets(ids, w, h)
+        cw = np.minimum(w, self.crop)
+        ch = np.minimum(h, self.crop)
+        sums = np.zeros((len(ids), 3), np.int64)
+        for i, (payload, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            try:
+                px = decode_image(payload, fmt)
+            except LossyCodecUnavailable:
+                if self.strict:
+                    raise
+                ch[i] = cw[i] = 0
+                continue
+            win = px[oy[i] : oy[i] + ch[i], ox[i] : ox[i] + cw[i]]
+            sums[i] = win.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "crop_x": pa.array(ox, pa.int64()),
+                "crop_y": pa.array(oy, pa.int64()),
+                "crop_w": pa.array(cw, pa.int64()),
+                "crop_h": pa.array(ch, pa.int64()),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def hash_bytes_u64(b: bytes) -> int:
+    """Stable 64-bit FNV-1a over bytes (no PYTHONHASHSEED dependence)."""
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

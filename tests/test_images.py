@@ -79,3 +79,57 @@ def test_fixture_row_invariants(fixtures_dir):
         assert codec.psnr(px, expected) >= 40.0
         assert row["caption"] == f"scene {idx} over cell {idx % 977}"
         assert row["phash"] == phash.average_hash(px)
+
+
+def test_random_crop_matches_naive_and_is_layout_independent(fixtures_dir):
+    import glob
+
+    import ray.data as rd
+
+    from rustac_ray.oracles import _expected_random_crop
+    from rustac_ray.stages.multimodal import RandomCrop
+
+    ds = rd.read_parquet(
+        f"{fixtures_dir}/images.parquet",
+        columns=["image_id", "bytes", "w", "h", "fmt"],
+    )
+    got = (
+        ds.map_batches(
+            RandomCrop, fn_constructor_args=(16, 0), batch_format="pyarrow",
+            batch_size=64, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected_random_crop(str(fixtures_dir))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
+    # different batch size → identical crops (layout independence)
+    got2 = (
+        ds.map_batches(
+            RandomCrop, fn_constructor_args=(16, 0), batch_format="pyarrow",
+            batch_size=17, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    # a different seed moves at least some offsets
+    got3 = (
+        ds.map_batches(
+            RandomCrop, fn_constructor_args=(16, 99), batch_format="pyarrow",
+            batch_size=64, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert (got3["crop_x"] != got["crop_x"]).any()

@@ -270,6 +270,15 @@ def test_sample_points_matches_naive(fixtures_dir):
             pts["query_id"].to_pylist(), pts["x"].to_pylist(), pts["y"].to_pylist()
         )
     }
+    # sf0.001's fixture points can miss every footprint — add guaranteed
+    # hits: the centers of the first few images
+    shard0 = sorted(glob.glob(f"{fixtures_dir}/images.parquet/*.parquet"))[0]
+    head = pq.read_table(shard0, columns=["w", "h", "transform"]).slice(0, 5)
+    for i in range(len(head)):
+        tr = head["transform"][i].as_py()
+        res, x0, y0 = tr[0], tr[2], tr[5]
+        w, h = head["w"][i].as_py(), head["h"][i].as_py()
+        points[f"c{i}"] = (x0 + res * w / 2, y0 - res * h / 2)
     got = (
         sample_raster_at_points(_images_ds(fixtures_dir), points, concurrency=2)
         .to_pandas()
