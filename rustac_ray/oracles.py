@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "13"
+DERIVED_VERSION = "14"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1123,6 +1123,85 @@ def _expected_tile_mosaic(fdir: str, z: int = 8) -> pa.Table:
 # ----------------------------------------------------------- video oracle --
 
 
+def _expected_mosaic_delta(fdir: str, split: str = "2024-01-15", z: int = 8) -> pa.Table:
+    """Naive scalar twin of zonal.mosaic_delta: the _expected_tile_mosaic
+    per-pixel slippy accumulation, run once per time window over the
+    image_id % 20 == 0 subset, then dict-joined on tiles present in both."""
+    import math
+
+    import glob as _glob
+
+    from .imaging.codec import decode_image
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+    )
+    split_ms = np.datetime64(split, "ms").astype(np.int64)
+
+    def scalar_tile(lon: float, lat: float) -> tuple:
+        n = 1 << z
+        x = int((lon + 180.0) / 360.0 * n)
+        lat = max(min(lat, 85.05112877980659), -85.05112877980659)
+        rad = math.radians(lat)
+        y = int((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi) / 2.0 * n)
+        return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+    def scalar_key(x: int, y: int) -> int:
+        m = 0
+        for b in range(29):
+            m |= ((x >> b) & 1) << (2 * b)
+            m |= ((y >> b) & 1) << (2 * b + 1)
+        return (z << 58) | m
+
+    accs = [{}, {}]
+    dts = imgs["datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+    for i in range(len(imgs)):
+        iid = imgs["image_id"][i].as_py()
+        if int(iid.split("-")[1]) % 20 != 0:
+            continue
+        acc = accs[1] if dts[i] >= split_ms else accs[0]
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        seen = set()
+        for r in range(px.shape[0]):
+            lat = y0 - res * (r + 0.5)
+            for c in range(px.shape[1]):
+                lon = x0 + res * (c + 0.5)
+                k = scalar_key(*scalar_tile(lon, lat))
+                if k not in acc:
+                    acc[k] = [0, 0, 0, 0, 0]
+                a = acc[k]
+                a[1] += 1
+                a[2] += int(px[r, c, 0])
+                a[3] += int(px[r, c, 1])
+                a[4] += int(px[r, c, 2])
+                seen.add(k)
+        for k in seen:
+            acc[k][0] += 1
+    keys = sorted(set(accs[0]) & set(accs[1]))
+    from .geo.tiles import tile_unkey
+
+    zz, xx, yy = tile_unkey(np.asarray(keys, np.uint64))
+    out = {
+        "tile_key": pa.array(keys, pa.int64()),
+        "z": pa.array(zz.astype(np.int64)),
+        "x": pa.array(xx.astype(np.int64)),
+        "y": pa.array(yy.astype(np.int64)),
+    }
+    names = ["n_images", "n_pixels", "sum_r", "sum_g", "sum_b"]
+    for suf, acc in (("a", accs[0]), ("b", accs[1])):
+        for j, n in enumerate(names):
+            out[f"{n}_{suf}"] = pa.array([acc[k][j] for k in keys], pa.int64())
+    for j, c in ((2, "r"), (3, "g"), (4, "b")):
+        out[f"delta_{c}_num"] = pa.array(
+            [accs[1][k][j] * accs[0][k][1] - accs[0][k][j] * accs[1][k][1]
+             for k in keys],
+            pa.int64(),
+        )
+    return pa.table(out)
+
+
 def _videos_table(n_videos: int, seed: int = 4242) -> pa.Table:
     """Deterministic rawv clips: per-frame drifting gradient + seeded noise
     so consecutive frames differ predictably."""
@@ -1247,6 +1326,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
         _expected_bpe(caps, id_col="image_id", text_col="caption"),
     )
     write("expected_random_crop.parquet", _expected_random_crop(fdir))
+    write("expected_mosaic_delta.parquet", _expected_mosaic_delta(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)

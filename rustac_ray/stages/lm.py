@@ -29,7 +29,8 @@ import pandas as pd
 __all__ = ["train_char_lm", "bigram_cost_table", "PerplexityScorer"]
 
 
-def train_char_lm(ds, *, text_col: str = "text", sample_mod: int | None = None):
+def train_char_lm(ds, *, text_col: str = "text", sample_mod: int | None = None,
+                  batch_size: int = 4096):
     """Distributed byte-bigram counting → (256, 256) int64 count grid.
 
     Each task's partial is a constant-size grid (the ideal combiner:
@@ -47,7 +48,9 @@ def train_char_lm(ds, *, text_col: str = "text", sample_mod: int | None = None):
                 np.add.at(grid, (b[:-1], b[1:]), 1)
         return pd.DataFrame({"grid": [grid.tobytes()]})
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # one 512-KiB grid per BATCH ships to the driver — explicit batch_size
+    # keeps that to dozens of grids instead of thousands
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
     total = np.zeros((256, 256), np.int64)
     for b in partials.iter_batches(batch_format="pandas"):
         for raw in b["grid"]:

@@ -35,7 +35,7 @@ END_OF_WORD = "</w>"
 
 
 def word_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                     sample_mod: int | None = None):
+                     sample_mod: int | None = None, batch_size: int = 4096):
     """Distributed word-frequency table → driver dict {word: count}.
 
     Each task emits its local value_counts (keys × blocks partials,
@@ -44,18 +44,34 @@ def word_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id",
     trains on the deterministic doc_id % m == 0 slice.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
         if sample_mod is not None:
-            batch = batch[batch[id_col] % sample_mod == 0]
-        words = batch[text_col].astype(str).str.split().explode().dropna()
-        if not len(words):
-            return pd.DataFrame({"word": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype="int64")})
-        vc = words.value_counts()
-        return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy().astype("int64")})
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(ids % sample_mod == 0))
+        if len(batch) == 0:
+            return _empty
+        # \s+ split with empties dropped == Python str.split(); all C++
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch[text_col], r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return _empty
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # explicit batch_size: tiny default batches make thousands of partials
+    # (each ≤ vocab rows) — bigger batches amortize the split and shrink
+    # the driver-merge stream ~20×
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     parts = [
         b.to_pandas()
         for b in partials.iter_batches(batch_format="pyarrow")
@@ -71,50 +87,62 @@ def train_bpe(word_freqs: dict, num_merges: int) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a word-frequency dict.
 
     Deterministic: each round merges the (count-max, then lexicographically
-    smallest) adjacent symbol pair. Pair counting is a vectorized pandas
-    groupby over the exploded (symbol, next-symbol) table of DISTINCT
-    words weighted by frequency — O(types), never O(tokens). Stops early
-    when no pair occurs more than once.
+    smallest) adjacent symbol pair; stops early when no pair occurs more
+    than once. Pair counts are maintained INCREMENTALLY — a merge touches
+    only the words that contain the chosen pair (tracked by an occurrence
+    index), so a round costs O(affected words + live pairs), never a full
+    O(types) recount. Operates on DISTINCT words weighted by frequency —
+    O(types) state, never O(tokens).
     """
+    from collections import defaultdict
+
     # symbol sequences per distinct word (end-of-word marker keeps
     # suffix/prefix merges distinct, per the original algorithm)
     words = list(word_freqs)
     seqs = [list(w) + [END_OF_WORD] for w in words]
-    freqs = np.array([word_freqs[w] for w in words], dtype=np.int64)
+    freqs = [int(word_freqs[w]) for w in words]
+    pc: dict = defaultdict(int)   # pair → weighted count
+    occ: dict = defaultdict(set)  # pair → word indices that (may) contain it
+    for i, s in enumerate(seqs):
+        f = freqs[i]
+        for j in range(len(s) - 1):
+            p = (s[j], s[j + 1])
+            pc[p] += f
+            occ[p].add(i)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        lefts, rights, widx = [], [], []
-        for i, s in enumerate(seqs):
-            if len(s) < 2:
-                continue
-            lefts.extend(s[:-1])
-            rights.extend(s[1:])
-            widx.append(np.full(len(s) - 1, i, dtype=np.int64))
-        if not lefts:
+        if not pc:
             break
-        df = pd.DataFrame(
-            {
-                "l": lefts,
-                "r": rights,
-                "c": freqs[np.concatenate(widx)],
-            }
-        )
-        agg = df.groupby(["l", "r"], sort=True)["c"].sum()
-        best_count = agg.max()
-        if best_count < 2:
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
             break
-        # sort=True above → the index is lexicographic; idxmax returns the
-        # FIRST max, i.e. the lexicographically smallest tied pair
-        best = agg.idxmax()
-        merges.append((str(best[0]), str(best[1])))
+        merges.append(best)
         tok = best[0] + best[1]
-        for s in seqs:
-            j = 0
-            while j < len(s) - 1:
-                if s[j] == best[0] and s[j + 1] == best[1]:
-                    s[j : j + 2] = [tok]
+        # only words holding the pair change; occ may hold stale entries
+        # (word no longer contains the pair) — for those the remove/re-add
+        # below is a net no-op, so correctness is unaffected
+        for i in list(occ.get(best, ())):
+            s, f = seqs[i], freqs[i]
+            for j in range(len(s) - 1):
+                p = (s[j], s[j + 1])
+                pc[p] -= f
+                if pc[p] <= 0:
+                    pc.pop(p, None)
+            out, j = [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == best[0] and s[j + 1] == best[1]:
+                    out.append(tok)
+                    j += 2
                 else:
+                    out.append(s[j])
                     j += 1
+            seqs[i] = out
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                pc[p] += f
+                occ[p].add(i)
+        occ.pop(best, None)
+        pc.pop(best, None)
     return merges
 
 
@@ -185,29 +213,23 @@ class BPEEncoder:
         last = np.full(len(batch), "", dtype=object)
         if len(ex):
             rows = pos_of[ex.index].to_numpy()
-            words = ex.to_numpy()
             # encode each DISTINCT word once (per-actor cache persists
-            # across batches — Zipf text makes repeats ~free)
-            uniq = pd.unique(words)
-            stats = {w: self._word_stats(str(w)) for w in uniq}
-            counts = np.array([stats[w][0] for w in words], dtype=np.int64)
-            n = np.bincount(rows, weights=counts, minlength=len(batch)).astype(
+            # across batches — Zipf text makes repeats ~free); everything
+            # per-TOKEN below is numpy indexing on the factorized codes
+            codes, uniques = pd.factorize(ex, sort=False)
+            stats = [self._word_stats(str(w)) for w in uniques]
+            cnt_t = np.array([s[0] for s in stats], np.int64)
+            first_t = np.array([s[1] for s in stats], object)
+            last_t = np.array([s[2] for s in stats], object)
+            n = np.bincount(rows, weights=cnt_t[codes], minlength=len(batch)).astype(
                 np.int64
             )
-            # first/last word per doc → its first/last subtoken
-            first_idx = np.full(len(batch), -1, np.int64)
-            seen = np.zeros(len(batch), bool)
-            for j, r in enumerate(rows):
-                if not seen[r]:
-                    first_idx[r] = j
-                    seen[r] = True
-            last_idx = np.full(len(batch), -1, np.int64)
-            for j, r in enumerate(rows):
-                last_idx[r] = j
-            for d in range(len(batch)):
-                if first_idx[d] >= 0:
-                    first[d] = stats[words[first_idx[d]]][1]
-                    last[d] = stats[words[last_idx[d]]][2]
+            # rows is non-decreasing (explode preserves doc order), so the
+            # first/last token position per doc comes from np.unique
+            uniq_rows, first_pos = np.unique(rows, return_index=True)
+            last_pos = len(rows) - 1 - np.unique(rows[::-1], return_index=True)[1]
+            first[uniq_rows] = first_t[codes[first_pos]]
+            last[uniq_rows] = last_t[codes[last_pos]]
         return pd.DataFrame(
             {
                 self.id_col: batch[self.id_col].to_numpy(),

@@ -41,6 +41,7 @@ __all__ = [
     "zonal_stats",
     "sample_raster_at_points",
     "tile_pixel_stats",
+    "mosaic_delta",
     "write_mosaic_pyramid",
     "Zones",
 ]
@@ -509,6 +510,104 @@ def tile_pixel_stats(
         return b
 
     return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+def mosaic_delta(
+    images_ds,
+    split,
+    z: int = 8,
+    *,
+    strict: bool = True,
+    concurrency: int = 2,
+    batch_size: int = DEFAULT_IMAGE_BATCH,
+):
+    """Temporal change detection over the tile mosaic: per-tile exact
+    pixel statistics for the scenes BEFORE vs ON-OR-AFTER ``split``
+    (numpy datetime64 / ISO string), inner-joined on tile.
+
+    One decode pass total — each image belongs to exactly one window, so
+    the window id is packed into the partial's group key
+    (``tile_key*2 + window``) and the existing mosaic partial runs
+    unchanged per window slice of each batch. Output columns are all
+    int64 (counts + channel sums per window + the cross-multiplied mean
+    delta numerator ``sum_b*n_a - sum_a*n_b`` whose SIGN is the per-tile
+    brightening/darkening verdict) — order-independent exact.
+    """
+    import ray.data as rd  # noqa: F401
+
+    if z > 15:
+        # Morton key uses bits [58:64); key*2+window must stay < 2^63
+        raise ValueError("mosaic_delta supports z <= 15 (packed-key headroom)")
+    split_ms = np.datetime64(split, "ms").astype(np.int64)
+
+    class _Windowed(_TileMosaicPartial):
+        def __init__(self, zz: int, strict_: bool = True):
+            super().__init__(zz, strict_)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dt = (
+                batch["datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+            )
+            win = (dt >= split_ms).astype(np.int64)
+            outs = []
+            for wv in (0, 1):
+                idx = np.flatnonzero(win == wv)
+                if len(idx) == 0:
+                    continue
+                t = super().__call__(batch.take(pa.array(idx)))
+                if len(t) == 0:
+                    continue
+                packed = t["tile_key"].to_numpy() * 2 + wv
+                outs.append(t.set_column(
+                    t.schema.get_field_index("tile_key"),
+                    "tile_key",
+                    pa.array(packed, pa.int64()),
+                ))
+            if not outs:
+                return pa.table(
+                    {"tile_key": pa.array([], pa.int64())}
+                    | {c: pa.array([], pa.int64()) for c in _SUM_COLS}
+                )
+            return pa.concat_tables(outs)
+
+    partials = images_ds.map_batches(
+        _Windowed,
+        fn_constructor_args=(z, strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    merged = _combine_partials(partials, "tile_key", "driver").to_pandas()
+    merged["window"] = merged["tile_key"] % 2
+    merged["tile_key"] = merged["tile_key"] // 2
+    a = merged[merged["window"] == 0].set_index("tile_key")
+    b = merged[merged["window"] == 1].set_index("tile_key")
+    both = a.join(b, how="inner", lsuffix="_a", rsuffix="_b").sort_index()
+    from ..geo import tiles as T
+
+    keys = both.index.to_numpy()
+    zz, x, y = T.tile_unkey(keys.astype(np.uint64))
+    out = {
+        "tile_key": pa.array(keys, pa.int64()),
+        "z": pa.array(zz.astype(np.int64)),
+        "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64)),
+    }
+    for suf in ("a", "b"):
+        for c in ("n_images", "n_pixels", "sum_r", "sum_g", "sum_b"):
+            out[f"{c}_{suf}"] = pa.array(
+                both[f"{c}_{suf}"].to_numpy().astype(np.int64)
+            )
+    for c in ("r", "g", "b"):
+        out[f"delta_{c}_num"] = pa.array(
+            both[f"sum_{c}_b"].to_numpy().astype(np.int64)
+            * both["n_pixels_a"].to_numpy().astype(np.int64)
+            - both[f"sum_{c}_a"].to_numpy().astype(np.int64)
+            * both["n_pixels_b"].to_numpy().astype(np.int64)
+        )
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(out))
 
 
 def write_mosaic_pyramid(

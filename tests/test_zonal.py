@@ -319,3 +319,42 @@ def test_sample_points_empty_inputs(fixtures_dir):
 
     out = sample_raster_at_points(_images_ds(fixtures_dir), {}, concurrency=1)
     assert out.count() == 0
+
+
+def test_mosaic_delta_matches_two_pass(fixtures_dir):
+    """Single-pass windowed delta == two independent tile_pixel_stats runs
+    inner-joined on tile; delta numerator sign matches the mean shift."""
+    from rustac_ray.stages.zonal import mosaic_delta, tile_pixel_stats
+
+    def imgs():
+        return rd.read_parquet(
+            f"{fixtures_dir}/images.parquet",
+            columns=["image_id", "bytes", "w", "h", "fmt", "transform", "datetime"],
+        )
+
+    split = "2024-01-02T12:00"
+    got = mosaic_delta(imgs(), split, z=8, concurrency=2).to_pandas()
+    assert len(got) > 0
+
+    import numpy as np
+
+    split_ms = np.datetime64(split, "ms").astype(np.int64)
+
+    def window(ds, w):
+        def f(df):
+            ms = df["datetime"].astype("datetime64[ms]").astype("int64")
+            return df.loc[(ms >= split_ms) if w else (ms < split_ms)]
+        return ds.map_batches(f, batch_format="pandas")
+
+    a = tile_pixel_stats(window(imgs(), 0), z=8, concurrency=2).to_pandas().set_index("tile_key")
+    b = tile_pixel_stats(window(imgs(), 1), z=8, concurrency=2).to_pandas().set_index("tile_key")
+    both = sorted(set(a.index) & set(b.index))
+    assert got["tile_key"].tolist() == both
+    g = got.set_index("tile_key")
+    for c in ("n_images", "n_pixels", "sum_r", "sum_g", "sum_b"):
+        assert (g[f"{c}_a"] == a.loc[both, c]).all()
+        assert (g[f"{c}_b"] == b.loc[both, c]).all()
+    # sign of the integer numerator == sign of the float mean difference
+    dm = (b.loc[both, "sum_r"] / b.loc[both, "n_pixels"]
+          - a.loc[both, "sum_r"] / a.loc[both, "n_pixels"])
+    assert (np.sign(g["delta_r_num"].to_numpy()) == np.sign(dm.to_numpy())).all()
