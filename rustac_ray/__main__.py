@@ -18,6 +18,7 @@ no analogue — there is no server in scope, SURVEY.md §3.3).
     python -m rustac_ray tokenize DOCS.parquet --merges 200 [-o OUT]
     python -m rustac_ray lmfilter DOCS.parquet [--cutoff 1750000] [-o OUT]
     python -m rustac_ray coverage IMAGES.parquet --group collection [-o OUT]
+    python -m rustac_ray wds IMAGES.parquet OUT_DIR   # WebDataset tar shards
 
 Owns its Ray session (guarded init), unlike the library code.
 """
@@ -317,6 +318,20 @@ def cmd_shards(args):
     print(f"{len(recs)} shards -> {args.output}")
 
 
+def cmd_wds(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.export import write_webdataset_shards
+
+    cols = ["image_id", "bytes", "caption", "w", "h", "fmt", "phash"]
+    recs = write_webdataset_shards(
+        rd.read_parquet(args.input, columns=cols), args.output,
+        resume=not args.no_resume,
+    )
+    print(f"{len(recs)} tar shards -> {args.output}")
+
+
 def cmd_tokenize(args):
     _ensure_ray()
     import ray
@@ -512,6 +527,14 @@ def main(argv=None):
     sh.add_argument("--rows-per-shard", type=int, default=10_000)
     sh.add_argument("--no-resume", action="store_true")
     sh.set_defaults(fn=cmd_shards)
+
+    wd = sub.add_parser(
+        "wds", help="export image+caption rows as WebDataset tar shards"
+    )
+    wd.add_argument("input", help="image payload parquet (input_hint schema)")
+    wd.add_argument("output")
+    wd.add_argument("--no-resume", action="store_true")
+    wd.set_defaults(fn=cmd_wds)
 
     tk = sub.add_parser("tokenize", help="BPE-train on the corpus, encode every doc")
     tk.add_argument("input")

@@ -15,6 +15,7 @@ _EXPORTS = {
         "simhash_near_dup", "ngram_jaccard_near_dup", "phash_near_dup",
         "connected_components", "near_dup_filter",
     ],
+    "export": ["write_webdataset_shards", "read_webdataset_shard"],
     "embed": [
         "brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk",
         "train_ivf_centroids", "assign_clusters", "embedding_near_dup",
@@ -27,7 +28,7 @@ _EXPORTS = {
     "relevance": ["corpus_stats", "tfidf_top_terms", "bm25_topk"],
     "sampling": ["hash_sample", "stratified_sample", "grouped_sample_n", "weighted_sample_n"],
     "shuffle": ["deterministic_shuffle", "shuffle_positions", "write_training_shards", "iter_training_batches"],
-    "sketch": ["approx_distinct", "exact_quantiles", "token_heavy_hitters"],
+    "sketch": ["approx_distinct", "exact_quantiles", "profile_columns", "token_heavy_hitters"],
     "spatial_join": [
         "broadcast_spatial_join", "partitioned_spatial_join", "hash_spatial_join",
         "within_distance_join", "clip_area_join",

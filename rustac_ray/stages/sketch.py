@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 __all__ = [
     "approx_distinct",
     "exact_quantiles",
+    "profile_columns",
     "splitmix64",
     "hll_estimate",
     "token_heavy_hitters",
@@ -388,3 +389,75 @@ def token_heavy_hitters(
         return pa.table({"token": tok.filter(m), "cnt": cnt.filter(m)})
 
     return _merge_partials(ds.map_batches(recount, batch_format="pyarrow"), k)
+
+
+def profile_columns(ds, cols: list[str]):
+    """→ (column, n_rows, n_null, min_d, max_d): one-pass numeric column
+    profile — the schema-validation / data-quality summary every ingest
+    pipeline runs before training.
+
+    Classic combiner shape: each batch emits one 5-tuple row per column
+    (state size = len(cols), independent of data), the driver folds them
+    with min/max/sum — no shuffle, one scan for all columns together
+    (vs one query per column). min/max are cast to float64 so the output
+    schema is column-uniform; counts are exact int64.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"column": [], "n_rows": [], "n_null": [], "min_d": [], "max_d": []}
+        for c in cols:
+            arr = batch[c]
+            vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            null_mask = np.isnan(vals) if arr.null_count == 0 else np.isnan(
+                np.where(arr.is_valid().to_numpy(zero_copy_only=False), vals, np.nan)
+            )
+            ok = vals[~null_mask]
+            out["column"].append(c)
+            out["n_rows"].append(len(arr))
+            out["n_null"].append(int(null_mask.sum()))
+            out["min_d"].append(float(ok.min()) if len(ok) else np.nan)
+            out["max_d"].append(float(ok.max()) if len(ok) else np.nan)
+        return pa.table(
+            {
+                "column": pa.array(out["column"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "min_d": pa.array(out["min_d"], pa.float64()),
+                "max_d": pa.array(out["max_d"], pa.float64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "column": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_null": pa.array([], pa.int64()),
+                    "min_d": pa.array([], pa.float64()),
+                    "max_d": pa.array([], pa.float64()),
+                }
+            )
+        )
+    df = pd.concat(parts, ignore_index=True)
+    g = df.groupby("column", sort=True)
+    merged = pd.DataFrame(
+        {
+            "column": sorted(cols),
+            "n_rows": g["n_rows"].sum().reindex(sorted(cols)).to_numpy().astype("int64"),
+            "n_null": g["n_null"].sum().reindex(sorted(cols)).to_numpy().astype("int64"),
+            "min_d": g["min_d"].min().reindex(sorted(cols)).to_numpy(),
+            "max_d": g["max_d"].max().reindex(sorted(cols)).to_numpy(),
+        }
+    )
+    return rd.from_pandas(merged)

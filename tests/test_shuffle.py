@@ -82,3 +82,45 @@ def test_iter_training_batches_epochs():
     ):
         replay.extend(b["doc_id"].to_pylist())
     assert replay == orders[1]
+
+
+def test_webdataset_shards_roundtrip_and_resume(fixtures_dir, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rustac_ray.stages.export import read_webdataset_shard, write_webdataset_shards
+
+    out = str(tmp_path / "wds")
+    ds = rd.read_parquet(
+        f"{fixtures_dir}/images.parquet",
+        columns=["image_id", "bytes", "caption", "w", "h", "fmt", "phash"],
+    )
+    recs = write_webdataset_shards(ds, out)
+    tars = sorted(glob.glob(f"{out}/shard-*.tar"))
+    assert tars and os.path.exists(f"{out}/_manifest.jsonl")
+    assert sum(r["rows"] for r in recs) == ds.count()
+
+    # roundtrip: bytes + caption + metadata survive exactly
+    samples = read_webdataset_shard(tars[0])
+    src = pq.read_table(
+        sorted(glob.glob(f"{fixtures_dir}/images.parquet/*.parquet"))[0]
+    ).to_pandas().set_index("image_id")
+    assert samples
+    for s in samples[:16]:
+        row = src.loc[s["__key__"]]
+        assert s["img"] == bytes(row["bytes"])
+        assert s["txt"] == row["caption"]
+        assert s["json"]["w"] == int(row["w"]) and s["json"]["fmt"] == row["fmt"]
+
+    # resume: second run rewrites nothing
+    mtimes = {f: os.path.getmtime(f) for f in tars}
+    ds2 = rd.read_parquet(
+        f"{fixtures_dir}/images.parquet",
+        columns=["image_id", "bytes", "caption", "w", "h", "fmt", "phash"],
+    )
+    recs2 = write_webdataset_shards(ds2, out)
+    assert len(recs2) == len(recs)
+    assert {f: os.path.getmtime(f) for f in tars} == mtimes

@@ -241,3 +241,24 @@ def test_approx_distinct_layout_independent(frame):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_profile_columns_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.sketch import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, np.nan, -5.0],
+            "b": [10, 20, 30, 40],
+        }
+    )
+    out = profile_columns(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    out = out.set_index("column")
+    assert out.loc["a", "n_rows"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "min_d"] == -5.0 and out.loc["a", "max_d"] == 2.0
+    assert out.loc["b", "n_null"] == 0
+    assert out.loc["b", "min_d"] == 10.0 and out.loc["b", "max_d"] == 40.0
