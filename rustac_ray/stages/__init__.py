@@ -8,7 +8,7 @@ front — stages stay import-light for Ray worker startup.
 from __future__ import annotations
 
 _EXPORTS = {
-    "aggregates": ["global_extent", "collection_extents", "coverage_area", "scene_gaps", "grouped_topk"],
+    "aggregates": ["global_extent", "collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "grouped_topk"],
     "decontam": ["BloomFilter", "decontaminate", "ngram_hash_set", "build_bloom"],
     "dedup": [
         "exact_dedup", "incremental_dedup", "dup_ngram_spans", "minhash_lsh_candidates",
@@ -28,7 +28,7 @@ _EXPORTS = {
     "relevance": ["corpus_stats", "tfidf_top_terms", "bm25_topk"],
     "sampling": ["hash_sample", "stratified_sample", "grouped_sample_n", "weighted_sample_n"],
     "shuffle": ["deterministic_shuffle", "shuffle_positions", "write_training_shards", "iter_training_batches"],
-    "sketch": ["approx_distinct", "exact_quantiles", "profile_columns", "token_heavy_hitters"],
+    "sketch": ["approx_distinct", "exact_quantiles", "histogram", "profile_columns", "token_heavy_hitters"],
     "spatial_join": [
         "broadcast_spatial_join", "partitioned_spatial_join", "hash_spatial_join",
         "within_distance_join", "clip_area_join",

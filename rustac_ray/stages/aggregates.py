@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["collection_extents", "coverage_area", "scene_gaps", "global_extent", "grouped_topk"]
+__all__ = ["collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "global_extent", "grouped_topk"]
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
@@ -248,3 +248,34 @@ def scene_gaps(ds, *, group_col: str = "collection", ts_col: str = "datetime",
         batch_format="pyarrow",
     )
     return cols.groupby(group_col).map_groups(gaps, batch_format="pandas")
+
+
+def rolling_window_counts(ds, *, group_col: str = "collection",
+                          ts_col: str = "datetime", id_col: str = "image_id",
+                          window_ms: int = 7 * 86_400_000):
+    """→ (id, group, n_in_window): per row, how many of its group's rows
+    fall in the trailing ``window_ms`` (inclusive, RANGE-frame semantics:
+    timestamp peers count regardless of tie order) — the rolling
+    acquisition-rate feature, the LAG family's windowed sibling.
+
+    Per-group work is two vectorized searchsorted calls on the sorted
+    int64 timestamps; the shuffle ships only (group, ts, id) triples.
+    """
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        order = np.argsort(ts, kind="mergesort")
+        st = ts[order]
+        hi_i = np.searchsorted(st, ts, side="right")
+        lo_i = np.searchsorted(st, ts - window_ms, side="left")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                group_col: g[group_col].to_numpy(),
+                "n_in_window": (hi_i - lo_i).astype("int64"),
+            }
+        )
+
+    cols = ds.map_batches(
+        lambda b: b.select([group_col, ts_col, id_col]), batch_format="pyarrow"
+    )
+    return cols.groupby(group_col).map_groups(roll, batch_format="pandas")

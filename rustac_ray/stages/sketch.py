@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 __all__ = [
     "approx_distinct",
     "exact_quantiles",
+    "histogram",
     "profile_columns",
     "splitmix64",
     "hll_estimate",
@@ -461,3 +462,47 @@ def profile_columns(ds, cols: list[str]):
         }
     )
     return rd.from_pandas(merged)
+
+
+def histogram(ds, col: str, lo: float, hi: float, nbins: int):
+    """→ (bin, n): fixed-width histogram of a numeric column — one
+    bincount per batch (constant combiner state: ≤ nbins rows), driver
+    fold. Values outside [lo, hi) clamp into the edge bins, exactly the
+    ``least(greatest(floor((x-lo)/width),0),nbins-1)`` a SQL twin writes,
+    so engine and oracle share every IEEE operation.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    width = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(
+            np.maximum(np.floor((v - lo) / width), 0.0), float(nbins - 1)
+        ).astype(np.int64)
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table({"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        )
+    merged = (
+        pd.concat(parts, ignore_index=True).groupby("bin", sort=True)["n"].sum()
+    )
+    return rd.from_pandas(
+        pd.DataFrame({"bin": merged.index.to_numpy().astype("int64"),
+                      "n": merged.to_numpy().astype("int64")})
+    )

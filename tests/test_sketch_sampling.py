@@ -262,3 +262,53 @@ def test_profile_columns_matches_pandas():
     assert out.loc["a", "min_d"] == -5.0 and out.loc["a", "max_d"] == 2.0
     assert out.loc["b", "n_null"] == 0
     assert out.loc["b", "min_d"] == 10.0 and out.loc["b", "max_d"] == 40.0
+
+
+def test_histogram_matches_numpy():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.sketch import histogram
+
+    rng = np.random.default_rng(5)
+    v = np.concatenate([rng.uniform(-10, 110, 5000), [-50.0, 200.0]])
+    out = histogram(rd.from_pandas(pd.DataFrame({"x": v})), "x", 0.0, 100.0, 10)
+    got = dict(zip(*[c.tolist() for c in out.to_pandas().to_numpy().T]))
+    b = np.minimum(np.maximum(np.floor(v / 10.0), 0), 9).astype(int)
+    exp = {int(k): int(c) for k, c in zip(*np.unique(b, return_counts=True))}
+    assert got == exp
+    assert sum(got.values()) == len(v)
+
+
+def test_rolling_window_counts_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.aggregates import rolling_window_counts
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "image_id": [f"i{i:04d}" for i in range(n)],
+            "collection": rng.choice(["a", "b"], n),
+            "datetime": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+        }
+    )
+    W = 7 * 86_400_000
+    got = (
+        rolling_window_counts(rd.from_pandas(df), window_ms=W)
+        .to_pandas()
+        .set_index("image_id")["n_in_window"]
+    )
+    ts_all = df.set_index("image_id")
+    for iid in df["image_id"].sample(50, random_state=1):
+        row = ts_all.loc[iid]
+        g = df[df["collection"] == row["collection"]]
+        t = row["datetime"].value // 10**6
+        gts = g["datetime"].astype("datetime64[ms]").astype("int64")
+        exp = int(((gts >= t - W) & (gts <= t)).sum())
+        assert got[iid] == exp, iid
