@@ -380,3 +380,90 @@ def test_ngram_hashes_match_scalar_reference(texts, n):
     pd.testing.assert_frame_equal(
         f.reset_index(drop=True), f2.reset_index(drop=True)
     )
+
+
+def test_coverage_area_random_boxes_vs_sweep():
+    """Random overlapping boxes: difference-array union == scalar sweep."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.aggregates import coverage_area
+
+    rng = np.random.default_rng(21)
+    n = 120
+    res = rng.uniform(5e-4, 2e-3, n)
+    w = rng.integers(8, 64, n)
+    h = rng.integers(8, 64, n)
+    x0 = rng.uniform(-5, 5, n)
+    y0 = rng.uniform(-5, 5, n)
+    df = pd.DataFrame(
+        {
+            "image_id": [f"r{i}" for i in range(n)],
+            "w": w.astype("int32"),
+            "h": h.astype("int32"),
+            "transform": [
+                [res[i], 0.0, x0[i], 0.0, -res[i], y0[i]] for i in range(n)
+            ],
+            "collection": rng.choice(["g1", "g2", "g3"], n),
+        }
+    )
+    got = coverage_area(rd.from_pandas(df)).to_pandas().set_index("collection")
+    # scalar sweep twin (same quantization, different algorithm)
+    import math
+
+    q = 1e-6
+    for coll, g in df.groupby("collection"):
+        boxes = []
+        for r in g.itertuples():
+            t = r.transform
+            boxes.append(
+                (
+                    math.floor(t[2] / q),
+                    math.floor((t[5] - t[0] * r.h) / q),
+                    math.floor((t[2] + t[0] * r.w) / q),
+                    math.floor(t[5] / q),
+                )
+            )
+        live = [b for b in boxes if b[2] > b[0] and b[3] > b[1]]
+        xs = sorted({v for b in live for v in (b[0], b[2])})
+        union = 0
+        for j in range(len(xs) - 1):
+            lo, hi = xs[j], xs[j + 1]
+            ivals = sorted((b[1], b[3]) for b in live if b[0] <= lo and b[2] >= hi)
+            end, strip = None, 0
+            for a, b_ in ivals:
+                if end is None or a > end:
+                    strip += b_ - a
+                    end = b_
+                elif b_ > end:
+                    strip += b_ - end
+                    end = b_
+            union += strip * (hi - lo)
+        assert int(got.loc[coll, "union_cells"]) == union, coll
+
+
+def test_incremental_dedup_random_differential():
+    """Random prior/new splits with planted overlap == pandas anti-join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.dedup import incremental_dedup
+
+    rng = np.random.default_rng(33)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 5)).tolist()) for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": range(300), "text": texts})
+    prior = df[df["doc_id"] % 4 == 0]
+    new = df[df["doc_id"] % 4 != 0]
+    got = (
+        incremental_dedup(rd.from_pandas(new), rd.from_pandas(prior))
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    exp = new[~new["text"].isin(set(prior["text"]))]["doc_id"].tolist()
+    assert got == sorted(exp)
