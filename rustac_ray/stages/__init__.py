@@ -22,7 +22,7 @@ _EXPORTS = {
     ],
     "lm": ["train_char_lm", "bigram_cost_table", "PerplexityScorer"],
     "footprint": ["derive_footprints"],
-    "knn": ["knn_join", "CellKNNIndex", "ShardedKNNIndex"],
+    "knn": ["knn_join", "nearest_neighbor_join", "CellKNNIndex", "ShardedKNNIndex"],
     "multimodal": ["DecodeStats", "Thumbnail", "VerifyPayload", "RandomCrop", "FrameSample"],
     "packing": ["pack_sequences"],
     "relevance": ["corpus_stats", "tfidf_top_terms", "bm25_topk"],

@@ -29,7 +29,7 @@ import ray
 from ..geo import cells
 from .footprint import derive_footprints
 
-__all__ = ["knn_join", "CellKNNIndex", "ShardedKNNIndex"]
+__all__ = ["knn_join", "nearest_neighbor_join", "CellKNNIndex", "ShardedKNNIndex"]
 
 
 _EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
@@ -340,3 +340,181 @@ class ShardedKNNIndex:
         d = np.concatenate([np.asarray(r[1], dtype=np.float64) for r in results])
         top = np.argsort(d, kind="stable")[: min(k, len(d))]
         return ids[top], d[top]
+
+
+def nearest_neighbor_join(
+    images_ds: "ray.data.Dataset",
+    *,
+    res: int = 6,
+    footprints_derived: bool = False,
+    concurrency: int | tuple[int, int] = 4,
+):
+    """→ (image_id, nn_id, dist2): each image's nearest OTHER image
+    (footprint centers, planar squared degrees, ties to the smallest id)
+    — the distributed SELF-join the broadcast machinery can't do (both
+    sides are the corpus).
+
+    Shape: every row ghosts into its 3×3 cell neighborhood (9 metadata
+    rows/image — id + 2 floats, never payloads); one ``groupby(cell)``
+    co-locates each cell's HOME rows with every point that can matter,
+    and the per-group kernel is one (H, A) distance matrix. A candidate
+    is provably global iff its distance ≤ the row's distance to the
+    ring boundary (rectangular cells: per-side check, domain edges count
+    as +inf); the rare unresolved rows — points whose neighborhood is
+    locally empty, vanishing as density grows — fall back to one exact
+    brute-force pass against the gathered centers (metadata-only;
+    at cluster scale route them through ShardedKNNIndex instead).
+    """
+    import pandas as pd_
+
+    from ..geo.cells import _LAT_SPAN, _LON_SPAN  # type: ignore
+
+    n_cells = 1 << res
+    dlon = _LON_SPAN / n_cells
+    dlat = _LAT_SPAN / n_cells
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if not footprints_derived:
+            batch = derive_footprints(batch)
+        cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+        cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        x = np.clip(((cx + 180.0) / _LON_SPAN * n_cells).astype(np.int64), 0, n_cells - 1)
+        y = np.clip(((cy + 90.0) / _LAT_SPAN * n_cells).astype(np.int64), 0, n_cells - 1)
+        out_id, out_cx, out_cy, out_cell, out_home = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = x + dx, y + dy
+                ok = (gx >= 0) & (gx < n_cells) & (gy >= 0) & (gy < n_cells)
+                out_id.append(ids[ok])
+                out_cx.append(cx[ok])
+                out_cy.append(cy[ok])
+                out_cell.append(gy[ok] * n_cells + gx[ok])
+                out_home.append(np.full(int(ok.sum()), dx == 0 and dy == 0))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+                "image_id": pa.array(np.concatenate(out_id), pa.string()),
+                "cx": pa.array(np.concatenate(out_cx), pa.float64()),
+                "cy": pa.array(np.concatenate(out_cy), pa.float64()),
+                "home": pa.array(np.concatenate(out_home), pa.bool_()),
+            }
+        )
+
+    def per_cell(g: pd_.DataFrame) -> pd_.DataFrame:
+        # sort by id so argmin's first-minimum rule == smallest tied id
+        g = g.sort_values("image_id", kind="mergesort")
+        ax = g["cx"].to_numpy()
+        ay = g["cy"].to_numpy()
+        aid = g["image_id"].to_numpy()
+        hm = g["home"].to_numpy()
+        hidx = np.flatnonzero(hm)
+        if len(hidx) == 0 or len(g) < 2:
+            # no home rows, or a home row alone in its neighborhood
+            return pd_.DataFrame(
+                {
+                    "image_id": aid[hidx],
+                    "nn_id": np.full(len(hidx), "", object),
+                    "dist2": np.full(len(hidx), np.inf),
+                    "resolved": np.zeros(len(hidx), bool),
+                }
+            )
+        hx, hy = ax[hidx], ay[hidx]
+        dx = hx[:, None] - ax[None, :]
+        dy = hy[:, None] - ay[None, :]
+        d2 = dx * dx + dy * dy
+        d2[np.arange(len(hidx)), hidx] = np.inf  # self
+        best = np.argmin(d2, axis=1)
+        bd2 = d2[np.arange(len(hidx)), best]
+        # provable-global test: candidate within the ring-boundary radius
+        cell = int(g["cell"].iloc[0])
+        cx0 = -180.0 + (cell % (1 << res)) * dlon
+        cy0 = -90.0 + (cell // (1 << res)) * dlat
+        ex = cell % (1 << res)
+        ey = cell // (1 << res)
+        left = np.where(ex == 0, np.inf, hx - (cx0 - dlon))
+        right = np.where(ex == (1 << res) - 1, np.inf, (cx0 + 2 * dlon) - hx)
+        bot = np.where(ey == 0, np.inf, hy - (cy0 - dlat))
+        top = np.where(ey == (1 << res) - 1, np.inf, (cy0 + 2 * dlat) - hy)
+        bdist = np.minimum(np.minimum(left, right), np.minimum(bot, top))
+        return pd_.DataFrame(
+            {
+                "image_id": aid[hidx],
+                "nn_id": aid[best],
+                "dist2": bd2,
+                "resolved": np.isfinite(bd2) & (bd2 <= bdist * bdist),
+            }
+        )
+
+    candidates = (
+        images_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pandas")
+    )
+    parts = [
+        b.to_pandas()
+        for b in candidates.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    import ray.data as rd
+
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "nn_id": pa.array([], pa.string()),
+                    "dist2": pa.array([], pa.float64()),
+                }
+            )
+        )
+    df = pd_.concat(parts, ignore_index=True)
+    need = df.loc[~df["resolved"]]
+    if len(need):
+        # exact fallback for the provably-unresolved tail: brute force
+        # against the (metadata-only) center table
+        def centers(batch: pa.Table) -> pa.Table:
+            if not footprints_derived:
+                batch = derive_footprints(batch)
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "cx": pa.array(
+                        (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+                    ),
+                    "cy": pa.array(
+                        (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+                    ),
+                }
+            )
+
+        allc = pd_.concat(
+            [
+                b.to_pandas()
+                for b in images_ds.map_batches(centers, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                if len(b)
+            ],
+            ignore_index=True,
+        ).sort_values("image_id", kind="mergesort")
+        ax = allc["cx"].to_numpy()
+        ay = allc["cy"].to_numpy()
+        aid = allc["image_id"].to_numpy()
+        pos = {i: j for j, i in enumerate(aid)}
+        fixed = []
+        for r in need.itertuples():
+            j = pos[r.image_id]
+            d2 = (ax - ax[j]) ** 2 + (ay - ay[j]) ** 2
+            d2[j] = np.inf
+            b = int(np.argmin(d2))
+            fixed.append((r.image_id, aid[b], d2[b]))
+        df = pd_.concat(
+            [
+                df.loc[df["resolved"], ["image_id", "nn_id", "dist2"]],
+                pd_.DataFrame(fixed, columns=["image_id", "nn_id", "dist2"]),
+            ],
+            ignore_index=True,
+        )
+    else:
+        df = df[["image_id", "nn_id", "dist2"]]
+    return rd.from_pandas(df.sort_values("image_id", kind="mergesort").reset_index(drop=True))

@@ -488,3 +488,60 @@ def _images_ds_with_dt(fixtures_dir):
         f"{fixtures_dir}/images.parquet",
         columns=["image_id", "w", "h", "transform", "datetime"],
     )
+
+
+def test_nearest_neighbor_join_matches_bruteforce(fixtures_dir, corpus):
+    import pandas as pd
+
+    from rustac_ray.stages.knn import nearest_neighbor_join
+
+    _, corners, ids = corpus
+    cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
+    cy = (corners[:, :, 1].min(1) + corners[:, :, 1].max(1)) / 2
+    got = (
+        nearest_neighbor_join(_images_ds(fixtures_dir), res=7, concurrency=2)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ids)
+    order = np.argsort(ids, kind="mergesort")
+    sx, sy, sid = cx[order], cy[order], ids[order]
+    exp_nn, exp_d2 = [], []
+    for j in range(len(sid)):
+        d2 = (sx - sx[j]) ** 2 + (sy - sy[j]) ** 2
+        d2[j] = np.inf
+        b = int(np.argmin(d2))  # first min on id-sorted order = min id tie
+        exp_nn.append(sid[b])
+        exp_d2.append(d2[b])
+    exp = pd.DataFrame(
+        {"image_id": sid, "nn_id": exp_nn, "dist2": exp_d2}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nearest_neighbor_join_sparse_fallback():
+    """Three isolated points far apart: every row is unresolved in-cell
+    and must be fixed by the exact fallback."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.knn import nearest_neighbor_join
+
+    t = lambda x0, y0: [0.001, 0.0, x0, 0.0, -0.001, y0]
+    df = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "c"],
+            "w": np.array([10, 10, 10], "int32"),
+            "h": np.array([10, 10, 10], "int32"),
+            "transform": [t(-100.0, 40.0), t(-60.0, 10.0), t(60.0, -30.0)],
+        }
+    )
+    out = (
+        nearest_neighbor_join(rd.from_pandas(df), res=6, concurrency=1)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert out.loc["a", "nn_id"] == "b"
+    assert out.loc["b", "nn_id"] == "a"
+    assert out.loc["c", "nn_id"] == "b"
