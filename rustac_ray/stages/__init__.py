@@ -8,7 +8,7 @@ front — stages stay import-light for Ray worker startup.
 from __future__ import annotations
 
 _EXPORTS = {
-    "aggregates": ["global_extent", "collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "grouped_topk"],
+    "aggregates": ["global_extent", "collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "daily_counts_filled", "grouped_topk"],
     "decontam": ["BloomFilter", "decontaminate", "ngram_hash_set", "build_bloom"],
     "dedup": [
         "exact_dedup", "incremental_dedup", "dup_ngram_spans", "minhash_lsh_candidates",
@@ -35,7 +35,7 @@ _EXPORTS = {
     ],
     "tokenize": ["word_frequencies", "train_bpe", "BPEEncoder"],
     "temporal_join": ["asof_join", "interval_join"],
-    "text": ["TextStats", "LangId", "Fingerprint", "Redactor", "repetition_stats"],
+    "text": ["TextStats", "LangId", "Fingerprint", "Redactor", "NormalizeText", "repetition_stats"],
     "tiling": ["assign_tiles", "tile_counts", "hot_tile_set"],
     "windows": ["tumbling", "sliding", "session_windows"],
     "zonal": ["zonal_stats", "sample_raster_at_points", "tile_pixel_stats", "write_mosaic_pyramid", "Zones"],

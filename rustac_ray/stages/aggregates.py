@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "global_extent", "grouped_topk"]
+__all__ = ["collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "daily_counts_filled", "global_extent", "grouped_topk"]
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
@@ -279,3 +279,63 @@ def rolling_window_counts(ds, *, group_col: str = "collection",
         lambda b: b.select([group_col, ts_col, id_col]), batch_format="pyarrow"
     )
     return cols.groupby(group_col).map_groups(roll, batch_format="pandas")
+
+
+def daily_counts_filled(ds, *, group_col: str = "collection",
+                        ts_col: str = "datetime"):
+    """→ (group, day, n_scenes): scenes per day per group with ZERO-FILLED
+    gaps between each group's first and last day — the resample/gap-fill
+    step every acquisition-cadence dashboard needs (a bare groupby hides
+    the empty days, which are the signal).
+
+    Per-batch partial: int64 epoch-day counts (combiner state ≤ groups ×
+    days); driver merge + one np.arange fill per group. Day is emitted as
+    a ms timestamp (== SQL date_trunc('day', ...)).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        day = dt // 86_400_000
+        grp = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        df = pd.DataFrame({"g": grp, "d": day})
+        c = df.groupby(["g", "d"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "g": pa.array(c["g"].to_numpy(), pa.string()),
+                "d": pa.array(c["d"].to_numpy(), pa.int64()),
+                "n": pa.array(c["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    out = {group_col: [], "day": [], "n_scenes": []}
+    if parts:
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["g", "d"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for g, sub in merged.groupby("g", sort=True):
+            days = np.arange(sub["d"].min(), sub["d"].max() + 1)
+            n = np.zeros(len(days), np.int64)
+            n[sub["d"].to_numpy() - days[0]] = sub["n"].to_numpy()
+            out[group_col].extend([g] * len(days))
+            out["day"].extend((days * 86_400_000).tolist())
+            out["n_scenes"].extend(n.tolist())
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out[group_col], pa.string()),
+                "day": pa.array(out["day"], pa.int64()).cast(pa.timestamp("ms")),
+                "n_scenes": pa.array(out["n_scenes"], pa.int64()),
+            }
+        )
+    )

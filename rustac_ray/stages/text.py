@@ -19,6 +19,7 @@ __all__ = [
     "LangId",
     "Fingerprint",
     "Redactor",
+    "NormalizeText",
     "add_token_counts",
     "repetition_stats",
 ]
@@ -159,6 +160,34 @@ class Redactor:
             text = text.str.replace(pat, repl, regex=True)
         batch["text"] = text
         batch["n_redactions"] = n_red
+        return batch
+
+
+class NormalizeText:
+    """Unicode + whitespace canonicalization: NFC-normalize, collapse
+    ASCII whitespace runs to one space, strip ends — the first cleaning
+    pass of every web-text pipeline, and the step that makes exact dedup
+    actually fire on visually-identical docs.
+
+    The whitespace class is the EXPLICIT ``[ \\t\\n\\r\\f\\v]`` (Python's
+    ``\\s`` is Unicode-wide, RE2/DuckDB's is ASCII — naming the class
+    keeps both sides byte-identical); NFC comes from unicodedata, the
+    same Unicode normalization DuckDB's nfc_normalize applies.
+    """
+
+    def __init__(self):
+        import re
+
+        self.ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import unicodedata
+
+        orig = batch["text"].astype(str)
+        norm = orig.map(lambda s: unicodedata.normalize("NFC", s))
+        norm = norm.str.replace(self.ws, " ", regex=True).str.strip()
+        batch["text"] = norm
+        batch["changed"] = (norm != orig).to_numpy()
         return batch
 
 

@@ -410,3 +410,50 @@ def test_lm_empty_and_single_char_docs():
     assert out["n_pairs"].tolist() == [0, 0, 1]
     assert out["nll_micro"].tolist()[:2] == [0, 0]
     assert out["nll_micro"].tolist()[2] > 0
+
+
+# -------------------------------------------------------- normalization --
+
+
+def test_normalize_text_nfc_and_whitespace():
+    import unicodedata
+
+    import ray
+
+    from rustac_ray.stages.text import NormalizeText
+
+    dirty = "  café   du\tmonde \n"  # NFD é + messy whitespace
+    clean = "already clean"
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [dirty, clean]})
+    out = (
+        rd.from_pandas(df)
+        .map_batches(NormalizeText, batch_format="pandas", concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "text"] == "café du monde"
+    assert out.loc[0, "text"] == unicodedata.normalize("NFC", out.loc[0, "text"])
+    assert bool(out.loc[0, "changed"]) is True
+    assert out.loc[1, "text"] == clean and bool(out.loc[1, "changed"]) is False
+
+
+def test_daily_counts_filled_zero_fills():
+    import numpy as np
+
+    from rustac_ray.stages.aggregates import daily_counts_filled
+
+    df = pd.DataFrame(
+        {
+            "collection": ["c"] * 3 + ["d"],
+            "datetime": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-04", "2024-02-01"]
+            ),
+            "image_id": ["a", "b", "e", "f"],
+        }
+    )
+    out = daily_counts_filled(rd.from_pandas(df)).to_pandas()
+    c = out[out["collection"] == "c"].sort_values("day")
+    assert len(c) == 4  # jan 1..4 inclusive, gaps zero-filled
+    assert c["n_scenes"].tolist() == [2, 0, 0, 1]
+    d = out[out["collection"] == "d"]
+    assert len(d) == 1 and d["n_scenes"].iloc[0] == 1
