@@ -377,6 +377,16 @@ def run_bench() -> dict:
                 concurrency=max(2, num_cpus // 2),
             ).count()
             timings["lm_score_200k"] = time.perf_counter() - t0
+            _ck("nearest_scene_1m")
+
+            # self-join kNN over the full 1M-row metadata table
+            from rustac_ray.stages.knn import nearest_neighbor_join
+
+            t0 = time.perf_counter()
+            nearest_neighbor_join(
+                bench_meta_ds(), res=10, concurrency=max(2, num_cpus // 3)
+            ).count()
+            timings["nearest_scene_1m"] = time.perf_counter() - t0
 
 
         except _BudgetExceeded:

@@ -401,61 +401,216 @@ def nearest_neighbor_join(
             }
         )
 
-    def per_cell(g: pd_.DataFrame) -> pd_.DataFrame:
-        # sort by id so argmin's first-minimum rule == smallest tied id
-        g = g.sort_values("image_id", kind="mergesort")
-        ax = g["cx"].to_numpy()
-        ay = g["cy"].to_numpy()
-        aid = g["image_id"].to_numpy()
-        hm = g["home"].to_numpy()
+    def _direct(ax, ay, hsel, cand, max_elems: int = 8_000_000):
+        """Chunked (H, C) nearest among ``cand`` rows for home rows
+        ``hsel`` (both index arrays into the cell arrays); self excluded.
+        Returns (best_global_idx, best_d2)."""
+        cx_ = ax[cand]
+        cy_ = ay[cand]
+        best = np.zeros(len(hsel), np.int64)
+        bd2 = np.zeros(len(hsel))
+        step = max(1, max_elems // max(len(cand), 1))
+        for s in range(0, len(hsel), step):
+            e = min(s + step, len(hsel))
+            hs = hsel[s:e]
+            dx = ax[hs][:, None] - cx_[None, :]
+            dy = ay[hs][:, None] - cy_[None, :]
+            d2 = dx * dx + dy * dy
+            d2[hs[:, None] == cand[None, :]] = np.inf  # self
+            bloc = np.argmin(d2, axis=1)
+            best[s:e] = cand[bloc]
+            bd2[s:e] = d2[np.arange(e - s), bloc]
+        return best, bd2
+
+    HOT = 4096  # rows per cell beyond which the local-grid path kicks in
+
+    def kernel(aid, ax, ay, hm, cell: int):
+        """One cell's NN candidates; input sorted by id so argmin's
+        first-minimum rule == smallest tied id. Returns result arrays.
+
+        Hot cells (planted dense scenes) would make the (H, A) matrix
+        quadratic in the cell population, so above ``HOT`` rows the cell
+        regrids LOCALLY (the same ghost-ring + certificate construction
+        one level down, 16×16 subcells); rows whose local certificate
+        fails re-run against the whole cell (chunked), and only rows the
+        CELL-level certificate can't prove escalate to the driver."""
         hidx = np.flatnonzero(hm)
-        if len(hidx) == 0 or len(g) < 2:
-            # no home rows, or a home row alone in its neighborhood
-            return pd_.DataFrame(
-                {
-                    "image_id": aid[hidx],
-                    "nn_id": np.full(len(hidx), "", object),
-                    "dist2": np.full(len(hidx), np.inf),
-                    "resolved": np.zeros(len(hidx), bool),
-                }
+        if len(hidx) == 0:
+            return (aid[hidx], aid[hidx], np.zeros(0), np.zeros(0, bool))
+        if len(aid) < 2:
+            return (
+                aid[hidx],
+                np.full(len(hidx), "", object),
+                np.full(len(hidx), np.inf),
+                np.zeros(len(hidx), bool),
             )
-        hx, hy = ax[hidx], ay[hidx]
-        dx = hx[:, None] - ax[None, :]
-        dy = hy[:, None] - ay[None, :]
-        d2 = dx * dx + dy * dy
-        d2[np.arange(len(hidx)), hidx] = np.inf  # self
-        best = np.argmin(d2, axis=1)
-        bd2 = d2[np.arange(len(hidx)), best]
-        # provable-global test: candidate within the ring-boundary radius
-        cell = int(g["cell"].iloc[0])
-        cx0 = -180.0 + (cell % (1 << res)) * dlon
-        cy0 = -90.0 + (cell // (1 << res)) * dlat
         ex = cell % (1 << res)
         ey = cell // (1 << res)
+        cx0 = -180.0 + ex * dlon
+        cy0 = -90.0 + ey * dlat
+        hx, hy = ax[hidx], ay[hidx]
+        # cell-level certificate radius (domain edges count as +inf)
         left = np.where(ex == 0, np.inf, hx - (cx0 - dlon))
         right = np.where(ex == (1 << res) - 1, np.inf, (cx0 + 2 * dlon) - hx)
         bot = np.where(ey == 0, np.inf, hy - (cy0 - dlat))
         top = np.where(ey == (1 << res) - 1, np.inf, (cy0 + 2 * dlat) - hy)
         bdist = np.minimum(np.minimum(left, right), np.minimum(bot, top))
-        return pd_.DataFrame(
+
+        if len(aid) <= HOT:
+            best, bd2 = _direct(ax, ay, hidx, np.arange(len(aid)))
+        else:
+            # local 16×16 regrid: bucket by CLIPPED coords (out-of-cell
+            # ghosts collapse into edge buckets, which over-includes
+            # candidates — safe) and solve each subcell against its ring
+            g = 16
+            bx = np.clip(((ax - cx0) / dlon * g).astype(np.int64), 0, g - 1)
+            by = np.clip(((ay - cy0) / dlat * g).astype(np.int64), 0, g - 1)
+            bucket = by * g + bx
+            order_b = np.argsort(bucket, kind="mergesort")
+            sb = bucket[order_b]
+            starts = np.searchsorted(sb, np.arange(g * g))
+            ends = np.searchsorted(sb, np.arange(g * g), side="right")
+            best = np.full(len(hidx), -1, np.int64)
+            bd2 = np.full(len(hidx), np.inf)
+            ok_local = np.zeros(len(hidx), bool)
+            hpos_of = np.full(len(aid), -1, np.int64)
+            hpos_of[hidx] = np.arange(len(hidx))
+            sdx, sdy = dlon / g, dlat / g
+            for byy in range(g):
+                for bxx in range(g):
+                    b = byy * g + bxx
+                    rows_b = order_b[starts[b]:ends[b]]
+                    hsel = rows_b[hm[rows_b]]
+                    if len(hsel) == 0:
+                        continue
+                    ring = []
+                    for dy2 in (-1, 0, 1):
+                        for dx2 in (-1, 0, 1):
+                            nx, ny = bxx + dx2, byy + dy2
+                            if 0 <= nx < g and 0 <= ny < g:
+                                nb = ny * g + nx
+                                ring.append(order_b[starts[nb]:ends[nb]])
+                    cand = np.concatenate(ring)
+                    if len(cand) < 2:
+                        continue
+                    bb, bb2 = _direct(ax, ay, hsel, np.sort(cand))
+                    hp = hpos_of[hsel]
+                    best[hp] = bb
+                    bd2[hp] = bb2
+                    # sub-certificate: distance to the subring boundary
+                    sx0 = cx0 + bxx * sdx
+                    sy0 = cy0 + byy * sdy
+                    sl = ax[hsel] - (sx0 - sdx)
+                    sr = (sx0 + 2 * sdx) - ax[hsel]
+                    sbm = ay[hsel] - (sy0 - sdy)
+                    st = (sy0 + 2 * sdy) - ay[hsel]
+                    sd = np.minimum(np.minimum(sl, sr), np.minimum(sbm, st))
+                    ok_local[hp] = np.isfinite(bb2) & (bb2 <= sd * sd)
+            # local-certificate failures: chunked pass vs the WHOLE cell
+            redo = np.flatnonzero(~ok_local)
+            if len(redo):
+                bb, bb2 = _direct(ax, ay, hidx[redo], np.arange(len(aid)))
+                best[redo] = bb
+                bd2[redo] = bb2
+        return (
+            aid[hidx],
+            aid[best],
+            bd2,
+            np.isfinite(bd2) & (bd2 <= bdist * bdist),
+        )
+
+    _RESULT_COLS = ("image_id", "nn_id", "dist2", "resolved",
+                    "raw_cell", "cx", "cy", "home")
+
+    def batch_proc(batch: pa.Table) -> pa.Table:
+        """Process whole cells found inside this SORTED batch; the batch's
+        first/last cell may continue in neighboring batches, so their raw
+        rows pass through (raw_cell >= 0) for the driver's boundary pass.
+        This replaces groupby().map_groups, whose fixed ~10ms/group cost
+        dominated at 30k cells (396s → ~20s at 1M rows)."""
+        out = {c: [] for c in _RESULT_COLS}
+        cells_np = batch["cell"].to_numpy()
+        n = len(cells_np)
+        if n == 0:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "nn_id": pa.array([], pa.string()),
+                    "dist2": pa.array([], pa.float64()),
+                    "resolved": pa.array([], pa.bool_()),
+                    "raw_cell": pa.array([], pa.int64()),
+                    "cx": pa.array([], pa.float64()),
+                    "cy": pa.array([], pa.float64()),
+                    "home": pa.array([], pa.bool_()),
+                }
+            )
+        aid = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        ax = batch["cx"].to_numpy()
+        ay = batch["cy"].to_numpy()
+        hm = batch["home"].to_numpy()
+        lo, hi = cells_np[0], cells_np[-1]
+        passthrough = (cells_np == lo) | (cells_np == hi)
+        out["image_id"].append(aid[passthrough])
+        out["nn_id"].append(np.full(int(passthrough.sum()), "", object))
+        out["dist2"].append(np.full(int(passthrough.sum()), np.inf))
+        out["resolved"].append(np.zeros(int(passthrough.sum()), bool))
+        out["raw_cell"].append(cells_np[passthrough])
+        out["cx"].append(ax[passthrough])
+        out["cy"].append(ay[passthrough])
+        out["home"].append(hm[passthrough])
+        inner = np.flatnonzero(~passthrough)
+        if len(inner):
+            ic = cells_np[inner]
+            starts = np.flatnonzero(np.concatenate([[True], ic[1:] != ic[:-1]]))
+            bounds = np.append(starts, len(ic))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rows = inner[s:e]
+                order = rows[np.argsort(aid[rows], kind="mergesort")]
+                rid, rnn, rd2, rok = kernel(
+                    aid[order], ax[order], ay[order], hm[order], int(ic[s])
+                )
+                out["image_id"].append(rid)
+                out["nn_id"].append(rnn)
+                out["dist2"].append(rd2)
+                out["resolved"].append(rok)
+                out["raw_cell"].append(np.full(len(rid), -1, np.int64))
+                out["cx"].append(np.zeros(len(rid)))
+                out["cy"].append(np.zeros(len(rid)))
+                out["home"].append(np.zeros(len(rid), bool))
+        return pa.table(
             {
-                "image_id": aid[hidx],
-                "nn_id": aid[best],
-                "dist2": bd2,
-                "resolved": np.isfinite(bd2) & (bd2 <= bdist * bdist),
+                "image_id": pa.array(np.concatenate(out["image_id"]).astype(object), pa.string()),
+                "nn_id": pa.array(np.concatenate(out["nn_id"]).astype(object), pa.string()),
+                "dist2": pa.array(np.concatenate(out["dist2"]), pa.float64()),
+                "resolved": pa.array(np.concatenate(out["resolved"]), pa.bool_()),
+                "raw_cell": pa.array(np.concatenate(out["raw_cell"]), pa.int64()),
+                "cx": pa.array(np.concatenate(out["cx"]), pa.float64()),
+                "cy": pa.array(np.concatenate(out["cy"]), pa.float64()),
+                "home": pa.array(np.concatenate(out["home"]), pa.bool_()),
             }
         )
 
     candidates = (
         images_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(per_cell, batch_format="pandas")
+        .sort("cell")
+        # large explicit batches: boundary (passthrough) cells are 2 per
+        # BATCH, so small default batches would send most rows to the
+        # driver pass (lesson 15 in NOTES.md)
+        .map_batches(batch_proc, batch_format="pyarrow", batch_size=262_144)
     )
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("GRAFT_NN_DEBUG") == "1"
+    _t0 = _time.perf_counter()
     parts = [
         b.to_pandas()
         for b in candidates.iter_batches(batch_format="pyarrow")
         if len(b)
     ]
+    if _dbg:
+        print(f"[nn] pipeline+gather {_time.perf_counter()-_t0:.2f}s "
+              f"rows={sum(len(p) for p in parts)}")
     import ray.data as rd
 
     if not parts:
@@ -469,7 +624,32 @@ def nearest_neighbor_join(
             )
         )
     df = pd_.concat(parts, ignore_index=True)
+    # boundary cells: straddle block edges, finished locally on the driver
+    # (≤ 2 cells per block — a tiny fraction of the corpus)
+    raw = df.loc[df["raw_cell"] >= 0]
+    done = [df.loc[df["raw_cell"] < 0, ["image_id", "nn_id", "dist2", "resolved"]]]
+    if len(raw):
+        for cell_v, g in raw.groupby("raw_cell", sort=False):
+            g = g.sort_values("image_id", kind="mergesort")
+            rid, rnn, rd2, rok = kernel(
+                g["image_id"].to_numpy(),
+                g["cx"].to_numpy(),
+                g["cy"].to_numpy(),
+                g["home"].to_numpy(),
+                int(cell_v),
+            )
+            done.append(
+                pd_.DataFrame(
+                    {"image_id": rid, "nn_id": rnn, "dist2": rd2, "resolved": rok}
+                )
+            )
+    df = pd_.concat(done, ignore_index=True)
     need = df.loc[~df["resolved"]]
+    if _dbg:
+        print(f"[nn] boundary cells={raw['raw_cell'].nunique() if len(raw) else 0} "
+              f"raw_rows={len(raw)} unresolved={len(need)} "
+              f"merge+boundary {_time.perf_counter()-_t0:.2f}s")
+        _t0 = _time.perf_counter()
     if len(need):
         # exact fallback for the provably-unresolved tail: brute force
         # against the (metadata-only) center table
@@ -517,4 +697,7 @@ def nearest_neighbor_join(
         )
     else:
         df = df[["image_id", "nn_id", "dist2"]]
-    return rd.from_pandas(df.sort_values("image_id", kind="mergesort").reset_index(drop=True))
+    out_df = df.sort_values("image_id", kind="mergesort").reset_index(drop=True)
+    if _dbg:
+        print(f"[nn] fallback+final-sort {_time.perf_counter()-_t0:.2f}s")
+    return rd.from_pandas(out_df)

@@ -545,3 +545,43 @@ def test_nearest_neighbor_join_sparse_fallback():
     assert out.loc["a", "nn_id"] == "b"
     assert out.loc["b", "nn_id"] == "a"
     assert out.loc["c", "nn_id"] == "b"
+
+
+def test_nearest_neighbor_hot_cell_matches_bruteforce():
+    """A dense cluster far beyond the HOT threshold: the local-regrid
+    path must agree with brute force exactly (incl. id tie-breaks)."""
+    import pandas as pd
+
+    from rustac_ray.stages.knn import nearest_neighbor_join
+
+    rng = np.random.default_rng(3)
+    n = 6000  # all in ONE res-6 cell -> hot path
+    cx = rng.uniform(-100.2, -100.0, n)
+    cy = rng.uniform(40.0, 40.2, n)
+    resdeg = 0.0001
+    df = pd.DataFrame(
+        {
+            "image_id": [f"h{i:05d}" for i in range(n)],
+            "w": np.full(n, 2, "int32"),
+            "h": np.full(n, 2, "int32"),
+            "transform": [
+                [resdeg, 0.0, cx[i] - resdeg, 0.0, -resdeg, cy[i] + resdeg]
+                for i in range(n)
+            ],
+        }
+    )
+    got = (
+        nearest_neighbor_join(rd.from_pandas(df), res=6, concurrency=2)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    # brute force on the true centers
+    ids = df["image_id"].to_numpy()
+    for probe in rng.choice(n, 40, replace=False):
+        d2 = (cx - cx[probe]) ** 2 + (cy - cy[probe]) ** 2
+        d2[probe] = np.inf
+        b = int(np.argmin(d2))
+        row = got.loc[got["image_id"] == ids[probe]].iloc[0]
+        assert row["nn_id"] == ids[b], (probe, row["nn_id"], ids[b])
+        assert abs(row["dist2"] - d2[b]) < 1e-15
