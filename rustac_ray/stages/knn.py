@@ -601,28 +601,39 @@ def nearest_neighbor_join(
     import os as _os
     import time as _time
 
+    import pyarrow.compute as pc
+
     _dbg = _os.environ.get("GRAFT_NN_DEBUG") == "1"
     _t0 = _time.perf_counter()
-    parts = [
-        b.to_pandas()
-        for b in candidates.iter_batches(batch_format="pyarrow")
-        if len(b)
-    ]
-    if _dbg:
-        print(f"[nn] pipeline+gather {_time.perf_counter()-_t0:.2f}s "
-              f"rows={sum(len(p) for p in parts)}")
     import ray.data as rd
 
-    if not parts:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "image_id": pa.array([], pa.string()),
-                    "nn_id": pa.array([], pa.string()),
-                    "dist2": pa.array([], pa.float64()),
-                }
-            )
+    # materialize ONCE (result-sized, ~1.1 rows/input): two consumers
+    # follow — the distributed resolved stream, and the tiny driver-side
+    # boundary/unresolved gather — and must not re-run the pipeline
+    cand_mat = candidates.materialize()
+    if _dbg:
+        print(f"[nn] pipeline {_time.perf_counter()-_t0:.2f}s")
+        _t0 = _time.perf_counter()
+
+    def keep_final(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["raw_cell"], -1), t["resolved"])
+        return t.filter(m).select(["image_id", "nn_id", "dist2"])
+
+    resolved_ds = cand_mat.map_batches(keep_final, batch_format="pyarrow")
+
+    def keep_driver(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.or_(pc.greater_equal(t["raw_cell"], 0), pc.invert(t["resolved"]))
         )
+
+    parts = [
+        b.to_pandas()
+        for b in cand_mat.map_batches(keep_driver, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return resolved_ds
     df = pd_.concat(parts, ignore_index=True)
     # boundary cells: straddle block edges, finished locally on the driver
     # (≤ 2 cells per block — a tiny fraction of the corpus)
@@ -648,7 +659,7 @@ def nearest_neighbor_join(
     if _dbg:
         print(f"[nn] boundary cells={raw['raw_cell'].nunique() if len(raw) else 0} "
               f"raw_rows={len(raw)} unresolved={len(need)} "
-              f"merge+boundary {_time.perf_counter()-_t0:.2f}s")
+              f"gather+boundary {_time.perf_counter()-_t0:.2f}s")
         _t0 = _time.perf_counter()
     if len(need):
         # exact fallback for the provably-unresolved tail: brute force
@@ -697,7 +708,10 @@ def nearest_neighbor_join(
         )
     else:
         df = df[["image_id", "nn_id", "dist2"]]
-    out_df = df.sort_values("image_id", kind="mergesort").reset_index(drop=True)
     if _dbg:
-        print(f"[nn] fallback+final-sort {_time.perf_counter()-_t0:.2f}s")
-    return rd.from_pandas(out_df)
+        print(f"[nn] fallback {_time.perf_counter()-_t0:.2f}s")
+    # output order is unspecified (a distributed stream union'd with the
+    # driver-fixed boundary slice); sort downstream if you need one
+    if len(df) == 0:
+        return resolved_ds
+    return resolved_ds.union(rd.from_pandas(df.reset_index(drop=True)))
