@@ -342,6 +342,100 @@ class ShardedKNNIndex:
         return ids[top], d[top]
 
 
+_TAIL_PARTIAL_SCHEMA = pa.schema(
+    [("pi", pa.int64()), ("nn_id", pa.string()), ("dist2", pa.float64())]
+)
+
+
+def _resolve_tail_broadcast(
+    images_ds: "ray.data.Dataset",
+    probe_ids: np.ndarray,
+    probe_x: np.ndarray,
+    probe_y: np.ndarray,
+    *,
+    footprints_derived: bool = False,
+    max_elems: int = 8_000_000,
+    chunk: int = 500_000,
+):
+    """Exact NN for the (rare) unresolved probes WITHOUT gathering the
+    corpus to the driver: the probe set is broadcast once (``ray.put``,
+    read per task) and one streaming pass over the corpus metadata emits
+    each batch's best candidate per probe — only P × num_blocks tiny
+    partial rows return, never the centers. Tie-break matches the cell
+    kernel: candidates pre-sorted by id inside each batch (argmin's
+    first-minimum = smallest tied id), and the driver merge re-sorts by
+    (dist2, nn_id). Probe sets beyond ``chunk`` run in multiple passes so
+    the broadcast object and the (P, N) distance tiles stay bounded.
+
+    Returns a pandas DataFrame (image_id, nn_id, dist2), one row/probe.
+    """
+    import pandas as pd_
+
+    out_frames = []
+    for s0 in range(0, len(probe_ids), chunk):
+        pid = np.asarray(probe_ids[s0 : s0 + chunk], dtype=object)
+        px = np.asarray(probe_x[s0 : s0 + chunk], dtype=np.float64)
+        py = np.asarray(probe_y[s0 : s0 + chunk], dtype=np.float64)
+        probes_ref = ray.put((pid, px, py))
+
+        def partial(batch: pa.Table, _ref=probes_ref) -> pa.Table:
+            qid, qx, qy = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            if not footprints_derived:
+                batch = derive_footprints(batch)
+            n = len(batch)
+            if n == 0:
+                return _TAIL_PARTIAL_SCHEMA.empty_table()
+            cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+            cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+            ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+            order = np.argsort(ids, kind="mergesort")
+            ids, cx, cy = ids[order], cx[order], cy[order]
+            P = len(qid)
+            # self-exclusion: each probe id occurs at most once per batch
+            pos = np.searchsorted(ids, qid)
+            has_self = (pos < n) & (ids[np.minimum(pos, n - 1)] == qid)
+            best = np.zeros(P, np.int64)
+            bd2 = np.zeros(P)
+            step = max(1, max_elems // max(n, 1))
+            for a in range(0, P, step):
+                b = min(a + step, P)
+                dx = qx[a:b, None] - cx[None, :]
+                dy = qy[a:b, None] - cy[None, :]
+                d2 = dx * dx + dy * dy
+                selfs = np.flatnonzero(has_self[a:b])
+                d2[selfs, pos[a:b][selfs]] = np.inf
+                loc = np.argmin(d2, axis=1)
+                best[a:b] = loc
+                bd2[a:b] = d2[np.arange(b - a), loc]
+            return pa.table(
+                {
+                    "pi": pa.array(np.arange(P, dtype=np.int64), pa.int64()),
+                    "nn_id": pa.array(ids[best].astype(object), pa.string()),
+                    "dist2": pa.array(bd2, pa.float64()),
+                }
+            )
+
+        parts = [
+            b.to_pandas()
+            for b in images_ds.map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        pp = pd_.concat(parts, ignore_index=True)
+        pp = pp.sort_values(["pi", "dist2", "nn_id"], kind="mergesort")
+        top = pp.drop_duplicates("pi", keep="first")
+        out_frames.append(
+            pd_.DataFrame(
+                {
+                    "image_id": pid[top["pi"].to_numpy()],
+                    "nn_id": top["nn_id"].to_numpy(object),
+                    "dist2": top["dist2"].to_numpy(np.float64),
+                }
+            )
+        )
+    return pd_.concat(out_frames, ignore_index=True)
+
+
 def nearest_neighbor_join(
     images_ds: "ray.data.Dataset",
     *,
@@ -361,9 +455,10 @@ def nearest_neighbor_join(
     is provably global iff its distance ≤ the row's distance to the
     ring boundary (rectangular cells: per-side check, domain edges count
     as +inf); the rare unresolved rows — points whose neighborhood is
-    locally empty, vanishing as density grows — fall back to one exact
-    brute-force pass against the gathered centers (metadata-only;
-    at cluster scale route them through ShardedKNNIndex instead).
+    locally empty, vanishing as density grows — are broadcast as probes
+    into one exact streaming partial-NN pass over the corpus metadata
+    (``_resolve_tail_broadcast``): only tiny per-block partials return to
+    the driver, never the centers themselves.
     """
     import pandas as pd_
 
@@ -436,13 +531,16 @@ def nearest_neighbor_join(
         CELL-level certificate can't prove escalate to the driver."""
         hidx = np.flatnonzero(hm)
         if len(hidx) == 0:
-            return (aid[hidx], aid[hidx], np.zeros(0), np.zeros(0, bool))
+            return (aid[hidx], aid[hidx], np.zeros(0), np.zeros(0, bool),
+                    np.zeros(0), np.zeros(0))
         if len(aid) < 2:
             return (
                 aid[hidx],
                 np.full(len(hidx), "", object),
                 np.full(len(hidx), np.inf),
                 np.zeros(len(hidx), bool),
+                ax[hidx],
+                ay[hidx],
             )
         ex = cell % (1 << res)
         ey = cell // (1 << res)
@@ -517,6 +615,8 @@ def nearest_neighbor_join(
             aid[best],
             bd2,
             np.isfinite(bd2) & (bd2 <= bdist * bdist),
+            hx,
+            hy,
         )
 
     _RESULT_COLS = ("image_id", "nn_id", "dist2", "resolved",
@@ -548,8 +648,17 @@ def nearest_neighbor_join(
         ax = batch["cx"].to_numpy()
         ay = batch["cy"].to_numpy()
         hm = batch["home"].to_numpy()
-        lo, hi = cells_np[0], cells_np[-1]
-        passthrough = (cells_np == lo) | (cells_np == hi)
+        if np.any(cells_np[1:] < cells_np[:-1]):
+            # Backstop: the executor handed us non-adjacent sorted blocks
+            # (shouldn't happen with preserve_order=True set below, but
+            # out-of-order bundling would silently break the interior-cell
+            # completeness assumption). Route the WHOLE batch to the
+            # driver boundary pass, which groups by raw_cell across
+            # batches — correct, just slower.
+            passthrough = np.ones(n, bool)
+        else:
+            lo, hi = cells_np[0], cells_np[-1]
+            passthrough = (cells_np == lo) | (cells_np == hi)
         out["image_id"].append(aid[passthrough])
         out["nn_id"].append(np.full(int(passthrough.sum()), "", object))
         out["dist2"].append(np.full(int(passthrough.sum()), np.inf))
@@ -566,7 +675,7 @@ def nearest_neighbor_join(
             for s, e in zip(bounds[:-1], bounds[1:]):
                 rows = inner[s:e]
                 order = rows[np.argsort(aid[rows], kind="mergesort")]
-                rid, rnn, rd2, rok = kernel(
+                rid, rnn, rd2, rok, rhx, rhy = kernel(
                     aid[order], ax[order], ay[order], hm[order], int(ic[s])
                 )
                 out["image_id"].append(rid)
@@ -574,8 +683,10 @@ def nearest_neighbor_join(
                 out["dist2"].append(rd2)
                 out["resolved"].append(rok)
                 out["raw_cell"].append(np.full(len(rid), -1, np.int64))
-                out["cx"].append(np.zeros(len(rid)))
-                out["cy"].append(np.zeros(len(rid)))
+                # real home coords: the unresolved tail re-probes with
+                # these — the driver never needs the corpus centers
+                out["cx"].append(rhx)
+                out["cy"].append(rhy)
                 out["home"].append(np.zeros(len(rid), bool))
         return pa.table(
             {
@@ -609,8 +720,17 @@ def nearest_neighbor_join(
 
     # materialize ONCE (result-sized, ~1.1 rows/input): two consumers
     # follow — the distributed resolved stream, and the tiny driver-side
-    # boundary/unresolved gather — and must not re-run the pipeline
-    cand_mat = candidates.materialize()
+    # boundary/unresolved gather — and must not re-run the pipeline.
+    # preserve_order is REQUIRED here: batch_proc's interior-cell
+    # completeness proof assumes each map task bundles ADJACENT blocks of
+    # the sorted stream (same pattern as shuffle.py / export.py).
+    _ctx = rd.DataContext.get_current()
+    _prev_po = _ctx.execution_options.preserve_order
+    _ctx.execution_options.preserve_order = True
+    try:
+        cand_mat = candidates.materialize()
+    finally:
+        _ctx.execution_options.preserve_order = _prev_po
     if _dbg:
         print(f"[nn] pipeline {_time.perf_counter()-_t0:.2f}s")
         _t0 = _time.perf_counter()
@@ -638,11 +758,13 @@ def nearest_neighbor_join(
     # boundary cells: straddle block edges, finished locally on the driver
     # (≤ 2 cells per block — a tiny fraction of the corpus)
     raw = df.loc[df["raw_cell"] >= 0]
-    done = [df.loc[df["raw_cell"] < 0, ["image_id", "nn_id", "dist2", "resolved"]]]
+    done = [
+        df.loc[df["raw_cell"] < 0, ["image_id", "nn_id", "dist2", "resolved", "cx", "cy"]]
+    ]
     if len(raw):
         for cell_v, g in raw.groupby("raw_cell", sort=False):
             g = g.sort_values("image_id", kind="mergesort")
-            rid, rnn, rd2, rok = kernel(
+            rid, rnn, rd2, rok, rhx, rhy = kernel(
                 g["image_id"].to_numpy(),
                 g["cx"].to_numpy(),
                 g["cy"].to_numpy(),
@@ -651,7 +773,8 @@ def nearest_neighbor_join(
             )
             done.append(
                 pd_.DataFrame(
-                    {"image_id": rid, "nn_id": rnn, "dist2": rd2, "resolved": rok}
+                    {"image_id": rid, "nn_id": rnn, "dist2": rd2, "resolved": rok,
+                     "cx": rhx, "cy": rhy}
                 )
             )
     df = pd_.concat(done, ignore_index=True)
@@ -662,48 +785,19 @@ def nearest_neighbor_join(
               f"gather+boundary {_time.perf_counter()-_t0:.2f}s")
         _t0 = _time.perf_counter()
     if len(need):
-        # exact fallback for the provably-unresolved tail: brute force
-        # against the (metadata-only) center table
-        def centers(batch: pa.Table) -> pa.Table:
-            if not footprints_derived:
-                batch = derive_footprints(batch)
-            return pa.table(
-                {
-                    "image_id": batch["image_id"],
-                    "cx": pa.array(
-                        (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
-                    ),
-                    "cy": pa.array(
-                        (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
-                    ),
-                }
-            )
-
-        allc = pd_.concat(
-            [
-                b.to_pandas()
-                for b in images_ds.map_batches(centers, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
-                if len(b)
-            ],
-            ignore_index=True,
-        ).sort_values("image_id", kind="mergesort")
-        ax = allc["cx"].to_numpy()
-        ay = allc["cy"].to_numpy()
-        aid = allc["image_id"].to_numpy()
-        pos = {i: j for j, i in enumerate(aid)}
-        fixed = []
-        for r in need.itertuples():
-            j = pos[r.image_id]
-            d2 = (ax - ax[j]) ** 2 + (ay - ay[j]) ** 2
-            d2[j] = np.inf
-            b = int(np.argmin(d2))
-            fixed.append((r.image_id, aid[b], d2[b]))
+        # exact NN for the provably-unresolved tail: broadcast the probes
+        # and stream ONE partial-NN pass over the corpus — the corpus
+        # centers never reach the driver (r02 verdict: the old gather was
+        # the one scale-killer branch in this join)
+        fixed = _resolve_tail_broadcast(
+            images_ds,
+            need["image_id"].to_numpy(),
+            need["cx"].to_numpy(),
+            need["cy"].to_numpy(),
+            footprints_derived=footprints_derived,
+        )
         df = pd_.concat(
-            [
-                df.loc[df["resolved"], ["image_id", "nn_id", "dist2"]],
-                pd_.DataFrame(fixed, columns=["image_id", "nn_id", "dist2"]),
-            ],
+            [df.loc[df["resolved"], ["image_id", "nn_id", "dist2"]], fixed],
             ignore_index=True,
         )
     else:
@@ -714,4 +808,11 @@ def nearest_neighbor_join(
     # driver-fixed boundary slice); sort downstream if you need one
     if len(df) == 0:
         return resolved_ds
-    return resolved_ds.union(rd.from_pandas(df.reset_index(drop=True)))
+    tail = pa.table(
+        {
+            "image_id": pa.array(df["image_id"].to_numpy(object), pa.string()),
+            "nn_id": pa.array(df["nn_id"].to_numpy(object), pa.string()),
+            "dist2": pa.array(df["dist2"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+    return resolved_ds.union(rd.from_arrow(tail))

@@ -269,6 +269,22 @@ _EMPTY_PAIRS = pa.table(
     {"image_id": pa.array([], pa.string()), "query_id": pa.array([], pa.string())}
 )
 
+# Per-WORKER-PROCESS prepared-geometry cache for the task-pool hash path.
+# Task functions can't hold actor state, but Ray reuses worker processes
+# across tasks, so a module-level cache amortizes GEOS preparation across
+# every batch a worker sees (the broadcast path caches per actor instead).
+_PREP_CACHE: dict[bytes, "PreparedGeometry"] = {}
+_PREP_CACHE_CAP = 8192
+
+
+def _prepared_for(wkb: bytes) -> "PreparedGeometry":
+    pg = _PREP_CACHE.get(wkb)
+    if pg is None:
+        if len(_PREP_CACHE) >= _PREP_CACHE_CAP:
+            _PREP_CACHE.clear()
+        pg = _PREP_CACHE[wkb] = PreparedGeometry(wkb)
+    return pg
+
 _EMPTY_COUNTS = pa.table(
     {"image_id": pa.array([], pa.string()), "n_matches": pa.array([], pa.int64())}
 )
@@ -545,7 +561,7 @@ def partitioned_spatial_join(
         keep = np.zeros(len(qi), dtype=bool)
         for q in np.unique(qi):
             m = qi == q
-            pg = PreparedGeometry(bytes(q_geoms[q]))
+            pg = _prepared_for(bytes(q_geoms[q]))
             keep[m] = pg.intersects_quads(corners[ri[m]])
         qi, ri = qi[keep], ri[keep]
         if len(qi) == 0:
@@ -621,7 +637,7 @@ def hash_spatial_join(
     def exact(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return _EMPTY_PAIRS if self.emit == "pairs" else _EMPTY_COUNTS
+            return _EMPTY_PAIRS
         xmin = batch["fp_xmin"].to_numpy()
         ymin = batch["fp_ymin"].to_numpy()
         xmax = batch["fp_xmax"].to_numpy()
@@ -654,11 +670,17 @@ def hash_spatial_join(
             by_geom.setdefault(bytes(g), []).append(i)
         for g, rows in by_geom.items():
             r = np.asarray(rows, dtype=np.int64)
-            keep[r] = PreparedGeometry(g).intersects_quads(corners[r])
+            keep[r] = _prepared_for(g).intersects_quads(corners[r])
         out = sub.filter(pa.array(keep))
         return out.select(["image_id", "query_id"])
 
-    return joined.map_batches(exact, batch_format="pyarrow")
+    import ray.data as rd
+
+    # seed a 0-row pair-schema block so a no-match join still yields a
+    # dataset with the (image_id, query_id) schema instead of zero blocks
+    return joined.map_batches(exact, batch_format="pyarrow").union(
+        rd.from_arrow(_EMPTY_PAIRS)
+    )
 
 
 # ---------------------------------------------------- within-distance join --

@@ -585,3 +585,77 @@ def test_nearest_neighbor_hot_cell_matches_bruteforce():
         row = got.loc[got["image_id"] == ids[probe]].iloc[0]
         assert row["nn_id"] == ids[b], (probe, row["nn_id"], ids[b])
         assert abs(row["dist2"] - d2[b]) < 1e-15
+
+
+def test_join_strategies_handle_empty_blocks(fixtures_dir, expected_pairs):
+    """All three strategies must survive 0-row input blocks (the r02
+    verdict found a NameError in hash_spatial_join's empty path). The
+    repartition plants empty blocks; a single tiny query also leaves most
+    hash partitions empty."""
+    import pyarrow.parquet as _pq
+
+    qt = _pq.read_table(f"{fixtures_dir}/query_geoms.parquet")
+    imgs = _images_ds(fixtures_dir).repartition(40)  # > row groups -> empties
+    qds = rd.read_parquet(f"{fixtures_dir}/query_geoms.parquet").repartition(16)
+
+    got_b = spatial_join.broadcast_spatial_join(imgs, qt, concurrency=2).to_pandas()
+    assert set(zip(got_b["image_id"], got_b["query_id"])) == expected_pairs
+
+    got_p = spatial_join.partitioned_spatial_join(imgs, qds).to_pandas()
+    assert set(zip(got_p["image_id"], got_p["query_id"])) == expected_pairs
+
+    got_h = spatial_join.hash_spatial_join(imgs, qds, num_partitions=16).to_pandas()
+    assert set(zip(got_h["image_id"], got_h["query_id"])) == expected_pairs
+
+    # a lone far-away query: every hash partition's exact phase sees only
+    # empty or non-matching batches and must emit the empty pair schema
+    import pyarrow as pa
+
+    from rustac_ray.geo.wkb import encode_geometry
+
+    lone = pa.table(
+        {
+            "query_id": pa.array(["nowhere"], pa.string()),
+            "geometry": pa.array(
+                [encode_geometry({
+                    "type": "Polygon",
+                    "coordinates": [[(179.0, 89.0), (179.2, 89.0), (179.2, 89.2),
+                                     (179.0, 89.2), (179.0, 89.0)]],
+                })],
+                pa.binary(),
+            ),
+        }
+    )
+    got_none = spatial_join.hash_spatial_join(
+        imgs, rd.from_arrow(lone), num_partitions=8
+    )
+    # schema asserted at the Dataset level: Ray's to_pandas drops columns
+    # for ANY 0-row dataset, so the pandas frame can't carry it
+    assert got_none.schema().names == ["image_id", "query_id"]
+    assert got_none.count() == 0
+
+
+def test_resolve_tail_broadcast_matches_bruteforce(fixtures_dir, corpus):
+    """The unresolved-tail resolver: exact NN per probe without gathering
+    the corpus (only per-block partials reach the driver), id tie-breaks
+    identical to the cell kernel."""
+    from rustac_ray.stages.knn import _resolve_tail_broadcast
+
+    _, corners, ids = corpus
+    cx = (corners[:, :, 0].min(1) + corners[:, :, 0].max(1)) / 2
+    cy = (corners[:, :, 1].min(1) + corners[:, :, 1].max(1)) / 2
+    rng = np.random.default_rng(11)
+    probes = rng.choice(len(ids), 25, replace=False)
+    got = _resolve_tail_broadcast(
+        _images_ds(fixtures_dir).repartition(8),
+        ids[probes], cx[probes], cy[probes],
+        chunk=10,  # force multi-chunk merging
+    ).set_index("image_id")
+    order = np.argsort(ids, kind="mergesort")
+    sx, sy, sid = cx[order], cy[order], ids[order]
+    for p in probes:
+        d2 = (sx - cx[p]) ** 2 + (sy - cy[p]) ** 2
+        d2[sid == ids[p]] = np.inf
+        b = int(np.argmin(d2))
+        assert got.loc[ids[p], "nn_id"] == sid[b]
+        assert abs(got.loc[ids[p], "dist2"] - d2[b]) < 1e-15
