@@ -22,6 +22,10 @@ __all__ = ["collection_extents", "coverage_area", "scene_gaps", "rolling_window_
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
+# strip id reserved for coverage_area's per-batch count-marker rows; real
+# strip indices are bounded by ±(max |lon| / strip_deg), far from this
+_COUNT_STRIP = -(2**62)
+
 
 def _partial_extents(batch: pa.Table) -> pa.Table:
     bbox = batch["bbox"]
@@ -137,7 +141,8 @@ def global_extent(ds) -> dict:
     }
 
 
-def coverage_area(ds, *, group_col: str = "collection", quantum: float = 1e-6):
+def coverage_area(ds, *, group_col: str = "collection", quantum: float = 1e-6,
+                  strip_deg: float = 5.0):
     """Per-group dissolve: exact union area of footprint boxes, in integer
     ``quantum``-degree cells (µdeg² by default).
 
@@ -148,54 +153,104 @@ def coverage_area(ds, *, group_col: str = "collection", quantum: float = 1e-6):
     (union cells, sum of individual box cells, image count): order-
     independent exact, no float summation anywhere.
 
-    Scale shape: the per-batch partial ships 4 int64s per image (the
-    quantized box), never pixels or payloads; the union itself runs per
-    group in ``map_groups`` as a 2-D difference-array + cumsum over the
-    coordinate-compressed grid — O(n log n + cells), not O(n²). The
-    shuffle therefore moves metadata only; group cardinality is the
-    collection count. (At petabyte image counts, pre-union per spatial
-    tile before the per-collection pass — same operator, two levels.)
+    Scale shape — two levels, no whole-group task (r02 verdict: a single
+    ``map_groups`` per collection is the skewed-key straggler): boxes are
+    CLIPPED to disjoint x-strips of ``strip_deg`` degrees inside the
+    per-batch partial, the exact union runs per (group, strip) — strips
+    are disjoint in x, so per-strip unions ADD — and a tiny driver merge
+    sums the O(groups × strips) strip rows. A 99%-of-rows collection is
+    split into ~360/strip_deg independent tasks; shrink ``strip_deg`` to
+    split hotter. The per-strip union is the 2-D difference-array +
+    cumsum over the coordinate-compressed grid — O(n log n + cells), not
+    O(n²) — and ships 4 int64s per clipped box, never pixels.
     """
     import ray.data as rd
 
     from .footprint import derive_footprints
 
     q = float(quantum)
+    strip_cells = max(1, int(round(strip_deg / q)))
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = derive_footprints(batch)
+        grp = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        x0 = np.floor(batch["fp_xmin"].to_numpy() / q).astype(np.int64)
+        y0 = np.floor(batch["fp_ymin"].to_numpy() / q).astype(np.int64)
+        x1 = np.floor(batch["fp_xmax"].to_numpy() / q).astype(np.int64)
+        y1 = np.floor(batch["fp_ymax"].to_numpy() / q).astype(np.int64)
+        # degenerate (zero-cell) boxes contribute nothing to either sum,
+        # but DO count toward n_images (strip == -1 marker rows)
+        keep = np.flatnonzero((x1 > x0) & (y1 > y0))
+        s0 = x0[keep] // strip_cells
+        s1 = (x1[keep] - 1) // strip_cells
+        spans = (s1 - s0 + 1).astype(np.int64)
+        rep = np.repeat(keep, spans)
+        cum = np.concatenate([[0], np.cumsum(spans)[:-1]])
+        strip = s0[np.repeat(np.arange(len(keep)), spans)] + (
+            np.arange(int(spans.sum())) - np.repeat(cum, spans)
+        )
+        cg, cn = np.unique(grp, return_counts=True)
         return pa.table(
             {
-                group_col: batch[group_col],
-                "x0": pa.array(np.floor(batch["fp_xmin"].to_numpy() / q).astype(np.int64)),
-                "y0": pa.array(np.floor(batch["fp_ymin"].to_numpy() / q).astype(np.int64)),
-                "x1": pa.array(np.floor(batch["fp_xmax"].to_numpy() / q).astype(np.int64)),
-                "y1": pa.array(np.floor(batch["fp_ymax"].to_numpy() / q).astype(np.int64)),
+                group_col: pa.array(
+                    np.concatenate([grp[rep], cg]), pa.string()
+                ),
+                "strip": pa.array(
+                    np.concatenate([strip, np.full(len(cg), _COUNT_STRIP, np.int64)]),
+                    pa.int64(),
+                ),
+                "x0": pa.array(
+                    np.concatenate(
+                        [np.maximum(x0[rep], strip * strip_cells), cn.astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "y0": pa.array(
+                    np.concatenate([y0[rep], np.zeros(len(cg), np.int64)]), pa.int64()
+                ),
+                "x1": pa.array(
+                    np.concatenate(
+                        [np.minimum(x1[rep], (strip + 1) * strip_cells),
+                         np.zeros(len(cg), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "y1": pa.array(
+                    np.concatenate([y1[rep], np.zeros(len(cg), np.int64)]), pa.int64()
+                ),
             }
         )
 
     boxes = ds.map_batches(partial, batch_format="pyarrow")
 
-    def union_area(g: pd.DataFrame) -> pd.DataFrame:
+    def strip_union(g: pd.DataFrame) -> pd.DataFrame:
+        gv = g[group_col].iloc[0]
+        if int(g["strip"].iloc[0]) == _COUNT_STRIP:
+            # count-marker group: x0 carries the per-batch row count
+            return pd.DataFrame(
+                {
+                    group_col: [gv],
+                    "n_images": np.array([g["x0"].sum()], np.int64),
+                    "union_cells": np.array([0], np.int64),
+                    "sum_box_cells": np.array([0], np.int64),
+                }
+            )
         x0 = g["x0"].to_numpy()
         y0 = g["y0"].to_numpy()
         x1 = g["x1"].to_numpy()
         y1 = g["y1"].to_numpy()
-        # degenerate (zero-cell) boxes contribute nothing to either sum
-        keep = (x1 > x0) & (y1 > y0)
-        box_cells = (x1 - x0) * (y1 - y0)
-        sum_cells = int(box_cells[keep].sum())
-        xs = np.unique(np.concatenate([x0[keep], x1[keep]]))
-        ys = np.unique(np.concatenate([y0[keep], y1[keep]]))
+        sum_cells = int(((x1 - x0) * (y1 - y0)).sum())
+        xs = np.unique(np.concatenate([x0, x1]))
+        ys = np.unique(np.concatenate([y0, y1]))
         union = 0
         if len(xs) > 1 and len(ys) > 1:
             # 2-D difference array over the compressed grid, then cumsum →
             # coverage counts; union = Σ cell areas with count > 0
             d = np.zeros((len(ys), len(xs)), np.int32)
-            xi0 = np.searchsorted(xs, x0[keep])
-            xi1 = np.searchsorted(xs, x1[keep])
-            yi0 = np.searchsorted(ys, y0[keep])
-            yi1 = np.searchsorted(ys, y1[keep])
+            xi0 = np.searchsorted(xs, x0)
+            xi1 = np.searchsorted(xs, x1)
+            yi0 = np.searchsorted(ys, y0)
+            yi1 = np.searchsorted(ys, y1)
             np.add.at(d, (yi0, xi0), 1)
             np.add.at(d, (yi0, xi1), -1)
             np.add.at(d, (yi1, xi0), -1)
@@ -205,49 +260,144 @@ def coverage_area(ds, *, group_col: str = "collection", quantum: float = 1e-6):
             union = int(cell_area[cov].sum())
         return pd.DataFrame(
             {
-                group_col: [g[group_col].iloc[0]],
-                "n_images": np.array([len(g)], np.int64),
+                group_col: [gv],
+                "n_images": np.array([0], np.int64),
                 "union_cells": np.array([union], np.int64),
                 "sum_box_cells": np.array([sum_cells], np.int64),
             }
         )
 
-    return boxes.groupby(group_col).map_groups(union_area, batch_format="pandas")
+    strips = boxes.groupby([group_col, "strip"]).map_groups(
+        strip_union, batch_format="pandas"
+    )
+    merged = (
+        pd.concat(
+            [b.to_pandas() for b in strips.iter_batches(batch_format="pyarrow")
+             if len(b)],
+            ignore_index=True,
+        )
+        .groupby(group_col, sort=True)[["n_images", "union_cells", "sum_box_cells"]]
+        .sum()
+        .reset_index()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(merged[group_col].to_numpy(object), pa.string()),
+                "n_images": pa.array(merged["n_images"].to_numpy(np.int64), pa.int64()),
+                "union_cells": pa.array(
+                    merged["union_cells"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_box_cells": pa.array(
+                    merged["sum_box_cells"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+    )
 
 
 def scene_gaps(ds, *, group_col: str = "collection", ts_col: str = "datetime",
                id_col: str = "image_id"):
     """Per-group temporal gap analysis: the LAG-window rollup (max/min gap
-    between consecutive scene timestamps, tie-ordered by id) — revisit
-    cadence per collection, the standard acquisition-QA query.
+    between consecutive scene timestamps) — revisit cadence per
+    collection, the standard acquisition-QA query.
 
-    Shuffle ships only (group, ts, id) triples; the in-group sort runs on
-    int64 epoch-ms inside ``map_groups``. All outputs are int64 (exact).
-    At billion-scene groups, pre-sort partials per batch and merge gap
-    candidates instead (gaps can only occur at batch seams after a
-    range partition by ts — same two-level trick as coverage_area).
+    Two-level seam merge, NOT a per-key ``map_groups`` (r02 verdict: one
+    task holding a whole collection is the skewed-key straggler at 100×):
+    sort by (group, ts) range-partitions the pairs, each map task folds
+    the contiguous runs it sees into ONE mergeable partial per
+    (batch, group) — (n, first, last, max_gap, min_gap) — and the driver
+    merges only the O(batches × groups-per-batch) seam rows, where the
+    seam gap is ``next.first − prev.last``. A 99%-of-rows group spreads
+    across every range partition. All gaps are int64 epoch-ms (exact);
+    gaps are diffs of the ts-sorted sequence, so the id tie-break in the
+    SQL twin's ORDER BY (ts, id) cannot change them.
     """
-    import ray.data as rd  # noqa: F401  (documented alternative path)
+    import ray.data as rd
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
-        ids = g[id_col].to_numpy()
-        order = np.lexsort((ids, ts))
-        d = np.diff(ts[order])
-        return pd.DataFrame(
+    from .seam import check_sorted_batch, contiguous_run_bounds, preserve_order_execution
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        return pa.table({"g": batch[group_col], "t": pa.array(ts, pa.int64())})
+
+    _EMPTY = pa.schema(
+        [("g", pa.string()), ("n", pa.int64()), ("first", pa.int64()),
+         ("last", pa.int64()), ("maxg", pa.int64()), ("ming", pa.int64())]
+    ).empty_table()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return _EMPTY
+        g = np.asarray(batch["g"].to_pylist(), dtype=object)
+        t = batch["t"].to_numpy()
+        if not check_sorted_batch(g, t):
+            raise RuntimeError("scene_gaps: batch not contiguous-sorted "
+                               "(preserve_order violated)")
+        bounds = contiguous_run_bounds(g)
+        rows = {k: [] for k in ("g", "n", "first", "last", "maxg", "ming")}
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            tt = t[s0:e0]
+            d = np.diff(tt)
+            rows["g"].append(g[s0])
+            rows["n"].append(e0 - s0)
+            rows["first"].append(tt[0])
+            rows["last"].append(tt[-1])
+            rows["maxg"].append(int(d.max()) if len(d) else -1)
+            rows["ming"].append(int(d.min()) if len(d) else -1)
+        return pa.table(
             {
-                group_col: [g[group_col].iloc[0]],
-                "n_scenes": np.array([len(g)], np.int64),
-                "max_gap_ms": np.array([d.max() if len(d) else 0], np.int64),
-                "min_gap_ms": np.array([d.min() if len(d) else 0], np.int64),
+                "g": pa.array(rows["g"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "first": pa.array(rows["first"], pa.int64()),
+                "last": pa.array(rows["last"], pa.int64()),
+                "maxg": pa.array(rows["maxg"], pa.int64()),
+                "ming": pa.array(rows["ming"], pa.int64()),
             }
         )
 
-    cols = ds.map_batches(
-        lambda b: b.select([group_col, ts_col, id_col]),
-        batch_format="pyarrow",
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
+    stream = pairs.sort(["g", "t"]).map_batches(partial, batch_format="pyarrow")
+    with preserve_order_execution():
+        parts = [
+            b.to_pandas()
+            for b in stream.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+    out = {group_col: [], "n_scenes": [], "max_gap_ms": [], "min_gap_ms": []}
+    if parts:
+        df = pd.concat(parts, ignore_index=True).sort_values(
+            ["g", "first", "last"], kind="mergesort"
+        )
+        for gv, sub in df.groupby("g", sort=True):
+            first = sub["first"].to_numpy()
+            last = sub["last"].to_numpy()
+            if np.any(first[1:] < last[:-1]):
+                raise RuntimeError("scene_gaps: overlapping partial ranges "
+                                   "(contiguity violated)")
+            gaps = np.concatenate(
+                [sub.loc[sub["maxg"] >= 0, "maxg"].to_numpy(),
+                 first[1:] - last[:-1]]
+            )
+            mins = np.concatenate(
+                [sub.loc[sub["ming"] >= 0, "ming"].to_numpy(),
+                 first[1:] - last[:-1]]
+            )
+            out[group_col].append(gv)
+            out["n_scenes"].append(int(sub["n"].sum()))
+            out["max_gap_ms"].append(int(gaps.max()) if len(gaps) else 0)
+            out["min_gap_ms"].append(int(mins.min()) if len(mins) else 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out[group_col], pa.string()),
+                "n_scenes": pa.array(out["n_scenes"], pa.int64()),
+                "max_gap_ms": pa.array(out["max_gap_ms"], pa.int64()),
+                "min_gap_ms": pa.array(out["min_gap_ms"], pa.int64()),
+            }
+        )
     )
-    return cols.groupby(group_col).map_groups(gaps, batch_format="pandas")
 
 
 def rolling_window_counts(ds, *, group_col: str = "collection",
@@ -258,27 +408,170 @@ def rolling_window_counts(ds, *, group_col: str = "collection",
     timestamp peers count regardless of tie order) — the rolling
     acquisition-rate feature, the LAG family's windowed sibling.
 
-    Per-group work is two vectorized searchsorted calls on the sorted
-    int64 timestamps; the shuffle ships only (group, ts, id) triples.
+    Two-level seam design, NOT a per-key ``map_groups`` (r02 verdict #2):
+    sort by (group, ts) range-partitions the triples; each contiguous
+    batch resolves every row whose window lies inside its own group run
+    with two vectorized searchsorted calls and streams it out directly.
+    Only the seam rows reach the driver:
+
+    - UNRESOLVED (kind 1): rows of the run touching the batch START whose
+      window reaches before it (earlier batches may hold same-group rows
+      in range), plus rows tied with the batch's LAST timestamp (a later
+      batch may continue the tie — RANGE frames count all peers).
+    - CONTEXT (kind 2): the batch's published seam neighborhoods — last-
+      run rows within ``window_ms`` of the batch end (any later row's
+      window can only reach that far back) and first-run rows tied with
+      the batch's first timestamp (peers for earlier ties).
+
+    The driver merge adds, per unresolved row, the in-range context rows
+    from OTHER batches (its own batch is fully counted in its partial;
+    ``bk`` = first id in the batch identifies it). Context volume is
+    O(batches × window density), independent of key skew.
     """
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
-        order = np.argsort(ts, kind="mergesort")
-        st = ts[order]
-        hi_i = np.searchsorted(st, ts, side="right")
-        lo_i = np.searchsorted(st, ts - window_ms, side="left")
-        return pd.DataFrame(
+    import ray.data as rd
+
+    from .seam import check_sorted_batch, contiguous_run_bounds, preserve_order_execution
+
+    out_schema = pa.schema(
+        [(id_col, pa.string()), (group_col, pa.string()), ("n", pa.int64()),
+         ("kind", pa.int8()), ("t", pa.int64()), ("bk", pa.string())]
+    )
+
+    def batch_proc(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return out_schema.empty_table()
+        g = np.asarray(batch["g"].to_pylist(), dtype=object)
+        t = batch["t"].to_numpy()
+        ids = np.asarray(batch["i"].to_pylist(), dtype=object)
+        if not check_sorted_batch(g, t):
+            raise RuntimeError("rolling_window_counts: batch not "
+                               "contiguous-sorted (preserve_order violated)")
+        bk = str(ids[0])
+        bounds = contiguous_run_bounds(g)
+        partial = np.zeros(n, np.int64)
+        unresolved = np.zeros(n, bool)
+        context = np.zeros(n, bool)
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            tt = t[s0:e0]
+            hi = np.searchsorted(tt, tt, side="right")
+            lo = np.searchsorted(tt, tt - window_ms, side="left")
+            partial[s0:e0] = hi - lo
+            if s0 == 0:
+                # run touches batch start: windows reaching before it are
+                # incomplete; tied-with-first rows are peers for earlier ties
+                unresolved[s0:e0] |= (tt - window_ms) <= tt[0]
+                context[s0:e0] |= tt == tt[0]
+            if e0 == n:
+                # run touches batch end: publish the trailing window as
+                # context; rows tied with the last ts may gain later peers
+                unresolved[s0:e0] |= tt == t[n - 1]
+                context[s0:e0] |= tt >= t[n - 1] - window_ms
+        kind = np.zeros(n, np.int8)
+        kind[unresolved] = 1
+        parts = {
+            id_col: [ids], group_col: [g], "n": [partial],
+            "kind": [kind], "t": [t], "bk": [np.full(n, bk, object)],
+        }
+        ci = np.flatnonzero(context)
+        if len(ci):
+            parts[id_col].append(ids[ci])
+            parts[group_col].append(g[ci])
+            parts["n"].append(np.zeros(len(ci), np.int64))
+            parts["kind"].append(np.full(len(ci), 2, np.int8))
+            parts["t"].append(t[ci])
+            parts["bk"].append(np.full(len(ci), bk, object))
+        return pa.table(
             {
-                id_col: g[id_col].to_numpy(),
-                group_col: g[group_col].to_numpy(),
-                "n_in_window": (hi_i - lo_i).astype("int64"),
+                id_col: pa.array(np.concatenate(parts[id_col]), pa.string()),
+                group_col: pa.array(np.concatenate(parts[group_col]), pa.string()),
+                "n": pa.array(np.concatenate(parts["n"]), pa.int64()),
+                "kind": pa.array(np.concatenate(parts["kind"]), pa.int8()),
+                "t": pa.array(np.concatenate(parts["t"]), pa.int64()),
+                "bk": pa.array(np.concatenate(parts["bk"]), pa.string()),
             }
         )
 
-    cols = ds.map_batches(
-        lambda b: b.select([group_col, ts_col, id_col]), batch_format="pyarrow"
+    def to_triples(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        return pa.table(
+            {"g": batch[group_col], "t": pa.array(ts, pa.int64()),
+             "i": batch[id_col]}
+        )
+
+    triples = ds.map_batches(to_triples, batch_format="pyarrow")
+    stream = triples.sort(["g", "t"]).map_batches(batch_proc, batch_format="pyarrow")
+    # materialize ONCE (≈ input-sized): two consumers follow — the
+    # distributed resolved stream and the tiny driver-side seam gather
+    with preserve_order_execution():
+        mat = stream.materialize()
+
+    def resolved_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = b.filter(pc.equal(b["kind"], 0))
+        return pa.table(
+            {
+                id_col: sel[id_col],
+                group_col: sel[group_col],
+                "n_in_window": sel["n"],
+            }
+        )
+
+    resolved_ds = mat.map_batches(resolved_only, batch_format="pyarrow")
+
+    def seam_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.not_equal(b["kind"], 0))
+
+    seam_parts = [
+        b.to_pandas()
+        for b in mat.map_batches(seam_only, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    if not seam_parts:
+        return resolved_ds
+    seam = pd.concat(seam_parts, ignore_index=True)
+    need = seam.loc[seam["kind"] == 1]
+    if len(need) == 0:
+        return resolved_ds
+    # pool: every published neighborhood row, deduped by id (a row can be
+    # head- and tail-context of the same tiny batch)
+    pool = seam.loc[seam["kind"] == 2, [id_col, group_col, "t", "bk"]]
+    pool = pool.drop_duplicates(id_col)
+    fixed = {id_col: [], group_col: [], "n_in_window": []}
+    for gv, sub in need.groupby(group_col, sort=False):
+        p = pool.loc[pool[group_col] == gv]
+        pt = np.sort(p["t"].to_numpy())
+        rt = sub["t"].to_numpy()
+        add = np.searchsorted(pt, rt, "right") - np.searchsorted(
+            pt, rt - window_ms, "left"
+        )
+        # subtract own-batch context rows (already in the partial count)
+        for bkv, bs in sub.groupby("bk", sort=False):
+            own = np.sort(p.loc[p["bk"] == bkv, "t"].to_numpy())
+            if len(own):
+                bt = bs["t"].to_numpy()
+                sel = sub["bk"].to_numpy() == bkv
+                add[sel] -= np.searchsorted(own, bt, "right") - np.searchsorted(
+                    own, bt - window_ms, "left"
+                )
+        fixed[id_col].append(sub[id_col].to_numpy(object))
+        fixed[group_col].append(np.full(len(sub), gv, object))
+        fixed["n_in_window"].append(sub["n"].to_numpy(np.int64) + add)
+    tail = pa.table(
+        {
+            id_col: pa.array(np.concatenate(fixed[id_col]), pa.string()),
+            group_col: pa.array(np.concatenate(fixed[group_col]), pa.string()),
+            "n_in_window": pa.array(
+                np.concatenate(fixed["n_in_window"]).astype(np.int64), pa.int64()
+            ),
+        }
     )
-    return cols.groupby(group_col).map_groups(roll, batch_format="pandas")
+    return resolved_ds.union(rd.from_arrow(tail))
 
 
 def daily_counts_filled(ds, *, group_col: str = "collection",

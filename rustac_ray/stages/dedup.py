@@ -69,34 +69,57 @@ def _hash_text_column(batch: pd.DataFrame, col: str) -> pd.Series:
     )
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
+                combine: str = "auto", driver_max_candidates: int = 2_000_000,
+                num_partitions: int = 32):
     """Keep the first row (lowest id) per exact content value.
 
     hash-partition + per-group min (SURVEY.md §2.7), content never
-    shuffled: the winner pass projects to (hash, id) ONLY, pre-mins each
-    block (combiner — dup-heavy corpora collapse before the exchange),
-    and the grouped ``Min`` replaces the old ``map_groups(first)`` whose
-    per-group Python calls cost 25s/200k docs (now ~6s). Survivor rows
-    are then recovered with a broadcast id-set semi-join — id set size is
-    the number of DISTINCT contents; for id sets beyond driver memory
-    swap the filter for a native ``Dataset.join`` on ``id_col``.
+    shuffled: the winner pass projects to (hash, id) ONLY and pre-mins
+    each block (combiner — dup-heavy corpora collapse before the
+    exchange). The candidate stream is materialized once (16 bytes/row)
+    and counted, then (r02 verdict #6 — the driver merge is unbounded on
+    a mostly-unique corpus, where #candidates ≈ corpus size):
+
+    - ``≤ driver_max_candidates`` (or ``combine="driver"``): the
+      candidates are merged on the driver (measured 8-10× faster than
+      Ray's grouped Min at 200k docs) and survivors recovered with a
+      broadcast sorted-id semi-join.
+    - otherwise (or ``combine="shuffle"``): fully distributed —
+      ``groupby(hash).aggregate(Min(id))`` then a native hash join of the
+      winner ids back onto the corpus; nothing corpus-sized ever reaches
+      the driver.
     """
+    import ray.data as rd  # noqa: F401
+
     def winners(batch: pd.DataFrame) -> pd.DataFrame:
         h = _hash_text_column(batch, col)
         out = pd.DataFrame({"_content_hash": h, id_col: batch[id_col].to_numpy()})
         # per-block combiner: one candidate row per distinct content
         return out.groupby("_content_hash", sort=False, as_index=False).min()
 
-    # driver merge of the 16-byte (hash, id) candidates — bounded by the
-    # number of DISTINCT contents, not corpus size (ray's grouped Min over
-    # the same stream measured 48-84s vs <1s here at 200k docs); beyond
-    # driver memory, replace with groupby(hash).aggregate(Min) + a native
-    # join on id_col
+    cand = ds.map_batches(winners, batch_format="pandas").materialize()
+    use_driver = combine == "driver" or (
+        combine == "auto" and cand.count() <= driver_max_candidates
+    )
+
+    if not use_driver:
+        from ray.data.aggregate import Min
+
+        win = cand.groupby("_content_hash").aggregate(
+            Min(id_col, alias_name=id_col)
+        )
+        win_ids = win.map_batches(
+            lambda b: b.select([id_col]), batch_format="pyarrow"
+        )
+        return ds.join(
+            win_ids, join_type="inner", num_partitions=num_partitions,
+            on=(id_col,),
+        )
+
     parts = [
         b.to_pandas()
-        for b in ds.map_batches(winners, batch_format="pandas").iter_batches(
-            batch_format="pyarrow"
-        )
+        for b in cand.iter_batches(batch_format="pyarrow")
         if len(b)
     ]
     if parts:

@@ -87,29 +87,140 @@ def sliding(events_ds, size_s: int, step_s: int, *, ts_col="ts", key_col="event_
 def session_windows(events_ds, gap_s: int, *, ts_col="ts", user_col="user_id"):
     """Per-user sessions split at inactivity gaps > gap_s.
 
-    → (user_id, session_start, session_end, n_events). Ordering: each
-    group sorts its own events by ts (no global sort needed).
+    → (user_id, session_start, session_end, n_events).
+
+    Two-level seam design, NOT a per-user ``map_groups`` (r02 verdict #2:
+    millions of users × ~10 ms fixed Ray-group cost = hours of pure
+    overhead, and a hot user is a single-task straggler): sort by
+    (user, ts) range-partitions the events; each contiguous batch
+    sessionizes its user runs with one vectorized pass and streams every
+    INTERIOR session out as final — an outside event can never fall
+    between two in-batch events of the same user. Only the two sessions
+    touching each batch edge (first session of the first run, last
+    session of the last run) go to the driver, which sweep-merges the
+    O(batches) seam chain (adjacent sessions of one user merge when the
+    seam gap ≤ gap_s; merging never changes the far endpoints, so no
+    cascade past the chain).
     """
+    import ray.data as rd
+
+    from .seam import check_sorted_batch, contiguous_run_bounds, preserve_order_execution
+
     gap_us = gap_s * 1_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({"sid": sid, "ts": ts})
-            .groupby("sid")["ts"]
-            .agg(["min", "max", "count"])
-            .reset_index(drop=True)
-        )
-        return pd.DataFrame(
+    def _users_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return np.asarray(col.to_pylist(), dtype=object)
+        return col.to_numpy(zero_copy_only=False)
+
+    def batch_proc(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        u_type = batch.schema.field(user_col).type
+        if n == 0:
+            return pa.schema(
+                [(user_col, u_type), ("s", pa.int64()), ("e", pa.int64()),
+                 ("n_events", pa.int64()), ("seam", pa.int8())]
+            ).empty_table()
+        u = _users_np(batch[user_col])
+        t = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if not check_sorted_batch(u, t):
+            raise RuntimeError("session_windows: batch not contiguous-sorted "
+                               "(preserve_order violated)")
+        bounds = contiguous_run_bounds(u)
+        out_u, out_s, out_e, out_n, out_seam = [], [], [], [], []
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            tt = t[s0:e0]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(tt) > gap_us) + 1]
+            )
+            ends = np.concatenate([starts[1:], [len(tt)]])
+            k = len(starts)
+            seam = np.zeros(k, np.int8)
+            if s0 == 0:
+                seam[0] = 1  # may merge backward into the previous batch
+            if e0 == n:
+                seam[-1] = 1  # may merge forward into the next batch
+            out_u.append(np.repeat(u[s0], k) if not isinstance(u[s0], str)
+                         else np.full(k, u[s0], object))
+            out_s.append(tt[starts])
+            out_e.append(tt[ends - 1])
+            out_n.append((ends - starts).astype(np.int64))
+            out_seam.append(seam)
+        return pa.table(
             {
-                user_col: g[user_col].iloc[0],
-                "session_start": out["min"].astype("datetime64[us]"),
-                "session_end": out["max"].astype("datetime64[us]"),
-                "n_events": out["count"].astype(np.int64),
+                user_col: pa.array(np.concatenate(out_u), type=u_type),
+                "s": pa.array(np.concatenate(out_s), pa.int64()),
+                "e": pa.array(np.concatenate(out_e), pa.int64()),
+                "n_events": pa.array(np.concatenate(out_n), pa.int64()),
+                "seam": pa.array(np.concatenate(out_seam), pa.int8()),
             }
         )
 
-    return events_ds.groupby(user_col).map_groups(sessionize, batch_format="pandas")
+    cols = events_ds.map_batches(
+        lambda b: b.select([user_col, ts_col]), batch_format="pyarrow"
+    )
+    stream = cols.sort([user_col, ts_col]).map_batches(
+        batch_proc, batch_format="pyarrow"
+    )
+    with preserve_order_execution():
+        mat = stream.materialize()
+
+    def final_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = b.filter(pc.equal(b["seam"], 0))
+        return pa.table(
+            {
+                user_col: sel[user_col],
+                "session_start": sel["s"].to_numpy().astype("datetime64[us]"),
+                "session_end": sel["e"].to_numpy().astype("datetime64[us]"),
+                "n_events": sel["n_events"],
+            }
+        )
+
+    final_ds = mat.map_batches(final_only, batch_format="pyarrow")
+
+    def seam_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["seam"], 1))
+
+    parts = [
+        b.to_pandas()
+        for b in mat.map_batches(seam_only, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    if not parts:
+        return final_ds
+    chain = pd.concat(parts, ignore_index=True).sort_values(
+        [user_col, "s", "e"], kind="mergesort"
+    )
+    uu = chain[user_col].to_numpy()
+    ss = chain["s"].to_numpy()
+    ee = chain["e"].to_numpy()
+    nn = chain["n_events"].to_numpy()
+    mu, ms, me, mn = [], [], [], []
+    for i in range(len(chain)):
+        if mu and mu[-1] == uu[i] and ss[i] - me[-1] <= gap_us:
+            me[-1] = max(me[-1], int(ee[i]))
+            mn[-1] += int(nn[i])
+        else:
+            mu.append(uu[i])
+            ms.append(int(ss[i]))
+            me.append(int(ee[i]))
+            mn.append(int(nn[i]))
+    tail = pa.table(
+        {
+            user_col: pa.array(pd.Series(mu, dtype=chain[user_col].dtype)),
+            "session_start": pa.array(
+                np.asarray(ms, np.int64).astype("datetime64[us]")
+            ),
+            "session_end": pa.array(
+                np.asarray(me, np.int64).astype("datetime64[us]")
+            ),
+            "n_events": pa.array(np.asarray(mn, np.int64), pa.int64()),
+        }
+    )
+    return final_ds.union(rd.from_arrow(tail))

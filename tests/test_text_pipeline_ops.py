@@ -457,3 +457,36 @@ def test_daily_counts_filled_zero_fills():
     assert c["n_scenes"].tolist() == [2, 0, 0, 1]
     d = out[out["collection"] == "d"]
     assert len(d) == 1 and d["n_scenes"].iloc[0] == 1
+
+
+def test_exact_dedup_auto_switches_to_distributed():
+    """A mostly-unique corpus above the candidate cap must take the
+    distributed groupby(hash).Min + native-join path (r02 verdict #6) and
+    agree exactly with the driver-merge path."""
+    from rustac_ray.stages.dedup import exact_dedup
+
+    rng = np.random.default_rng(17)
+    n = 600
+    texts = [f"unique doc {i}" for i in range(n)]
+    # plant a few dups with higher ids
+    for i in rng.choice(n, 25, replace=False):
+        texts[i] = f"unique doc {i % 7}"
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df).repartition(9)
+    got_dist = (
+        exact_dedup(ds, combine="auto", driver_max_candidates=10,
+                    num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got_driver = (
+        exact_dedup(ds, combine="driver")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_dist.columns.tolist() == got_driver.columns.tolist()
+    pd.testing.assert_frame_equal(got_dist, got_driver)
+    exp_ids = df.groupby("text")["doc_id"].min().sort_values().to_numpy()
+    assert np.array_equal(got_dist["doc_id"].to_numpy(), exp_ids)
