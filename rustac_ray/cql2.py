@@ -176,17 +176,29 @@ class _TextParser:
             return {"property": v}
         raise ValueError(f"bad operand {k}:{v}")
 
+    _SPATIAL_OPS = (
+        "S_INTERSECTS", "S_CONTAINS", "S_WITHIN", "S_DISJOINT", "S_EQUALS",
+        "S_OVERLAPS", "S_TOUCHES", "S_CROSSES",
+    )
+    _TEMPORAL_OPS = (
+        "T_INTERSECTS", "T_DURING", "ANYINTERACTS", "T_BEFORE", "T_AFTER",
+        "T_MEETS", "T_METBY", "T_OVERLAPS", "T_OVERLAPPEDBY", "T_STARTS",
+        "T_STARTEDBY", "T_FINISHES", "T_FINISHEDBY", "T_CONTAINS",
+        "T_EQUALS", "T_DISJOINT",
+    )
+
     def predicate(self):
         k, v = self.peek()
-        if k == "word" and v.upper() == "S_INTERSECTS":
+        if k == "word" and v.upper() in self._SPATIAL_OPS:
+            name = v.upper().lower()
             self.eat("word")
             self.eat("lpar")
             a = self.operand()
             self.eat("comma")
             geom = self.geom_literal()
             self.eat("rpar")
-            return {"op": "s_intersects", "args": [a, geom]}
-        if k == "word" and v.upper() in ("T_INTERSECTS", "T_DURING", "ANYINTERACTS"):
+            return {"op": name, "args": [a, geom]}
+        if k == "word" and v.upper() in self._TEMPORAL_OPS:
             name = v.upper()
             self.eat("word")
             self.eat("lpar")
@@ -194,8 +206,8 @@ class _TextParser:
             self.eat("comma")
             iv = self.interval_literal()
             self.eat("rpar")
-            return {"op": {"T_INTERSECTS": "t_intersects", "ANYINTERACTS": "t_intersects",
-                           "T_DURING": "t_during"}[name], "args": [a, iv]}
+            return {"op": "t_intersects" if name == "ANYINTERACTS" else name.lower(),
+                    "args": [a, iv]}
         if k == "word" and v.upper() in (
             "A_EQUALS", "A_CONTAINS", "A_CONTAINEDBY", "A_OVERLAPS",
         ):
@@ -542,10 +554,25 @@ class Cql2Predicate:
                 for j in np.nonzero(cand)[0]:
                     out[valid[j]] = _geom_intersects(pg, wkbs[valid[j]])
             return out
-        if op in ("t_intersects", "t_during"):
+        if op == "s_disjoint":
+            # general: exact complement of s_intersects; null geometry rows
+            # stay False (a missing geometry relates to nothing)
+            col = batch[self.geometry_column]
+            notnull = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            inner = self._eval({"op": "s_intersects", "args": args}, batch)
+            return ~inner & notnull
+        if op in ("s_contains", "s_within", "s_equals", "s_overlaps",
+                  "s_touches", "s_crosses"):
+            return _rect_relate(op, batch[self.geometry_column].to_pylist(),
+                                args[1], n)
+        if op in _T_RELATIONS:
             # item interval = [coalesce(start_datetime, col), coalesce(end_datetime, col)]
-            # vs the literal interval; inclusive ends (reference P5 semantics,
-            # duckdb client.rs:361-385). t_during = item interval ⊆ literal.
+            # vs the literal interval. t_intersects / t_during keep the
+            # inclusive reference-P5 semantics (duckdb client.rs:361-385);
+            # the remaining relations are the strict Allen definitions the
+            # reference inherits from the cql2 crate (api/filter.rs). Open
+            # '..' ends are ±inf — equality relations against an open end
+            # are False by construction.
             from .query import normalize_datetime
 
             iv = args[1]["interval"]
@@ -570,12 +597,39 @@ class Cql2Predicate:
                     ok &= iend >= q_start
                 if q_end is not None:
                     ok &= istart <= q_end
-            else:  # t_during: contained in the literal interval
+                return ok
+            if op == "t_during":  # contained in the literal interval
                 if q_start is not None:
                     ok &= istart >= q_start
                 if q_end is not None:
                     ok &= iend <= q_end
-            return ok
+                return ok
+            # strict Allen relations on float epoch-ms (NaT → NaN → False)
+            s = istart.astype("datetime64[ms]").astype(np.int64).astype(np.float64)
+            e = iend.astype("datetime64[ms]").astype(np.int64).astype(np.float64)
+            nat = np.isnat(istart) | np.isnat(iend)
+            s[nat] = np.nan
+            e[nat] = np.nan
+            S = (-np.inf if q_start is None
+                 else float(np.datetime64(q_start, "ms").astype(np.int64)))
+            E = (np.inf if q_end is None
+                 else float(np.datetime64(q_end, "ms").astype(np.int64)))
+            rel = {
+                "t_before": lambda: e < S,
+                "t_after": lambda: s > E,
+                "t_meets": lambda: e == S,
+                "t_metby": lambda: s == E,
+                "t_overlaps": lambda: (s < S) & (S < e) & (e < E),
+                "t_overlappedby": lambda: (S < s) & (s < E) & (E < e),
+                "t_starts": lambda: (s == S) & (e < E),
+                "t_startedby": lambda: (s == S) & (e > E),
+                "t_finishes": lambda: (e == E) & (s > S),
+                "t_finishedby": lambda: (e == E) & (s < S),
+                "t_contains": lambda: (s < S) & (e > E),
+                "t_equals": lambda: (s == S) & (e == E),
+                "t_disjoint": lambda: (e < S) | (s > E),
+            }[op]()
+            return rel & ok & ~nat
         if op == "between":
             col = self._value(args[0], batch)
             lo = self._value(args[1], batch)
@@ -689,3 +743,174 @@ def _geom_intersects(pg, wkb_or_geom) -> bool:
     if t == "GeometryCollection":
         return any(_geom_intersects(pg, sub) for sub in g["geometries"])
     raise ValueError(f"s_intersects: unsupported stored geometry {t}")
+
+
+# temporal relation op names handled by the Evaluator (CQL2 standard set;
+# reference delegates to the cql2 crate, crates/core/src/api/filter.rs)
+_T_RELATIONS = frozenset(
+    {"t_intersects", "t_during", "t_before", "t_after", "t_meets", "t_metby",
+     "t_overlaps", "t_overlappedby", "t_starts", "t_startedby", "t_finishes",
+     "t_finishedby", "t_contains", "t_equals", "t_disjoint"}
+)
+
+
+def _query_rect(qgeom: dict):
+    """Query geometry → (x0, y0, x1, y1) if it is a Point or an
+    axis-aligned rectangle Polygon/BBOX; None otherwise."""
+    t = qgeom["type"]
+    if t == "Point":
+        x, y = qgeom["coordinates"][:2]
+        return float(x), float(y), float(x), float(y)
+    if t == "Polygon" and len(qgeom["coordinates"]) == 1:
+        r = np.asarray(qgeom["coordinates"][0], dtype=np.float64)
+        xs, ys = np.unique(r[:, 0]), np.unique(r[:, 1])
+        if len(xs) == 2 and len(ys) == 2 and len(r) == 5:
+            return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+    return None
+
+
+def _stored_rects(wkbs, n: int):
+    """Stored WKB column → ((n,4) bboxes, valid mask). Raises if any
+    non-null stored geometry is not an axis-aligned rectangle — the exact
+    DE-9IM relations below are only implemented for the engine's rect
+    footprints (reference items are footprint quads; arbitrary stored
+    geometries would need a full relate(); S_INTERSECTS / S_DISJOINT stay
+    fully general)."""
+    from .geo.wkb import _all_coords, decode_geometry
+
+    bbs = np.full((n, 4), np.nan)
+    valid = np.zeros(n, bool)
+    for i, b in enumerate(wkbs):
+        if b is None:
+            continue
+        g = decode_geometry(bytes(b))
+        if g["type"] != "Polygon" or len(g["coordinates"]) != 1:
+            raise NotImplementedError(
+                f"S_* relate: stored geometry {g['type']} is not a rect footprint"
+            )
+        r = np.asarray(g["coordinates"][0], dtype=np.float64)
+        xs, ys = np.unique(r[:, 0]), np.unique(r[:, 1])
+        if len(xs) != 2 or len(ys) != 2:
+            raise NotImplementedError(
+                "S_* relate: stored polygon is not axis-aligned rectangular"
+            )
+        bbs[i] = (xs[0], ys[0], xs[1], ys[1])
+        valid[i] = True
+    return bbs, valid
+
+
+def _segments_hit_open_rects(coords: np.ndarray, x0, y0, x1, y1) -> np.ndarray:
+    """(m,2) polyline vertices vs (n,) rect arrays → (n,) bool: does any
+    segment pass through the OPEN rect interior (Liang-Barsky slab clip;
+    point-grazing at a corner and runs along an edge are excluded)."""
+    n = len(x0)
+    hit = np.zeros(n, bool)
+    a, b = coords[:-1], coords[1:]
+    for (ax, ay), (bx, by) in zip(a, b):
+        dx, dy = bx - ax, by - ay
+        if dx == 0 and dy == 0:
+            hit |= (x0 < ax) & (ax < x1) & (y0 < ay) & (ay < y1)
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if dx != 0:
+                txa = (x0 - ax) / dx
+                txb = (x1 - ax) / dx
+                tx_lo, tx_hi = np.minimum(txa, txb), np.maximum(txa, txb)
+            else:
+                inside_x = (x0 < ax) & (ax < x1)
+                tx_lo = np.where(inside_x, -np.inf, np.inf)
+                tx_hi = np.where(inside_x, np.inf, -np.inf)
+            if dy != 0:
+                tya = (y0 - ay) / dy
+                tyb = (y1 - ay) / dy
+                ty_lo, ty_hi = np.minimum(tya, tyb), np.maximum(tya, tyb)
+            else:
+                inside_y = (y0 < ay) & (ay < y1)
+                ty_lo = np.where(inside_y, -np.inf, np.inf)
+                ty_hi = np.where(inside_y, np.inf, -np.inf)
+        t_in = np.maximum(np.maximum(tx_lo, ty_lo), 0.0)
+        t_out = np.minimum(np.minimum(tx_hi, ty_hi), 1.0)
+        hit |= t_in < t_out
+    return hit
+
+
+def _rect_relate(op: str, wkbs, qgeom: dict, n: int) -> np.ndarray:
+    """Exact OGC-SFA relations for rect stored footprints vs a Point /
+    axis-aligned-rect / LineString query literal (vectorized interval
+    logic; crosses uses a per-segment open-rect clip). Reference compiles
+    these CQL2 ops to DuckDB spatial SQL (crates/duckdb/src/client.rs:
+    386-394 ToDuckSQL); the engine evaluates them natively."""
+    bbs, valid = _stored_rects(wkbs, n)
+    x0, y0, x1, y1 = bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3]
+    out = np.zeros(n, bool)
+    t = qgeom["type"]
+
+    if op == "s_crosses":
+        # area/area and area/point crosses is False by definition (SFA:
+        # defined only for mixed-dimension pairs); rect × line is real
+        if t not in ("LineString", "MultiLineString"):
+            return out
+        lines = ([qgeom["coordinates"]] if t == "LineString"
+                 else qgeom["coordinates"])
+        interior = np.zeros(n, bool)
+        all_closed = np.ones(n, bool)
+        for line in lines:
+            coords = np.asarray(line, dtype=np.float64)
+            interior |= _segments_hit_open_rects(coords, x0, y0, x1, y1)
+            for vx, vy in coords:
+                all_closed &= (x0 <= vx) & (vx <= x1) & (y0 <= vy) & (vy <= y1)
+        # crosses(A, L): L meets A's interior AND L meets A's exterior
+        # (rect is convex, so "not all vertices within the closure" ⟺
+        # some part of L lies outside)
+        with np.errstate(invalid="ignore"):
+            res = interior & ~all_closed
+        return res & valid
+
+    if op == "s_contains" and t in ("LineString", "MultiLineString"):
+        lines = ([qgeom["coordinates"]] if t == "LineString"
+                 else qgeom["coordinates"])
+        interior = np.zeros(n, bool)
+        all_closed = np.ones(n, bool)
+        for line in lines:
+            coords = np.asarray(line, dtype=np.float64)
+            interior |= _segments_hit_open_rects(coords, x0, y0, x1, y1)
+            for vx, vy in coords:
+                all_closed &= (x0 <= vx) & (vx <= x1) & (y0 <= vy) & (vy <= y1)
+        with np.errstate(invalid="ignore"):
+            res = interior & all_closed
+        return res & valid
+
+    q = _query_rect(qgeom)
+    if q is None:
+        raise NotImplementedError(
+            f"S_* relate: query geometry {t} unsupported for {op} "
+            "(Point, BBOX/axis-aligned Polygon, LineStrings for "
+            "s_crosses/s_contains)"
+        )
+    qx0, qy0, qx1, qy1 = q
+    with np.errstate(invalid="ignore"):
+        ix = np.minimum(x1, qx1) - np.maximum(x0, qx0)
+        iy = np.minimum(y1, qy1) - np.maximum(y0, qy0)
+        closed = (ix >= 0) & (iy >= 0)
+        open_ = (ix > 0) & (iy > 0)
+        covers_q = (x0 <= qx0) & (qx1 <= x1) & (y0 <= qy0) & (qy1 <= y1)
+        covered_by_q = (qx0 <= x0) & (x1 <= qx1) & (qy0 <= y0) & (y1 <= qy1)
+        if op == "s_contains":
+            if qx0 == qx1 and qy0 == qy1:  # point: strict interior
+                res = (x0 < qx0) & (qx0 < x1) & (y0 < qy0) & (qy0 < y1)
+            else:
+                res = covers_q & open_
+        elif op == "s_within":
+            res = covered_by_q & open_
+        elif op == "s_equals":
+            res = (x0 == qx0) & (y0 == qy0) & (x1 == qx1) & (y1 == qy1)
+        elif op == "s_overlaps":
+            # same-dimension only: a Point query never overlaps an area
+            if qx0 == qx1 or qy0 == qy1:
+                return out
+            res = open_ & ~covers_q & ~covered_by_q
+        elif op == "s_touches":
+            res = closed & ~open_
+        else:  # pragma: no cover
+            raise ValueError(op)
+    return res & valid

@@ -40,7 +40,7 @@ from .cql2 import Cql2Predicate, UnknownPropertyError
 from .geo.pip import PreparedGeometry
 from .geo.wkb import decode_bboxes
 
-__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn", "search_page"]
+__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn", "search_page", "queryables"]
 
 
 class LegacyQueryError(ValueError):
@@ -392,3 +392,61 @@ def _postprocess(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
             keep = [c for c in ds.schema().names if c not in exc]
             ds = ds.select_columns(keep)
     return ds
+
+
+def _queryable_schema(field: "pa.Field") -> dict:
+    """Arrow field → JSON-Schema fragment for the queryables doc."""
+    t = field.type
+    if field.name == "geometry" or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return {"$ref": "https://geojson.org/schema/Geometry.json"}
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return {"type": "string", "format": "date-time"}
+    if pa.types.is_boolean(t):
+        return {"type": "boolean"}
+    if pa.types.is_integer(t):
+        return {"type": "integer"}
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return {"type": "number"}
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return {"type": "array", "items": _queryable_schema(pa.field("item", t.value_type))}
+    if pa.types.is_struct(t):
+        return {
+            "type": "object",
+            "properties": {
+                t.field(i).name: _queryable_schema(t.field(i)) for i in range(t.num_fields)
+            },
+        }
+    return {"type": "string"}
+
+
+def queryables(ds_or_schema, *, base_url: str = "https://stac-api.example.com",
+               title: str = "Queryables") -> dict:
+    """JSON-Schema queryables document (STAC API filter extension).
+
+    The reference server punts with an empty ``properties`` map
+    (crates/server/src/api.rs:156-169 + routes.rs:148-161, served as
+    application/schema+json); this analogue derives ``properties`` from
+    the actual table schema, so a CQL2 client can discover exactly which
+    properties :class:`~rustac_ray.cql2.Cql2Predicate` will accept —
+    anything absent raises the same unknown-property short-circuit the
+    reference's DuckDB path has (client.rs:391-393).
+
+    Accepts a ``ray.data.Dataset``, a ``pyarrow.Schema``, or a
+    ``pyarrow.Table``. Driver-side metadata only — never touches rows.
+    """
+    schema = ds_or_schema
+    if isinstance(schema, pa.Table):
+        schema = schema.schema
+    elif not isinstance(schema, pa.Schema) and hasattr(schema, "schema"):
+        schema = schema.schema()  # ray Dataset
+        schema = getattr(schema, "base_schema", schema)
+    props = {f.name: _queryable_schema(f) for f in schema}
+    return {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": f"{base_url}/queryables",
+        "type": "object",
+        "title": title,
+        "description": "Queryable names for the STAC API Item Search filter.",
+        "properties": props,
+        "additionalProperties": True,
+    }

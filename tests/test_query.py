@@ -415,3 +415,158 @@ def test_cql2_point_on_stored_linestring():
     assert Cql2Predicate(
         "S_INTERSECTS(geometry, POINT(0 1))"
     ).mask(t).tolist() == [False]
+
+
+def _rect_table():
+    """Four stored rect footprints: unit square at origin, its right
+    neighbor sharing the x=1 edge, a big container, a far-away one."""
+    from rustac_ray.geo.wkb import encode_geometry
+
+    def rect(x0, y0, x1, y1):
+        return encode_geometry({
+            "type": "Polygon",
+            "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+        })
+
+    return pa.table({
+        "geometry": pa.array(
+            [rect(0, 0, 1, 1), rect(1, 0, 2, 1), rect(-1, -1, 3, 2),
+             rect(10, 10, 11, 11)],
+            pa.binary(),
+        )
+    })
+
+
+def test_cql2_spatial_relations_rects():
+    t = _rect_table()
+
+    def m(f):
+        return Cql2Predicate(f).mask(t).tolist()
+
+    # contains: strict-interior point / covered bbox with interior overlap
+    assert m("S_CONTAINS(geometry, POINT(0.5 0.5))") == [True, False, True, False]
+    # point ON the shared edge is NOT contained by either square
+    assert m("S_CONTAINS(geometry, POINT(1 0.5))") == [False, False, True, False]
+    assert m("S_CONTAINS(geometry, BBOX(0.25, 0.25, 0.75, 0.75))") == [
+        True, False, True, False]
+    assert m("S_WITHIN(geometry, BBOX(-0.5, -0.5, 1.5, 1.5))") == [
+        True, False, False, False]
+    assert m("S_EQUALS(geometry, BBOX(1.0, 0.0, 2.0, 1.0))") == [
+        False, True, False, False]
+    # touching along the shared edge: touches but never overlaps
+    assert m("S_TOUCHES(geometry, BBOX(1.0, 0.0, 2.0, 1.0))") == [
+        True, False, False, False]
+    # the big rect CONTAINS the query bbox → containment, not overlaps
+    assert m("S_OVERLAPS(geometry, BBOX(0.5, 0.5, 1.5, 1.5))") == [
+        True, True, False, False]
+    # containment (either direction) is not overlaps
+    assert m("S_OVERLAPS(geometry, BBOX(-1.0, -1.0, 3.0, 2.0))") == [
+        False, False, False, False]
+    assert m("S_DISJOINT(geometry, BBOX(0.5, 0.5, 1.5, 1.5))") == [
+        False, False, False, True]
+    # crosses: line passes through interiors and exits; a line fully
+    # inside (big rect) is NOT crossed; rect/rect crosses is always False
+    assert m("S_CROSSES(geometry, LINESTRING(0.5 0.5, 1.5 0.5))") == [
+        True, True, False, False]
+    assert m("S_CROSSES(geometry, BBOX(0.5, 0.5, 1.5, 1.5))") == [
+        False, False, False, False]
+    # a line running along the shared edge touches both squares but
+    # crosses neither (no interior passage)
+    assert m("S_CROSSES(geometry, LINESTRING(1 -1, 1 3))") == [
+        False, False, True, False]
+    # contains(line): fully within closure AND through the interior
+    assert m("S_CONTAINS(geometry, LINESTRING(0.2 0.2, 0.8 0.8))") == [
+        True, False, True, False]
+    # boundary-only line: within closure but never through the interior
+    assert m("S_CONTAINS(geometry, LINESTRING(0 0, 1 0))") == [
+        False, False, True, False]
+
+
+def test_cql2_temporal_allen_relations():
+    t = pa.table({
+        "datetime": pa.array(
+            np.array(["2024-01-10T00:00", "2024-01-15T00:00",
+                      "2024-01-20T00:00"], dtype="datetime64[ms]")
+        ),
+        "start_datetime": pa.array(
+            np.array(["2024-01-08T00:00", "NaT", "2024-01-12T00:00"],
+                     dtype="datetime64[ms]")
+        ),
+        "end_datetime": pa.array(
+            np.array(["2024-01-12T00:00", "NaT", "2024-01-25T00:00"],
+                     dtype="datetime64[ms]")
+        ),
+    })
+    # item intervals: A=[08,12], B=[15,15] (point), C=[12,25]
+
+    def m(f):
+        return Cql2Predicate(f).mask(t).tolist()
+
+    IV = "INTERVAL('2024-01-12T00:00:00Z', '2024-01-15T00:00:00Z')"
+    assert m(f"T_BEFORE(datetime, {IV})") == [False, False, False]
+    assert m("T_BEFORE(datetime, INTERVAL('2024-01-13T00:00:00Z', '..'))") == [
+        True, False, False]
+    assert m(f"T_AFTER(datetime, {IV})") == [False, False, False]
+    assert m("T_AFTER(datetime, INTERVAL('..', '2024-01-13T00:00:00Z'))") == [
+        False, True, False]
+    assert m(f"T_MEETS(datetime, {IV})") == [True, False, False]
+    assert m(f"T_METBY(datetime, {IV})") == [False, True, False]
+    assert m(f"T_OVERLAPS(datetime, {IV})") == [False, False, False]
+    assert m("T_OVERLAPS(datetime, INTERVAL('2024-01-10T00:00:00Z', "
+             "'2024-01-14T00:00:00Z'))") == [True, False, False]
+    assert m("T_OVERLAPPEDBY(datetime, INTERVAL('2024-01-10T00:00:00Z', "
+             "'2024-01-14T00:00:00Z'))") == [False, False, True]
+    assert m("T_STARTS(datetime, INTERVAL('2024-01-12T00:00:00Z', "
+             "'2024-01-30T00:00:00Z'))") == [False, False, True]
+    assert m("T_STARTEDBY(datetime, INTERVAL('2024-01-12T00:00:00Z', "
+             "'2024-01-20T00:00:00Z'))") == [False, False, True]
+    assert m("T_FINISHES(datetime, INTERVAL('2024-01-01T00:00:00Z', "
+             "'2024-01-12T00:00:00Z'))") == [True, False, False]
+    assert m("T_FINISHEDBY(datetime, INTERVAL('2024-01-09T00:00:00Z', "
+             "'2024-01-12T00:00:00Z'))") == [True, False, False]
+    assert m("T_CONTAINS(datetime, INTERVAL('2024-01-13T00:00:00Z', "
+             "'2024-01-14T00:00:00Z'))") == [False, False, True]
+    assert m("T_EQUALS(datetime, INTERVAL('2024-01-08T00:00:00Z', "
+             "'2024-01-12T00:00:00Z'))") == [True, False, False]
+    assert m(f"T_DISJOINT(datetime, {IV})") == [False, False, False]
+    assert m("T_DISJOINT(datetime, INTERVAL('2024-01-13T00:00:00Z', "
+             "'2024-01-14T00:00:00Z'))") == [True, True, False]
+    # equality against an open end is never true
+    assert m("T_STARTS(datetime, INTERVAL('..', '2024-01-30T00:00:00Z'))") == [
+        False, False, False]
+
+
+def test_queryables_introspection(items):
+    """Shape matches the reference's /queryables doc (server/api.rs:156-169:
+    draft 2019-09 $schema, $id, object type, additionalProperties) but with
+    properties actually derived from the schema; every property the CQL2
+    evaluator accepts must be listed, and check_schema must agree."""
+    from rustac_ray.query import queryables
+
+    q = queryables(items)
+    assert q["$schema"] == "https://json-schema.org/draft/2019-09/schema"
+    assert q["$id"].endswith("/queryables")
+    assert q["type"] == "object"
+    assert q["additionalProperties"] is True
+    props = q["properties"]
+    assert props["geometry"] == {"$ref": "https://geojson.org/schema/Geometry.json"}
+    assert props["datetime"] == {"type": "string", "format": "date-time"}
+    assert props["eo:cloud_cover"]["type"] == "number"
+    assert props["sat:relative_orbit"]["type"] == "integer"
+    assert props["stac_extensions"]["type"] == "array"
+    assert props["bbox"]["type"] == "object"
+    assert set(props["bbox"]["properties"]) == {"xmin", "ymin", "xmax", "ymax"}
+    # a filter over any advertised property passes schema validation;
+    # a filter over an unadvertised one short-circuits (client.rs:391-393)
+    pred = Cql2Predicate('"eo:cloud_cover" < 10')
+    pred.check_schema(list(props))
+    import pytest as _pytest
+
+    from rustac_ray.cql2 import UnknownPropertyError
+
+    with _pytest.raises(UnknownPropertyError):
+        Cql2Predicate('"made:up" < 10').check_schema(list(props))
+    # pyarrow Table input gives the same doc as the ray Dataset input
+    tbl = pa.Table.from_pandas(items.limit(5).to_pandas(), preserve_index=False)
+    tbl_doc = queryables(tbl)
+    assert set(tbl_doc["properties"]) == set(props)
