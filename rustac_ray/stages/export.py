@@ -91,19 +91,39 @@ def write_webdataset_shards(ds, out_dir: str, *, resume: bool = True) -> list[di
         return {
             "partition_id": pid,
             "rows": table.num_rows,
+            "first_key": str(table["image_id"][0]) if table.num_rows else "",
             "input_fragments": [f"block-{pid}"],
             "digest": hashlib.blake2b(data, digest_size=8).hexdigest(),
             "bytes": len(data),
         }
 
+    @ray.remote
+    def ident_task(table: pa.Table, pid: int) -> tuple[int, str, int]:
+        # input identity for resume verification: (first key, row count)
+        # — detects a changed block layout without re-tarring the payload
+        return pid, (str(table["image_id"][0]) if table.num_rows else ""), table.num_rows
+
     try:
-        futures, pid = [], 0
+        futures, checks, pid = [], [], 0
         for block_ref in ds.to_arrow_refs():
             if pid in done:
+                # a completed pid is only SKIPPED if the current input
+                # block still matches the manifest's recorded identity;
+                # stale shards (different block layout / upstream change,
+                # or a legacy record without an identity) are rewritten
+                # (r02 advice: pid-keyed resume silently kept stale tars)
+                checks.append((ident_task.remote(block_ref, pid), block_ref))
                 pid += 1
                 continue
             futures.append(write_task.remote(block_ref, pid))
             pid += 1
+        for fut, block_ref in checks:
+            cpid, first_key, rows = ray.get(fut)
+            rec = done[cpid]
+            if rec.get("first_key") == first_key and rec.get("rows") == rows:
+                continue
+            futures.append(write_task.remote(block_ref, cpid))
+            del done[cpid]
         for fut in futures:
             rec = ray.get(fut)
             man.append(rec)

@@ -402,6 +402,10 @@ def profile_columns(ds, cols: list[str]):
     with min/max/sum — no shuffle, one scan for all columns together
     (vs one query per column). min/max are cast to float64 so the output
     schema is column-uniform; counts are exact int64.
+
+    NULL semantics match the SQL twin exactly: ``n_null`` counts ONLY
+    true Arrow nulls (``count(*) - count(x)``), never NaN values in a
+    float column; NaN/±inf are merely excluded from min/max (r02 advice).
     """
     import pandas as pd
     import pyarrow as pa
@@ -412,13 +416,14 @@ def profile_columns(ds, cols: list[str]):
         for c in cols:
             arr = batch[c]
             vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
-            null_mask = np.isnan(vals) if arr.null_count == 0 else np.isnan(
-                np.where(arr.is_valid().to_numpy(zero_copy_only=False), vals, np.nan)
-            )
-            ok = vals[~null_mask]
+            if arr.null_count:
+                vals = np.where(
+                    arr.is_valid().to_numpy(zero_copy_only=False), vals, np.nan
+                )
+            ok = vals[np.isfinite(vals)]
             out["column"].append(c)
             out["n_rows"].append(len(arr))
-            out["n_null"].append(int(null_mask.sum()))
+            out["n_null"].append(int(arr.null_count))
             out["min_d"].append(float(ok.min()) if len(ok) else np.nan)
             out["max_d"].append(float(ok.max()) if len(ok) else np.nan)
         return pa.table(
@@ -469,7 +474,10 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int):
     bincount per batch (constant combiner state: ≤ nbins rows), driver
     fold. Values outside [lo, hi) clamp into the edge bins, exactly the
     ``least(greatest(floor((x-lo)/width),0),nbins-1)`` a SQL twin writes,
-    so engine and oracle share every IEEE operation.
+    so engine and oracle share every IEEE operation. Non-finite values
+    (NULL→NaN, NaN, ±inf from a float column) are DROPPED before binning
+    — a SQL twin's ``WHERE isfinite(x)`` — instead of crashing bincount
+    with a cast-from-NaN bin (r02 advice).
     """
     import pandas as pd
     import pyarrow as pa
@@ -479,6 +487,7 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int):
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v)]
         b = np.minimum(
             np.maximum(np.floor((v - lo) / width), 0.0), float(nbins - 1)
         ).astype(np.int64)

@@ -56,16 +56,21 @@ def word_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id",
             batch = batch.filter(pa.array(ids % sample_mod == 0))
         if len(batch) == 0:
             return _empty
-        # \s+ split with empties dropped == Python str.split(); all C++
-        toks = pc.list_flatten(
-            pc.split_pattern_regex(batch[text_col], r"\s+")
+        # pandas .str.split() == Python str.split() (UNICODE whitespace):
+        # the exact tokenization BPEEncoder uses at encode time. (An Arrow
+        # RE2 \s+ split is ASCII-only — no \v/NBSP — so merges would be
+        # learned on words the encoder never produces; r02 advice.)
+        toks = (
+            batch[text_col].to_pandas().astype(str).str.split().explode().dropna()
         )
-        toks = toks.filter(pc.not_equal(toks, ""))
         if len(toks) == 0:
             return _empty
-        vc = pc.value_counts(toks)
+        vc = toks.value_counts()
         return pa.table(
-            {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+            {
+                "word": pa.array(vc.index.to_numpy(object), pa.string()),
+                "cnt": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
         )
 
     # explicit batch_size: tiny default batches make thousands of partials

@@ -124,3 +124,38 @@ def test_webdataset_shards_roundtrip_and_resume(fixtures_dir, tmp_path):
     recs2 = write_webdataset_shards(ds2, out)
     assert len(recs2) == len(recs)
     assert {f: os.path.getmtime(f) for f in tars} == mtimes
+
+
+def test_webdataset_resume_detects_stale_input(fixtures_dir, tmp_path):
+    """A changed input block layout must NOT silently keep pid-matched
+    stale shards (r02 advice): the manifest's (first_key, rows) identity
+    is re-verified per block and mismatching shards are rewritten."""
+    import glob
+    import os
+    import time
+
+    import ray.data as rd
+
+    from rustac_ray.stages.export import read_webdataset_shard, write_webdataset_shards
+
+    out = str(tmp_path / "wds_stale")
+    cols = ["image_id", "bytes", "caption", "w", "h", "fmt", "phash"]
+    ds = rd.read_parquet(f"{fixtures_dir}/images.parquet", columns=cols)
+    write_webdataset_shards(ds, out)
+    tars = sorted(glob.glob(f"{out}/shard-*.tar"))
+    n_before = sum(len(read_webdataset_shard(t)) for t in tars)
+
+    # different layout: an upstream filter changes every block's identity
+    ds2 = rd.read_parquet(f"{fixtures_dir}/images.parquet", columns=cols).filter(
+        lambda r: int(r["image_id"][-1]) < 7
+    )
+    time.sleep(0.05)
+    recs2 = write_webdataset_shards(ds2, out)
+    # every surviving shard's content corresponds to the NEW input
+    n_after = sum(
+        len(read_webdataset_shard(f"{out}/shard-{r['partition_id']:05d}.tar"))
+        for r in recs2
+    )
+    assert sum(r["rows"] for r in recs2) == ds2.count()
+    assert n_after == ds2.count()
+    assert n_after != n_before

@@ -312,3 +312,24 @@ def test_rolling_window_counts_matches_pandas():
         gts = g["datetime"].astype("datetime64[ms]").astype("int64")
         exp = int(((gts >= t - W) & (gts <= t)).sum())
         assert got[iid] == exp, iid
+
+
+def test_histogram_and_profile_nan_handling():
+    """NaN / ±inf / NULL inputs: histogram drops non-finite values instead
+    of crashing bincount; profile_columns counts ONLY true nulls as
+    n_null (SQL count(*) - count(x)) and excludes NaN from min/max."""
+    import pyarrow as pa
+
+    from rustac_ray.stages.sketch import histogram, profile_columns
+
+    t = pa.table({
+        "x": pa.array([1.0, np.nan, 2.0, None, np.inf, -np.inf, 3.0],
+                      pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    h = histogram(ds, "x", 0.0, 4.0, 4).to_pandas().set_index("bin")["n"]
+    assert h.to_dict() == {1: 1, 2: 1, 3: 1}
+    p = profile_columns(ds, ["x"]).to_pandas().iloc[0]
+    assert int(p["n_rows"]) == 7
+    assert int(p["n_null"]) == 1  # the true NULL only, not the NaN
+    assert p["min_d"] == 1.0 and p["max_d"] == 3.0

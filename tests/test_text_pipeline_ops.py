@@ -490,3 +490,20 @@ def test_exact_dedup_auto_switches_to_distributed():
     pd.testing.assert_frame_equal(got_dist, got_driver)
     exp_ids = df.groupby("text")["doc_id"].min().sort_values().to_numpy()
     assert np.array_equal(got_dist["doc_id"].to_numpy(), exp_ids)
+
+
+def test_word_frequencies_unicode_whitespace_matches_encoder():
+    """Train-time and encode-time tokenization must be the SAME function:
+    NBSP / vertical-tab / ideographic space split exactly like
+    str.split() on both sides (r02 advice: the old Arrow RE2 \\s+ was
+    ASCII-only, so the vocab diverged from encode-time words)."""
+    from rustac_ray.stages.tokenize import word_frequencies
+
+    texts = ["a b c", "d\x0be　f", "g  h"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    wf = word_frequencies(rd.from_pandas(df))
+    expected = {}
+    for t in texts:
+        for w in t.split():
+            expected[w] = expected.get(w, 0) + 1
+    assert wf == expected
