@@ -43,6 +43,9 @@ __all__ = [
 ]
 
 _MERSENNE = (1 << 61) - 1
+# multiplicative inverse of the shingle base mod 2^64 (257 is odd), used
+# by the prefix-product rolling hash in MinHasher.signatures
+_INV257 = np.uint64(pow(257, -1, 2**64))
 
 
 def _all_pair_indices(length: int) -> tuple[np.ndarray, np.ndarray]:
@@ -275,6 +278,8 @@ class MinHasher:
             return np.unique(windows @ weights)
 
     def signature(self, text: str) -> np.ndarray:
+        """Scalar reference path (oracles/tests); the batch path below is
+        the vectorized equivalent and must stay bit-identical to this."""
         sh = self.shingle_hashes(text)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
@@ -282,8 +287,92 @@ class MinHasher:
             vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    def signatures(self, texts) -> np.ndarray:
+        """(D, num_perm) signatures for a whole batch with ONE numpy pass
+        (r02 verdict #7: the per-doc ``signature()`` loop was the last
+        Python dispatch on the 100-TB text path). All texts' bytes are
+        concatenated (short docs zero-padded to the shingle width, same
+        as ``shingle_hashes``), every k-byte window is hashed at once,
+        windows crossing document boundaries are masked out, the batch's
+        UNIQUE shingle hashes go through the (a·x+b) mod p family once,
+        and per-doc minima come from chunked ``np.minimum.reduceat``
+        (chunks bound the (num_perm × windows) gather)."""
+        k = self.shingle
+        D = len(texts)
+        if D == 0:
+            return np.zeros((0, self.num_perm), np.uint64)
+        bufs = []
+        for t in texts:
+            b = t.lower().encode("utf-8", "ignore")
+            bufs.append(b if len(b) >= k else b.ljust(k, b"\0"))
+        lens = np.fromiter((len(b) for b in bufs), np.int64, D)
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        counts = lens - k + 1  # windows per doc (≥ 1 after padding)
+        if counts.mean() >= 96:
+            # LONG docs: the per-doc path is cache-resident (each doc's
+            # unique-shingle × num_perm mod array stays in L2) and measured
+            # 3× faster than any batch-global variant; the batch path
+            # below wins only when Python dispatch dominates (many tiny
+            # docs — the 100-TB web-text shape). Both are bit-identical.
+            return np.stack([self.signature(t) for t in texts])
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # valid window starts: offsets[d] .. offsets[d] + counts[d] - 1
+        total = int(counts.sum())
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        starts = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(bounds[:-1], counts)
+            + np.repeat(offsets, counts)
+        )
+        # all window hashes in O(bytes) u64 ops via prefix products:
+        # h_i = Σ_j data[i+j]·257^j = (S[i+k] − S[i])·257^{-i}, everything
+        # mod 2^64 (257 is odd ⇒ invertible) — BIT-IDENTICAL to the
+        # windows @ weights matmul, without the (W, k) gather/astype
+        N = len(data)
+        with np.errstate(over="ignore"):
+            pw = np.full(N, np.uint64(257))
+            pw[0] = np.uint64(1)
+            pw = np.cumprod(pw, dtype=np.uint64)
+            S = np.empty(N + 1, np.uint64)
+            S[0] = np.uint64(0)
+            np.cumsum(data.astype(np.uint64) * pw, dtype=np.uint64, out=S[1:])
+            ipw = np.full(N, _INV257)
+            ipw[0] = np.uint64(1)
+            ipw = np.cumprod(ipw, dtype=np.uint64)
+            h = ((S[k:] - S[:-k]) * ipw[: N - k + 1])[starts]
+            hu, inv = np.unique(h, return_inverse=True)
+            # dedupe (doc, shingle) PAIRS — Zipfy text repeats shingles
+            # within a doc, and duplicates cost num_perm multiplies each;
+            # one u64 key sort replaces the old per-doc np.unique
+            rowidx = np.repeat(np.arange(D, dtype=np.uint64), counts)
+            pairs = np.unique((rowidx << np.uint64(32)) | inv.astype(np.uint64))
+            rows = (pairs >> np.uint64(32)).astype(np.int64)
+            cols = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            pb = np.searchsorted(rows, np.arange(D + 1, dtype=np.int64))
+            # ONE 1-D gather of the deduped hashes; the permuted values are
+            # then computed CONTIGUOUSLY per chunk (a 2-D fancy-gather of a
+            # (num_perm, U) matrix measured 3× slower than the mods it
+            # saved — cache misses beat arithmetic)
+            hseg = hu[cols]
+        sig = np.empty((self.num_perm, D), np.uint64)
+        max_w = max(1, 4_000_000 // self.num_perm)
+        d0 = 0
+        while d0 < D:
+            d1 = d0 + 1
+            while d1 < D and pb[d1 + 1] - pb[d0] <= max_w:
+                d1 += 1
+            with np.errstate(over="ignore"):
+                seg = (
+                    self.a[:, None] * hseg[None, pb[d0]:pb[d1]] + self.b[:, None]
+                ) % np.uint64(_MERSENNE)
+            sig[:, d0:d1] = np.minimum.reduceat(
+                seg, (pb[d0:d1] - pb[d0]).astype(np.int64), axis=1
+            )
+            d0 = d1
+        return np.ascontiguousarray(sig.T)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"].astype(str)])
+        sigs = self.signatures([str(t) for t in batch["text"]])
         # bytes, not an object column of arrays: pandas->Arrow converts
         # bytes to native binary, while ndarray elements get PICKLED per
         # row by every shuffle that touches the block (measured: the LSH

@@ -507,3 +507,23 @@ def test_word_frequencies_unicode_whitespace_matches_encoder():
         for w in t.split():
             expected[w] = expected.get(w, 0) + 1
     assert wf == expected
+
+
+def test_minhash_signatures_batch_bit_identical():
+    """The vectorized batch signature path (rolling prefix-product hash +
+    deduped (doc, shingle) pairs, r02 verdict #7) must be BIT-identical
+    to the scalar reference on every doc shape: empty, shorter than the
+    shingle, unicode, tiny, long — and across the adaptive long/short
+    dispatch boundary."""
+    from rustac_ray.stages.dedup import MinHasher
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(80)]
+    short = [" ".join(rng.choice(words, int(rng.integers(0, 20)))) for _ in range(400)]
+    long_ = [" ".join(rng.choice(words, 300)) for _ in range(30)]
+    edge = ["", "a", "ab", "abc", "abcd", "é", "ÜNÏ  codé\t\n", "aaaa" * 50]
+    mh = MinHasher(num_perm=32, shingle=4)
+    for ts in (short + edge, long_ + edge, short[:10] + long_ + edge):
+        got = mh.signatures(ts)
+        ref = np.stack([mh.signature(t) for t in ts])
+        assert got.dtype == np.uint64 and np.array_equal(got, ref)
