@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "15"
+DERIVED_VERSION = "16"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -595,6 +595,64 @@ def _ivf_fixture(
         }
     )
     return cent_table, expected
+
+
+def _expected_ivfpq(
+    sf_dir: str, cent_table: pa.Table, books_table: pa.Table, *,
+    nprobe: int = 4, rerank: int = 50, k: int = 10
+) -> pa.Table:
+    """Scalar spec of the composed two-stage ANN: IVF probe lists (stable
+    argsort of -centroid sims), ADC over the probed rows (LUT accumulated
+    in subspace order), top-``rerank`` by (adc, id), exact cosine rerank
+    by (-cos, id), top-``k``. Consumes the SAME centroid/codebook
+    fixtures the engine is handed — per-row Python on purpose."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    m = vecs / np.maximum(norms, 1e-12)[:, None]
+    cent = np.asarray(cent_table["centroid"].to_pylist(), dtype=np.float64)
+    sub = len(books_table["centroid"][0])
+    m_sub = int(max(books_table["subspace"].to_pylist())) + 1
+    k_codes = int(max(books_table["code"].to_pylist())) + 1
+    books = np.asarray(
+        books_table["centroid"].to_pylist(), dtype=np.float64
+    ).reshape(m_sub, k_codes, sub)
+    assign = np.argmax(m @ cent.T, axis=1)
+    codes = np.zeros((len(m), m_sub), np.int64)
+    for j in range(m_sub):
+        xs = m[:, j * sub : (j + 1) * sub]
+        d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    out_q, out_v = [], []
+    for qi in range(len(ids)):
+        if ids[qi] >= 3:
+            continue
+        probes = set(
+            np.argsort(-(cent @ m[qi]), kind="stable")[:nprobe].tolist()
+        )
+        cand = [j for j in range(len(ids)) if int(assign[j]) in probes]
+        lut = np.stack([
+            ((books[j] - m[qi, j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+            for j in range(m_sub)
+        ])
+        adc = {}
+        for j2 in cand:
+            sc = lut[0, codes[j2, 0]]
+            for j in range(1, m_sub):
+                sc = sc + lut[j, codes[j2, j]]
+            adc[j2] = float(sc)
+        short = sorted(cand, key=lambda r: (adc[r], ids[r]))[:rerank]
+        best = sorted(short, key=lambda r: (-float(m[r] @ m[qi]), ids[r]))[:k]
+        for r in best:
+            out_q.append(str(ids[qi]))
+            out_v.append(int(ids[r]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
 
 
 def _pq_fixture(
@@ -1380,6 +1438,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     pq_books, pq_expected = _pq_fixture(sf_dir)
     write("pq_codebooks.parquet", pq_books)
     write("expected_pq_topk.parquet", pq_expected)
+    write("expected_ivfpq_topk.parquet", _expected_ivfpq(sf_dir, cent, pq_books))
     write("stac_items_validate.parquet", _validation_fixture(fdir))
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
