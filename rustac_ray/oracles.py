@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "16"
+DERIVED_VERSION = "17"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1407,6 +1407,80 @@ def _expected_frame_stats(videos: pa.Table, every_n: int = 7) -> pa.Table:
         }
     )
 
+def _expected_composite(fdir: str, z: int = 8, tile_px: int = 32) -> pa.Table:
+    """Naive composite-mosaic twin: per image, per touched tile, a dense
+    (tile_px, tile_px) accumulator held in a python dict updated with
+    np.add.at — no packed ordinals, no bincount (double-implementation
+    vs stages/zonal._CompositePartial). Same one-floor-per-axis cell
+    assignment; render = per-cell integer floor mean, hex-encoded."""
+    import glob as _glob
+
+    from .geo import tiles as T
+    from .imaging.codec import decode_image
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"))]
+    )
+    # same deterministic id-mod subset the query wrapper applies
+    keep = [i for i in range(len(imgs))
+            if int(imgs["image_id"][i].as_py()[4:]) % 10 == 0]
+    imgs = imgs.take(pa.array(keep))
+    n = 1 << z
+    gmax = n * tile_px - 1
+    acc: dict[int, list] = {}
+    n_imgs: dict[int, int] = {}
+    for i in range(len(imgs)):
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        h, w = px.shape[0], px.shape[1]
+        cx = x0 + res * (np.arange(w, dtype=np.float64) + 0.5)
+        cy = y0 - res * (np.arange(h, dtype=np.float64) + 0.5)
+        gx, gy = np.meshgrid(cx, cy)
+        sx = np.clip((T._xfrac(gx.ravel()) * (n * tile_px)).astype(np.int64), 0, gmax)
+        sy = np.clip((T._yfrac(gy.ravel()) * (n * tile_px)).astype(np.int64), 0, gmax)
+        keys = T.tile_key(z, sx // tile_px, sy // tile_px).astype(np.int64)
+        flat = px.reshape(-1, 3).astype(np.int64)
+        for key in np.unique(keys):
+            m = keys == key
+            e = acc.setdefault(
+                int(key),
+                [np.zeros((tile_px, tile_px), np.int64),
+                 np.zeros((tile_px, tile_px, 3), np.int64)],
+            )
+            rr, cc = sy[m] % tile_px, sx[m] % tile_px
+            np.add.at(e[0], (rr, cc), 1)
+            np.add.at(e[1], (rr, cc), flat[m])
+            n_imgs[int(key)] = n_imgs.get(int(key), 0) + 1
+    out = {"tile_key": [], "z": [], "x": [], "y": [], "n_images": [],
+           "n_px_filled": [], "img_hex": []}
+    for key in sorted(acc):
+        cnt, sums = acc[key]
+        img = np.zeros((tile_px, tile_px, 3), np.uint8)
+        filled = cnt > 0
+        img[filled] = (sums[filled] // cnt[filled][:, None]).astype(np.uint8)
+        zz, x, y = T.tile_unkey(np.array([key], np.uint64))
+        out["tile_key"].append(key)
+        out["z"].append(int(zz[0]))
+        out["x"].append(int(x[0]))
+        out["y"].append(int(y[0]))
+        out["n_images"].append(n_imgs[key])
+        out["n_px_filled"].append(int(filled.sum()))
+        out["img_hex"].append(img.tobytes().hex())
+    return pa.table(
+        {
+            "tile_key": pa.array(out["tile_key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "n_images": pa.array(out["n_images"], pa.int64()),
+            "n_px_filled": pa.array(out["n_px_filled"], pa.int64()),
+            "img_hex": pa.array(out["img_hex"], pa.string()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1447,6 +1521,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_bpe.parquet", _expected_bpe(docs))
     write("expected_lm_scores.parquet", _expected_lm_scores(docs))
     write("expected_coverage.parquet", _expected_coverage(fdir))
+    write("expected_composite.parquet", _expected_composite(fdir))
     write("expected_hex_counts.parquet", _expected_hex_counts(fdir))
     import glob as _glob
 

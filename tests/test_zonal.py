@@ -358,3 +358,64 @@ def test_mosaic_delta_matches_two_pass(fixtures_dir):
     dm = (b.loc[both, "sum_r"] / b.loc[both, "n_pixels"]
           - a.loc[both, "sum_r"] / a.loc[both, "n_pixels"])
     assert (np.sign(g["delta_r_num"].to_numpy()) == np.sign(dm.to_numpy())).all()
+
+
+def test_composite_tiles_exact_and_layout_invariant(fixtures_dir):
+    """True pixel composite: per-cell floor-mean equals a direct dense
+    accumulation; identical across block layouts (the accumulator blobs
+    are exactly mergeable); pixel conservation: Σ counts == Σ decoded
+    pixels."""
+    from rustac_ray.geo import tiles as T
+    from rustac_ray.imaging.codec import decode_image
+    from rustac_ray.stages.zonal import composite_tiles
+
+    z, tpx = 8, 16
+    ds = _images_ds(fixtures_dir)
+    got = composite_tiles(ds, z=z, tile_px=tpx, concurrency=1).to_pandas()
+    got2 = composite_tiles(
+        rd.read_parquet(
+            f"{fixtures_dir}/images.parquet",
+            columns=["image_id", "bytes", "w", "h", "fmt", "transform"],
+        ).repartition(13),
+        z=z, tile_px=tpx, concurrency=2,
+    ).to_pandas()
+    a = got.sort_values("tile_key").reset_index(drop=True)
+    b = got2.sort_values("tile_key").reset_index(drop=True)
+    assert a["img"].map(bytes).tolist() == b["img"].map(bytes).tolist()
+    pd.testing.assert_frame_equal(a.drop(columns=["img"]), b.drop(columns=["img"]))
+
+    # direct dense twin over the raw images
+    imgs = pq.read_table(f"{fixtures_dir}/images.parquet",
+                         columns=["bytes", "fmt", "transform"])
+    n = 1 << z
+    gmax = n * tpx - 1
+    acc_c, acc_s = {}, {}
+    total_px = 0
+    for i in range(len(imgs)):
+        t = imgs["transform"][i].as_py()
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        h, w = px.shape[:2]
+        total_px += h * w
+        cx = t[2] + t[0] * (np.arange(w) + 0.5)
+        cy = t[5] - t[0] * (np.arange(h) + 0.5)
+        gx, gy = np.meshgrid(cx, cy)
+        sx = np.clip((T._xfrac(gx.ravel()) * (n * tpx)).astype(np.int64), 0, gmax)
+        sy = np.clip((T._yfrac(gy.ravel()) * (n * tpx)).astype(np.int64), 0, gmax)
+        keys = T.tile_key(z, sx // tpx, sy // tpx).astype(np.int64)
+        flat = px.reshape(-1, 3).astype(np.int64)
+        for key in np.unique(keys):
+            m = keys == key
+            c = acc_c.setdefault(int(key), np.zeros((tpx, tpx), np.int64))
+            s = acc_s.setdefault(int(key), np.zeros((tpx, tpx, 3), np.int64))
+            np.add.at(c, (sy[m] % tpx, sx[m] % tpx), 1)
+            np.add.at(s, (sy[m] % tpx, sx[m] % tpx), flat[m])
+    assert set(a["tile_key"]) == set(acc_c)
+    assert int(sum(c.sum() for c in acc_c.values())) == total_px
+    for _, row in a.iterrows():
+        c = acc_c[row["tile_key"]]
+        s = acc_s[row["tile_key"]]
+        exp = np.zeros((tpx, tpx, 3), np.uint8)
+        f = c > 0
+        exp[f] = (s[f] // c[f][:, None]).astype(np.uint8)
+        assert bytes(row["img"]) == exp.tobytes()
+        assert row["n_px_filled"] == int(f.sum())
