@@ -282,8 +282,25 @@ def run_bench() -> dict:
                 concurrency=max(2, num_cpus // 2),
             ).count()
             timings["tile_mosaic"] = time.perf_counter() - t0
-            _ck("heavy_hitters_200k")
+            _ck("composite_tiles")
             result_extra["mosaic_tiles"] = n_mosaic
+
+            # TRUE pixel composite: rendered rasters via payload groupby
+            t0 = time.perf_counter()
+            from rustac_ray.stages.zonal import composite_tiles
+
+            n_comp = composite_tiles(
+                rd.read_parquet(
+                    f"{fdir}/images.parquet",
+                    columns=["image_id", "bytes", "w", "h", "fmt", "transform"],
+                ),
+                z=8,
+                tile_px=32,
+                concurrency=max(2, num_cpus // 2),
+            ).count()
+            timings["composite_tiles"] = time.perf_counter() - t0
+            _ck("heavy_hitters_200k")
+            result_extra["composited_tiles"] = n_comp
 
             # text-hygiene ops over a 200k-doc (~13M-token) bench corpus
             from rustac_ray.stages.decontam import decontaminate, ngram_hash_set
@@ -323,10 +340,18 @@ def run_bench() -> dict:
             _ck("curated_shards_200k")
             result_extra["contaminated_docs"] = n_contam
 
-            # end-to-end curation: dedup -> decontaminate -> shard order
+            # standalone exact dedup at 200k docs (r02 verdict #4: the
+            # combine="auto" candidate count stays under the driver
+            # threshold here; the distributed path has its own pytest)
             from rustac_ray.stages.dedup import exact_dedup
             from rustac_ray.stages.shuffle import shuffle_positions
 
+            t0 = time.perf_counter()
+            exact_dedup(bench_docs(), col="text", id_col="doc_id").count()
+            timings["exact_dedup_200k"] = time.perf_counter() - t0
+            _ck("curated_shards_200k")
+
+            # end-to-end curation: dedup -> decontaminate -> shard order
             t0 = time.perf_counter()
             deduped = exact_dedup(bench_docs(), col="text", id_col="doc_id")
             train2 = deduped.map_batches(
