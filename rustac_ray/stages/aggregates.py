@@ -402,11 +402,21 @@ def scene_gaps(ds, *, group_col: str = "collection", ts_col: str = "datetime",
 
 def rolling_window_counts(ds, *, group_col: str = "collection",
                           ts_col: str = "datetime", id_col: str = "image_id",
-                          window_ms: int = 7 * 86_400_000):
+                          window_ms: int = 7 * 86_400_000,
+                          strategy: str = "seam"):
     """→ (id, group, n_in_window): per row, how many of its group's rows
     fall in the trailing ``window_ms`` (inclusive, RANGE-frame semantics:
     timestamp peers count regardless of tie order) — the rolling
     acquisition-rate feature, the LAG family's windowed sibling.
+
+    ``strategy="seam"`` (default) is below; ``strategy="bucket"`` is the
+    fully-distributed alternative for WIDE windows (window ≳ the time
+    span of a sorted block): rows replicate into their own W-bucket as
+    members and the next bucket as context, then a
+    ``groupby(group, bucket)`` task computes exact counts — no driver
+    involvement, group sizes bounded by bucket density, exactly the
+    shape to pick when the seam path's context volume
+    (O(batches × window density)) would flood the driver.
 
     Two-level seam design, NOT a per-key ``map_groups`` (r02 verdict #2):
     sort by (group, ts) range-partitions the triples; each contiguous
@@ -431,6 +441,52 @@ def rolling_window_counts(ds, *, group_col: str = "collection",
     import ray.data as rd
 
     from .seam import check_sorted_batch, contiguous_run_bounds, preserve_order_execution
+
+    if strategy == "bucket":
+        W = int(window_ms)
+
+        def explode(batch: pa.Table) -> pa.Table:
+            ts = batch[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+            g = np.asarray(batch[group_col].to_pylist(), dtype=object)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+            b = ts // W
+            return pa.table(
+                {
+                    group_col: pa.array(np.concatenate([g, g]), pa.string()),
+                    "bucket": pa.array(np.concatenate([b, b + 1]), pa.int64()),
+                    "t": pa.array(np.concatenate([ts, ts]), pa.int64()),
+                    id_col: pa.array(np.concatenate([ids, ids]), pa.string()),
+                    "member": pa.array(
+                        np.concatenate([np.ones(len(g), bool),
+                                        np.zeros(len(g), bool)])
+                    ),
+                }
+            )
+
+        def count_bucket(gdf: pd.DataFrame) -> pd.DataFrame:
+            t_all = np.sort(gdf["t"].to_numpy())
+            mem = gdf.loc[gdf["member"]]
+            tm = mem["t"].to_numpy()
+            # a member's window [t-W, t] spans exactly its own and the
+            # previous bucket — both present in this group by replication
+            n = np.searchsorted(t_all, tm, "right") - np.searchsorted(
+                t_all, tm - W, "left"
+            )
+            return pd.DataFrame(
+                {
+                    id_col: mem[id_col].to_numpy(),
+                    group_col: mem[group_col].to_numpy(),
+                    "n_in_window": n.astype(np.int64),
+                }
+            )
+
+        return (
+            ds.map_batches(explode, batch_format="pyarrow")
+            .groupby([group_col, "bucket"])
+            .map_groups(count_bucket, batch_format="pandas")
+        )
+    if strategy != "seam":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     out_schema = pa.schema(
         [(id_col, pa.string()), (group_col, pa.string()), ("n", pa.int64()),

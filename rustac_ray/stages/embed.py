@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-__all__ = ["brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "train_pq", "pq_encode", "pq_topk", "ivfpq_topk", "assign_clusters", "embedding_near_dup"]
+__all__ = ["brute_force_topk", "hard_negative_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids", "train_pq", "pq_encode", "pq_topk", "pq_topk_from_codes", "ivfpq_topk", "assign_clusters", "embedding_near_dup"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -793,3 +793,98 @@ def ivfpq_topk(
                         ascending=[True, False, True])
     out = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     return rd.from_pandas(out[["query_id", id_col, "cosine"]])
+
+
+def pq_topk_from_codes(
+    codes_ds, queries: dict, codebooks: np.ndarray, k: int, *,
+    id_col: str = "vec_id", codes_col: str = "codes",
+    batch_size: int = 65536, concurrency: int | tuple[int, int] = 2,
+):
+    """ADC top-k over a PRE-ENCODED code table (``pq_encode`` output) —
+    the actual billion-vector memory path: the scan reads m bytes per
+    vector, never the embeddings. Bit-identical ranking to
+    :func:`pq_topk` on the same codebooks (same sequential-order LUT
+    sums, same (dist, id) trim), verified by the shared oracle fixture.
+    """
+    import pandas as pd
+
+    import ray as _ray
+    import ray.data as rd
+
+    qref = _ray.put(queries)
+    bref = _ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    class _AdcCodes:
+        def __init__(self):
+            q = _ray.get(qref)
+            self.qids = list(q.keys())
+            qm = _normalize(np.asarray(list(q.values()), dtype=np.float64))
+            books = _ray.get(bref)
+            m, kc, sub = books.shape
+            self.m = m
+            # per-query LUTs once per actor: (Q, m, kc)
+            self.luts = np.stack([
+                np.stack([
+                    ((books[j] - qm[qi, j * sub:(j + 1) * sub][None, :]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ])
+                for qi in range(len(self.qids))
+            ])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table(
+                    {"query_id": pa.array([], pa.string()),
+                     id_col: pa.array([], pa.int64()),
+                     "adc_dist2": pa.array([], pa.float64())}
+                )
+            col = batch[codes_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = np.frombuffer(
+                b"".join(col.to_pylist()), np.uint8
+            ).reshape(n, self.m).astype(np.int64)
+            ids = batch[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            out_q, out_r, out_d = [], [], []
+            for qi, qid in enumerate(self.qids):
+                lut = self.luts[qi]
+                score = lut[0, codes[:, 0]].copy()
+                for j in range(1, self.m):
+                    score += lut[j, codes[:, j]]
+                kk = min(k, n)
+                part = np.argpartition(score, kk - 1)[:kk]
+                out_q.extend([qid] * kk)
+                out_r.append(part)
+                out_d.append(score[part])
+            rows = np.concatenate(out_r)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.string()),
+                    id_col: ids.take(pa.array(rows)),
+                    "adc_dist2": pa.array(np.concatenate(out_d), pa.float64()),
+                }
+            )
+
+    partials = codes_ds.map_batches(
+        _AdcCodes, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    parts = [
+        b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table({"query_id": pa.array([], pa.string()),
+                      id_col: pa.array([], pa.string()),
+                      "adc_dist2": pa.array([], pa.float64())})
+        )
+    df = pd.concat(parts, ignore_index=True).sort_values(
+        ["query_id", "adc_dist2", id_col], kind="mergesort"
+    )
+    return rd.from_pandas(
+        df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    )

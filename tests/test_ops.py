@@ -520,3 +520,28 @@ def test_ivfpq_rerank_beats_pq_only(sf_dir):
     a = got.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     b = got2.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_topk_from_codes_matches_fused(sf_dir):
+    """The pre-encoded-code-table scan (the m-bytes-per-vector memory
+    path) ranks bit-identically to the fused encode+scan pq_topk."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    books = embed.train_pq(ds, m=8, k=32)
+    queries = {str(int(ids[i])): m[i] for i in range(len(ids)) if ids[i] < 3}
+    a = (
+        embed.pq_topk(ds, queries, books, k=10, concurrency=1)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    codes = embed.pq_encode(ds, books)
+    b = (
+        embed.pq_topk_from_codes(codes, queries, books, k=10, concurrency=1)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b.reindex(columns=a.columns))

@@ -190,3 +190,27 @@ def test_coverage_area_planted_skew_strips():
         assert int(got.loc[g, "n_images"]) == len(sub)
         assert int(got.loc[g, "sum_box_cells"]) == exp_sum
         assert int(got.loc[g, "union_cells"]) == int(grid.sum())
+
+
+def test_rolling_bucket_strategy_matches_seam():
+    """strategy='bucket' (fully distributed, for windows wide enough to
+    flood the seam path's driver merge) must agree with the seam path
+    exactly, ties included."""
+    from rustac_ray.stages.aggregates import rolling_window_counts
+
+    df = _skewed_scenes(n=1800, seed=23)
+    ds = rd.from_pandas(df).repartition(17)
+    for W in (5_000, 40_000):
+        a = (
+            rolling_window_counts(ds, window_ms=W, strategy="seam")
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            rolling_window_counts(ds, window_ms=W, strategy="bucket")
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b.reindex(columns=a.columns))
