@@ -24,7 +24,7 @@ import ray
 from ..geo import tiles
 from .footprint import derive_footprints
 
-__all__ = ["assign_tiles", "tile_counts", "hot_tile_set", "DEFAULT_ZOOM"]
+__all__ = ["assign_tiles", "tile_counts", "hot_tile_set", "hex_density_smoothed", "DEFAULT_ZOOM"]
 
 DEFAULT_ZOOM = 8
 
@@ -180,3 +180,62 @@ def tile_counts(assignments: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("tile_key")
         .aggregate(Sum("n", alias_name="n_scenes"))
     )
+
+
+def hex_density_smoothed(ds, *, size: float = 0.5, footprints_derived: bool = False):
+    """Ring-1-smoothed hexagonal density: → (hex_cell, n_images,
+    ring1_sum, smoothed) where ``ring1_sum`` is the total count of the 6
+    edge neighbors and ``smoothed = n_images + ring1_sum`` — the standard
+    hex-kernel density surface (spatial-noise suppression before
+    hot-spot thresholding), all int64-exact.
+
+    Scale shape: per-batch combiner counts → each count row REPLICATES to
+    its 6 neighbor ids as halo contributions (7 tiny int rows per
+    occupied cell, independent of image count) → one grouped Sum → filter
+    to occupied cells. Only occupied cells and their halos ever exist; no
+    dense grid, no driver merge.
+    """
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from ..geo.hex import hex_encode, hex_ring1
+    from .footprint import derive_footprints
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not footprints_derived:
+            batch = derive_footprints(batch)
+        cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+        cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+        cell = hex_encode(cx, cy, size)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        ring = hex_ring1(uniq)  # (U, 6)
+        cells = np.concatenate([uniq, ring.ravel()])
+        own = np.concatenate([cnt.astype(np.int64), np.zeros(ring.size, np.int64)])
+        halo = np.concatenate(
+            [np.zeros(len(uniq), np.int64), np.repeat(cnt.astype(np.int64), 6)]
+        )
+        return pa.table(
+            {
+                "hex_cell": pa.array(cells, pa.int64()),
+                "own": pa.array(own, pa.int64()),
+                "halo": pa.array(halo, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hex_cell")
+        .aggregate(Sum("own", alias_name="n_images"),
+                   Sum("halo", alias_name="ring1_sum"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater(b["n_images"], 0))
+        return b.append_column(
+            "smoothed",
+            pa.array(b["n_images"].to_numpy() + b["ring1_sum"].to_numpy(), pa.int64()),
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

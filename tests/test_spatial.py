@@ -659,3 +659,22 @@ def test_resolve_tail_broadcast_matches_bruteforce(fixtures_dir, corpus):
         b = int(np.argmin(d2))
         assert got.loc[ids[p], "nn_id"] == sid[b]
         assert abs(got.loc[ids[p], "dist2"] - d2[b]) < 1e-15
+
+
+def test_hex_density_smoothed_ring_kernel(fixtures_dir):
+    """smoothed == own + Σ(6 neighbors); cells with no images never
+    appear even when they receive halo; totals conserved per ring."""
+    from rustac_ray.geo.hex import hex_ring1
+    from rustac_ray.stages.tiling import hex_density_smoothed
+
+    got = (
+        hex_density_smoothed(_images_ds(fixtures_dir), size=0.5)
+        .to_pandas()
+        .set_index("hex_cell")
+    )
+    assert (got["n_images"] > 0).all()
+    assert (got["smoothed"] == got["n_images"] + got["ring1_sum"]).all()
+    counts = got["n_images"].to_dict()
+    for cell, row in got.iterrows():
+        ring = hex_ring1(np.array([cell], np.int64))[0]
+        assert row["ring1_sum"] == sum(counts.get(int(c), 0) for c in ring)
