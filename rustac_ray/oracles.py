@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "17"
+DERIVED_VERSION = "18"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1481,6 +1481,80 @@ def _expected_composite(fdir: str, z: int = 8, tile_px: int = 32) -> pa.Table:
     )
 
 
+def _expected_composite_latest(fdir: str, z: int = 8, tile_px: int = 32) -> pa.Table:
+    """Naive latest-pixel composite twin: python dict keyed by
+    (tile, cell) holding the current (ts, image_id, rgb) winner, updated
+    pixel-by-pixel with explicit comparisons (newer ts wins; equal ts →
+    lexicographically smaller id wins; within an image the FIRST
+    row-major pixel per cell counts). Same one-floor-per-axis cell math
+    as the engine; completely different accumulation structure."""
+    import glob as _glob
+
+    from .geo import tiles as T
+    from .imaging.codec import decode_image
+
+    imgs = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+        or [pq.read_table(os.path.join(fdir, "images.parquet"))]
+    )
+    keep = [i for i in range(len(imgs))
+            if int(imgs["image_id"][i].as_py()[4:]) % 10 == 0]
+    imgs = imgs.take(pa.array(keep))
+    n = 1 << z
+    gmax = n * tile_px - 1
+    best: dict = {}
+    for i in range(len(imgs)):
+        t = imgs["transform"][i].as_py()
+        res, x0, y0 = t[0], t[2], t[5]
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        h, w = px.shape[0], px.shape[1]
+        iid = imgs["image_id"][i].as_py()
+        its = int(np.datetime64(imgs["datetime"][i].as_py(), "ms").astype(np.int64))
+        cx = x0 + res * (np.arange(w, dtype=np.float64) + 0.5)
+        cy = y0 - res * (np.arange(h, dtype=np.float64) + 0.5)
+        gx, gy = np.meshgrid(cx, cy)
+        sx = np.clip((T._xfrac(gx.ravel()) * (n * tile_px)).astype(np.int64), 0, gmax)
+        sy = np.clip((T._yfrac(gy.ravel()) * (n * tile_px)).astype(np.int64), 0, gmax)
+        keys = T.tile_key(z, sx // tile_px, sy // tile_px).astype(np.int64)
+        cells = (sy % tile_px) * tile_px + (sx % tile_px)
+        flat = px.reshape(-1, 3)
+        seen = set()
+        for j in range(len(keys)):
+            kc = (int(keys[j]), int(cells[j]))
+            if kc in seen:
+                continue
+            seen.add(kc)
+            cur = best.get(kc)
+            if cur is None or its > cur[0] or (its == cur[0] and iid < cur[1]):
+                best[kc] = (its, iid, tuple(int(v) for v in flat[j]))
+    per_tile: dict = {}
+    for (key, cell), (_, _, rgb) in best.items():
+        per_tile.setdefault(key, {})[cell] = rgb
+    out = {"tile_key": [], "z": [], "x": [], "y": [], "n_px_filled": [],
+           "img_hex": []}
+    for key in sorted(per_tile):
+        raster = np.zeros((tile_px * tile_px, 3), np.uint8)
+        for cell, rgb in per_tile[key].items():
+            raster[cell] = rgb
+        zz, x, y = T.tile_unkey(np.array([key], np.uint64))
+        out["tile_key"].append(key)
+        out["z"].append(int(zz[0]))
+        out["x"].append(int(x[0]))
+        out["y"].append(int(y[0]))
+        out["n_px_filled"].append(len(per_tile[key]))
+        out["img_hex"].append(raster.tobytes().hex())
+    return pa.table(
+        {
+            "tile_key": pa.array(out["tile_key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "n_px_filled": pa.array(out["n_px_filled"], pa.int64()),
+            "img_hex": pa.array(out["img_hex"], pa.string()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1522,6 +1596,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_lm_scores.parquet", _expected_lm_scores(docs))
     write("expected_coverage.parquet", _expected_coverage(fdir))
     write("expected_composite.parquet", _expected_composite(fdir))
+    write("expected_composite_latest.parquet", _expected_composite_latest(fdir))
     write("expected_hex_counts.parquet", _expected_hex_counts(fdir))
     import glob as _glob
 

@@ -42,6 +42,7 @@ __all__ = [
     "sample_raster_at_points",
     "tile_pixel_stats",
     "composite_tiles",
+    "composite_tiles_latest",
     "mosaic_delta",
     "write_mosaic_pyramid",
     "Zones",
@@ -807,6 +808,166 @@ def composite_tiles(
                 "n_images": [int(g["n_images"].sum())],
                 "n_px_filled": [int(filled.sum())],
                 "img": [img.tobytes()],
+            }
+        )
+
+    return partials.groupby("tile_key").map_groups(
+        merge_render, batch_format="pandas"
+    )
+
+
+class _CompositeLatestPartial:
+    """Sparse per-(batch, tile) partial for the LATEST-pixel composite:
+    per output cell, the (ts, rgb, image_id) of the newest source pixel —
+    deterministic total order (ts desc, image_id asc, first source pixel
+    in row-major order within an image). Exactly mergeable: the same
+    order decides across partials."""
+
+    def __init__(self, z: int, tile_px: int, strict: bool = True):
+        self.z = z
+        self.tpx = tile_px
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geo import tiles as T
+        from .footprint import _transform_matrix
+
+        z, tpx = self.z, self.tpx
+        tpx2 = tpx * tpx
+        n = 1 << z
+        gmax = n * tpx - 1
+        tr = _transform_matrix(batch)
+        res, lon0, lat0 = tr[:, 0], tr[:, 2], tr[:, 5]
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        ts = batch["datetime"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        empty = pa.schema(
+            [("tile_key", pa.int64()), ("pos", pa.binary()), ("ts", pa.binary()),
+             ("rgb", pa.binary()), ("img", pa.list_(pa.string()))]
+        ).empty_table()
+        rows = {"key": [], "pos": [], "ts": [], "rgb": [], "img": []}
+        # per image: first-in-row-major pixel per cell, then fold into the
+        # batch-level per-(tile, cell) winner
+        per_img = []
+        for i in range(len(batch)):
+            try:
+                px = decode_image(payloads[i], fmts[i])
+            except LossyCodecUnavailable:
+                if self.strict:
+                    raise
+                continue
+            h, w = px.shape[0], px.shape[1]
+            cx = lon0[i] + res[i] * (np.arange(w, dtype=np.float64) + 0.5)
+            cy = lat0[i] - res[i] * (np.arange(h, dtype=np.float64) + 0.5)
+            gx, gy = np.meshgrid(cx, cy)
+            sx = np.clip((T._xfrac(gx.ravel()) * (n * tpx)).astype(np.int64), 0, gmax)
+            sy = np.clip((T._yfrac(gy.ravel()) * (n * tpx)).astype(np.int64), 0, gmax)
+            k = T.tile_key(z, sx // tpx, sy // tpx).astype(np.int64)
+            cell = (sy % tpx) * tpx + (sx % tpx)
+            # pack on the MORTON part only (z lives at bit 58 — a naive
+            # key*tpx² would overflow int64): morton < 2^(2z) ≤ 2^30
+            morton = k & ((np.int64(1) << np.int64(58)) - 1)
+            bins = morton * tpx2 + cell
+            first = np.unique(bins, return_index=True)[1]
+            per_img.append(
+                (bins[first], k[first], px.reshape(-1, 3)[first], i)
+            )
+        if not per_img:
+            return empty
+        all_bins = np.concatenate([b for b, _, _, _ in per_img])
+        all_k = np.concatenate([kk for _, kk, _, _ in per_img])
+        all_rgb = np.concatenate([r for _, _, r, _ in per_img])
+        all_img = np.concatenate(
+            [np.full(len(b), i, np.int64) for b, _, _, i in per_img]
+        )
+        all_ts = ts[all_img]
+        ids_np = np.asarray(ids, dtype=object)
+        order = np.lexsort((ids_np[all_img], -all_ts, all_bins))
+        ob = all_bins[order]
+        keep = np.concatenate([[True], ob[1:] != ob[:-1]])
+        sel = order[keep]
+        bins_w = all_bins[sel]
+        tile_w = all_k[sel]
+        pos_w = (bins_w % tpx2).astype(np.int32)
+        ts_w = all_ts[sel]
+        rgb_w = all_rgb[sel].astype(np.uint8)
+        img_w = ids_np[all_img[sel]]
+        uniq_tiles = np.unique(tile_w)
+        bounds = np.searchsorted(tile_w, np.concatenate([uniq_tiles, [tile_w[-1] + 1]]))
+        for t in range(len(uniq_tiles)):
+            s0, e0 = bounds[t], bounds[t + 1]
+            rows["key"].append(int(uniq_tiles[t]))
+            rows["pos"].append(pos_w[s0:e0].tobytes())
+            rows["ts"].append(ts_w[s0:e0].tobytes())
+            rows["rgb"].append(rgb_w[s0:e0].tobytes())
+            rows["img"].append(list(img_w[s0:e0]))
+        return pa.table(
+            {
+                "tile_key": pa.array(rows["key"], pa.int64()),
+                "pos": pa.array(rows["pos"], pa.binary()),
+                "ts": pa.array(rows["ts"], pa.binary()),
+                "rgb": pa.array(rows["rgb"], pa.binary()),
+                "img": pa.array(rows["img"], pa.list_(pa.string())),
+            }
+        )
+
+
+def composite_tiles_latest(
+    images_ds,
+    z: int = 8,
+    *,
+    tile_px: int = 32,
+    strict: bool = True,
+    concurrency: int = 2,
+    batch_size: int = DEFAULT_IMAGE_BATCH,
+):
+    """Temporal composite: per output cell the NEWEST scene's pixel wins
+    (ts desc, image_id asc on ties, first row-major source pixel within
+    an image) — the standard Earth-observation 'latest pixel' mosaic.
+    → (tile_key, z, x, y, n_px_filled, img) with ``img`` the rendered
+    uint8 raster (empty cells 0). Same sparse-partial payload-groupby
+    shape as :func:`composite_tiles`; the winner rule is a total order,
+    so merging partials in any grouping is exact.
+    """
+    import ray.data as rd  # noqa: F401
+
+    tpx2 = tile_px * tile_px
+    partials = images_ds.map_batches(
+        _CompositeLatestPartial,
+        fn_constructor_args=(z, tile_px, strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def merge_render(g: pd.DataFrame) -> pd.DataFrame:
+        key = int(g["tile_key"].iloc[0])
+        pos = np.concatenate([np.frombuffer(b, np.int32) for b in g["pos"]])
+        ts = np.concatenate([np.frombuffer(b, np.int64) for b in g["ts"]])
+        rgb = np.concatenate(
+            [np.frombuffer(b, np.uint8).reshape(-1, 3) for b in g["rgb"]]
+        )
+        img_ids = np.asarray(
+            [i for lst in g["img"] for i in lst], dtype=object
+        )
+        order = np.lexsort((img_ids, -ts, pos))
+        op = pos[order]
+        keep = np.concatenate([[True], op[1:] != op[:-1]])
+        sel = order[keep]
+        raster = np.zeros((tpx2, 3), np.uint8)
+        raster[pos[sel]] = rgb[sel]
+        from ..geo import tiles as T
+
+        zz, x, y = T.tile_unkey(np.array([key], np.uint64))
+        return pd.DataFrame(
+            {
+                "tile_key": [key],
+                "z": [int(zz[0])],
+                "x": [int(x[0])],
+                "y": [int(y[0])],
+                "n_px_filled": [int(keep.sum())],
+                "img": [raster.tobytes()],
             }
         )
 

