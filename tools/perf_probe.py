@@ -28,6 +28,7 @@ def _work(args):
     j.pq = PreparedQueries(q)
     j.derive = True
     j._prepared = {}
+    j.emit = "pairs"
     import pyarrow as pa
 
     j._qid_arr = pa.array(j.pq.query_ids, type=pa.string())
