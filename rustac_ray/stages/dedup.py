@@ -40,6 +40,7 @@ __all__ = [
     "SimHasher",
     "phash_near_dup",
     "ngram_jaccard",
+    "paragraph_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1046,3 +1047,109 @@ def incremental_dedup(new_ds, prior_ds, col: str = "text", id_col: str = "doc_id
         return batch.loc[~dup]
 
     return new_ds.map_batches(fresh, batch_format="pandas")
+
+
+def paragraph_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
+                    sep: str = "\n\n", combine: str = "auto",
+                    driver_max_candidates: int = 2_000_000,
+                    num_partitions: int = 32):
+    """Cross-corpus PARAGRAPH-level exact dedup (the FineWeb/C4 hygiene
+    pass): split each document on ``sep``; a paragraph survives only at
+    its winner instance — lexicographically minimal (id, position) over
+    every occurrence corpus-wide (so repeated boilerplate keeps exactly
+    one copy, in the lowest-id document, at its first position there) —
+    and documents reassemble from their surviving paragraphs in original
+    order. → (id, text, n_paras, n_kept); documents left empty are
+    dropped.
+
+    Scale shape: pass 1 ships only (paragraph-hash, packed winner key)
+    pairs pre-minimized per block; the winner table follows
+    ``exact_dedup``'s combine="auto" rule (driver merge under the
+    candidate threshold, ``groupby(hash).Min`` + broadcast above it —
+    winner keys are ≤ 16 bytes/distinct paragraph either way). Pass 2
+    re-splits each document locally and masks against the broadcast
+    winner table — reassembly is per-row, so paragraphs NEVER shuffle.
+    """
+    import ray as _ray
+    import ray.data as rd  # noqa: F401
+
+    _PACK = 1 << 20  # positions per document (guarded below)
+
+    def _explode(batch: pd.DataFrame):
+        paras = batch[col].astype(str).str.split(sep, regex=False)
+        ex = paras.explode()
+        idx = ex.groupby(level=0).cumcount().to_numpy()
+        if len(idx) and idx.max() >= _PACK:
+            raise ValueError("paragraph_dedup: >2^20 paragraphs in one doc")
+        ids = batch[id_col].loc[ex.index].to_numpy()
+        h = pd.util.hash_pandas_object(
+            ex.astype(str), index=False
+        ).to_numpy().view(np.int64)
+        return h, ids.astype(np.int64) * _PACK + idx
+
+    def winners(batch: pd.DataFrame) -> pd.DataFrame:
+        h, pack = _explode(batch)
+        out = pd.DataFrame({"_h": h, "_w": pack})
+        return out.groupby("_h", sort=False, as_index=False).min()
+
+    cand = ds.map_batches(winners, batch_format="pandas").materialize()
+    if combine == "driver" or (
+        combine == "auto" and cand.count() <= driver_max_candidates
+    ):
+        parts = [
+            b.to_pandas() for b in cand.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("_h", sort=False, as_index=False)
+            .min()
+            if parts else pd.DataFrame({"_h": [], "_w": []})
+        )
+    else:
+        from ray.data.aggregate import Min
+
+        merged = (
+            cand.groupby("_h").aggregate(Min("_w", alias_name="_w")).to_pandas()
+        )
+    order = np.argsort(merged["_h"].to_numpy())
+    hs = merged["_h"].to_numpy()[order]
+    ws = merged["_w"].to_numpy()[order]
+    table_ref = _ray.put((hs, ws))
+
+    class _Keep:
+        def __init__(self):
+            self.hs, self.ws = _ray.get(table_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            paras = batch[col].astype(str).str.split(sep, regex=False)
+            ex = paras.explode()
+            idx = ex.groupby(level=0).cumcount().to_numpy()
+            ids = batch[id_col].loc[ex.index].to_numpy()
+            h = pd.util.hash_pandas_object(
+                ex.astype(str), index=False
+            ).to_numpy().view(np.int64)
+            pos = np.searchsorted(self.hs, h)
+            pos[pos == len(self.hs)] = max(len(self.hs) - 1, 0)
+            win = (
+                (self.hs[pos] == h)
+                & (self.ws[pos] == ids.astype(np.int64) * _PACK + idx)
+                if len(self.hs) else np.zeros(len(h), bool)
+            )
+            keep = pd.Series(win, index=ex.index)
+            kept_text = (
+                ex[keep.to_numpy()].groupby(level=0).agg(sep.join)
+            )
+            n_paras = ex.groupby(level=0).size()
+            n_kept = keep.groupby(level=0).sum()
+            out = pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    col: kept_text.reindex(batch.index),
+                    "n_paras": n_paras.reindex(batch.index).fillna(0).astype(np.int64),
+                    "n_kept": n_kept.reindex(batch.index).fillna(0).astype(np.int64),
+                }
+            )
+            return out.loc[out["n_kept"] > 0]
+
+    return ds.map_batches(_Keep, batch_format="pandas", concurrency=2)

@@ -527,3 +527,45 @@ def test_minhash_signatures_batch_bit_identical():
         got = mh.signatures(ts)
         ref = np.stack([mh.signature(t) for t in ts])
         assert got.dtype == np.uint64 and np.array_equal(got, ref)
+
+
+def test_paragraph_dedup_winner_rule():
+    """Boilerplate keeps exactly one copy at (min id, first position);
+    within-doc repeats collapse; empty docs drop; reassembly preserves
+    original paragraph order."""
+    from rustac_ray.stages.dedup import paragraph_dedup
+
+    sep = "\n\n"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([3, 1, 2, 9], np.int64),
+            "text": [
+                sep.join(["boiler", "unique-c", "boiler"]),   # id 3
+                sep.join(["boiler", "unique-a"]),             # id 1: wins boiler
+                sep.join(["unique-b", "boiler"]),             # id 2
+                "boiler",                                      # id 9: all dup → dropped
+            ],
+        }
+    )
+    out = (
+        paragraph_dedup(rd.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out.loc[0, "text"] == sep.join(["boiler", "unique-a"])
+    assert out.loc[1, "text"] == "unique-b"
+    assert out.loc[2, "text"] == "unique-c"
+    assert out["n_paras"].tolist() == [2, 2, 3]
+    assert out["n_kept"].tolist() == [2, 1, 1]
+
+    # distributed winner path agrees exactly
+    out2 = (
+        paragraph_dedup(rd.from_pandas(df).repartition(4), combine="auto",
+                        driver_max_candidates=1, num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
