@@ -45,6 +45,7 @@ __all__ = [
     "composite_tiles_latest",
     "mosaic_delta",
     "write_mosaic_pyramid",
+    "write_composite_pyramid",
     "Zones",
 ]
 
@@ -973,4 +974,41 @@ def composite_tiles_latest(
 
     return partials.groupby("tile_key").map_groups(
         merge_render, batch_format="pandas"
+    )
+
+
+def write_composite_pyramid(
+    images_ds,
+    out_dir: str,
+    *,
+    z: int = 8,
+    tile_px: int = 32,
+    reducer: str = "mean",
+    strict: bool = True,
+    concurrency: int = 2,
+    resume: bool = True,
+) -> list[dict]:
+    """Materialize the RENDERED composite mosaic (``reducer="mean"`` →
+    :func:`composite_tiles`, ``"latest"`` → :func:`composite_tiles_latest`)
+    as resumable Morton-sorted partitioned parquet with a lineage
+    manifest — each output file covers a contiguous Z-order tile range (a
+    compact map region) and finished partitions skip on re-run, same
+    contract as :func:`write_mosaic_pyramid`."""
+    from ..state.manifest import write_partitioned
+
+    if reducer == "mean":
+        comp = composite_tiles(
+            images_ds, z=z, tile_px=tile_px, strict=strict,
+            concurrency=concurrency,
+        )
+    elif reducer == "latest":
+        comp = composite_tiles_latest(
+            images_ds, z=z, tile_px=tile_px, strict=strict,
+            concurrency=concurrency,
+        )
+    else:
+        raise ValueError(f"unknown reducer {reducer!r}")
+    return write_partitioned(
+        comp.sort("tile_key"), out_dir, resume=resume,
+        digest_cols=["tile_key", "n_px_filled"],
     )

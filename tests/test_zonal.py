@@ -482,3 +482,33 @@ def test_composite_latest_tie_rules_and_layout(fixtures_dir):
         concurrency=1,
     ).to_pandas().sort_values("tile_key").reset_index(drop=True)
     assert mean_c["n_px_filled"].tolist() == ra["n_px_filled"].tolist()
+
+
+def test_write_composite_pyramid_resume(fixtures_dir, tmp_path):
+    import glob
+    import os
+
+    from rustac_ray.stages.zonal import write_composite_pyramid
+
+    out = str(tmp_path / "comp_pyr")
+
+    def _ds():
+        return rd.read_parquet(
+            f"{fixtures_dir}/images.parquet",
+            columns=["image_id", "bytes", "w", "h", "fmt", "transform",
+                     "datetime"],
+        )
+
+    recs = write_composite_pyramid(_ds(), out, z=8, tile_px=16,
+                                   reducer="latest")
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert files and os.path.exists(f"{out}/_manifest.jsonl")
+    total = sum(r["rows"] for r in recs)
+    t = pq.read_table(files[0])
+    assert {"tile_key", "img", "n_px_filled"} <= set(t.column_names)
+    # resume: second run rewrites nothing
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    recs2 = write_composite_pyramid(_ds(), out, z=8, tile_px=16,
+                                    reducer="latest")
+    assert sum(r["rows"] for r in recs2) == total
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
