@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "18"
+DERIVED_VERSION = "19"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1555,6 +1555,101 @@ def _expected_composite_latest(fdir: str, z: int = 8, tile_px: int = 32) -> pa.T
     )
 
 
+def _residual_pq_fixture(
+    sf_dir: str, cent_table: pa.Table, *, m_sub: int = 8, k_codes: int = 32,
+    seed: int = 42
+) -> pa.Table:
+    """Offline-trained RESIDUAL PQ codebooks (x_norm − nearest centroid),
+    plainly-coded per-subspace L2 k-means — consumed by the engine's
+    ivfpq_residual_topk, same offline-quantizer pattern as _pq_fixture."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    m = vecs / np.maximum(norms, 1e-12)[:, None]
+    cent = np.asarray(cent_table["centroid"].to_pylist(), dtype=np.float64)
+    resid = m - cent[np.argmax(m @ cent.T, axis=1)]
+    dim = resid.shape[1]
+    sub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m_sub, k_codes, sub))
+    for j in range(m_sub):
+        xs = resid[:, j * sub : (j + 1) * sub]
+        cb = xs[rng.choice(len(xs), size=min(k_codes, len(xs)), replace=False)].copy()
+        for _ in range(10):
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cb)):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+    return pa.table(
+        {
+            "subspace": pa.array(np.repeat(np.arange(m_sub), k_codes), pa.int64()),
+            "code": pa.array(np.tile(np.arange(k_codes), m_sub), pa.int64()),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(books.reshape(-1, sub).ravel(), pa.float64()), sub
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+
+
+def _expected_ivfpq_residual(
+    sf_dir: str, cent_table: pa.Table, books_table: pa.Table, *,
+    nprobe: int = 4, rerank: int = 50, k: int = 10
+) -> pa.Table:
+    """Scalar spec of residual IVFADC + exact rerank: per query, per
+    probed list c, ADC LUT from (q − centroid_c); rows coded from their
+    OWN list's residual; (adc, id) shortlist; (-cos, id) rerank."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    m = vecs / np.maximum(norms, 1e-12)[:, None]
+    cent = np.asarray(cent_table["centroid"].to_pylist(), dtype=np.float64)
+    sub = len(books_table["centroid"][0])
+    m_sub = int(max(books_table["subspace"].to_pylist())) + 1
+    k_codes = int(max(books_table["code"].to_pylist())) + 1
+    books = np.asarray(
+        books_table["centroid"].to_pylist(), dtype=np.float64
+    ).reshape(m_sub, k_codes, sub)
+    assign = np.argmax(m @ cent.T, axis=1)
+    resid = m - cent[assign]
+    codes = np.zeros((len(m), m_sub), np.int64)
+    for j in range(m_sub):
+        xs = resid[:, j * sub : (j + 1) * sub]
+        d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    out_q, out_v = [], []
+    for qi in range(len(ids)):
+        if ids[qi] >= 3:
+            continue
+        probes = np.argsort(-(cent @ m[qi]), kind="stable")[:nprobe]
+        adc = {}
+        for c in probes:
+            t = m[qi] - cent[c]
+            lut = np.stack([
+                ((books[j] - t[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+                for j in range(m_sub)
+            ])
+            for j2 in np.flatnonzero(assign == c):
+                sc = lut[0, codes[j2, 0]]
+                for j in range(1, m_sub):
+                    sc = sc + lut[j, codes[j2, j]]
+                adc[int(j2)] = float(sc)
+        short = sorted(adc, key=lambda r: (adc[r], ids[r]))[:rerank]
+        best = sorted(short, key=lambda r: (-float(m[r] @ m[qi]), ids[r]))[:k]
+        for r in best:
+            out_q.append(str(ids[qi]))
+            out_v.append(int(ids[r]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1587,6 +1682,10 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("pq_codebooks.parquet", pq_books)
     write("expected_pq_topk.parquet", pq_expected)
     write("expected_ivfpq_topk.parquet", _expected_ivfpq(sf_dir, cent, pq_books))
+    res_books = _residual_pq_fixture(sf_dir, cent)
+    write("pq_residual_codebooks.parquet", res_books)
+    write("expected_ivfpq_residual.parquet",
+          _expected_ivfpq_residual(sf_dir, cent, res_books))
     write("stac_items_validate.parquet", _validation_fixture(fdir))
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
