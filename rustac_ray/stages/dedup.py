@@ -1064,12 +1064,24 @@ def paragraph_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
 
     Scale shape: pass 1 ships only (paragraph-hash, packed winner key)
     pairs pre-minimized per block; the winner table follows
-    ``exact_dedup``'s combine="auto" rule (driver merge under the
-    candidate threshold, ``groupby(hash).Min`` + broadcast above it —
-    winner keys are ≤ 16 bytes/distinct paragraph either way). Pass 2
-    re-splits each document locally and masks against the broadcast
-    winner table — reassembly is per-row, so paragraphs NEVER shuffle.
+    ``exact_dedup``'s combine="auto" rule. Pass 2 (apply) has two modes:
+
+    - broadcast (candidates ≤ ``driver_max_candidates``): the sorted
+      (hash, winner) arrays go out once via ``ray.put``; each block
+      re-splits its documents locally and masks — paragraphs never move.
+    - native join (above the threshold, or ``combine="shuffle"``): the
+      winner table alone already names every surviving position (a
+      winner key ``_w`` decodes to (doc, idx)), so NO corpus explode or
+      content shuffle is needed. Winner keys sort by (doc, idx) and
+      contiguous doc runs pack into one (doc, idx-list) row each —
+      batch-edge runs are seam rows, merged on the driver (O(batches),
+      same two-level trick as scene_gaps) — then ONE native hash join
+      on ``id_col`` ships each document's text to its kept-position
+      list and reassembly stays per-row. The only corpus-sized exchange
+      is that single equi-join; the winner table never materializes on
+      the driver or in any one task.
     """
+    import pyarrow.compute as pc
     import ray as _ray
     import ray.data as rd  # noqa: F401
 
@@ -1093,25 +1105,148 @@ def paragraph_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
         return out.groupby("_h", sort=False, as_index=False).min()
 
     cand = ds.map_batches(winners, batch_format="pandas").materialize()
-    if combine == "driver" or (
+    use_driver = combine == "driver" or (
         combine == "auto" and cand.count() <= driver_max_candidates
-    ):
-        parts = [
-            b.to_pandas() for b in cand.iter_batches(batch_format="pyarrow")
-            if len(b)
-        ]
-        merged = (
-            pd.concat(parts, ignore_index=True)
-            .groupby("_h", sort=False, as_index=False)
-            .min()
-            if parts else pd.DataFrame({"_h": [], "_w": []})
-        )
-    else:
+    )
+
+    if not use_driver:
         from ray.data.aggregate import Min
 
-        merged = (
-            cand.groupby("_h").aggregate(Min("_w", alias_name="_w")).to_pandas()
+        from .seam import contiguous_run_bounds, preserve_order_execution
+
+        win = cand.groupby("_h").aggregate(Min("_w", alias_name="_w"))
+
+        _PSCHEMA = pa.schema(
+            [(id_col, pa.int64()), ("_kidx", pa.binary()), ("_kind", pa.int8())]
         )
+
+        def pack_runs(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return _PSCHEMA.empty_table()
+            w = batch["_w"].to_numpy()
+            if np.any(np.diff(w) < 0):
+                raise RuntimeError(
+                    "paragraph_dedup: winner batch not sorted "
+                    "(preserve_order violated)"
+                )
+            doc = w // _PACK
+            idx = (w % _PACK).astype(np.int32)
+            bounds = contiguous_run_bounds(doc)
+            nruns = len(bounds) - 1
+            docs, blobs, kinds = [], [], []
+            for r, (s0, e0) in enumerate(zip(bounds[:-1], bounds[1:])):
+                docs.append(int(doc[s0]))
+                blobs.append(idx[s0:e0].tobytes())
+                kinds.append(1 if (r == 0 or r == nruns - 1) else 0)
+            return pa.table(
+                {
+                    id_col: pa.array(docs, pa.int64()),
+                    "_kidx": pa.array(blobs, pa.binary()),
+                    "_kind": pa.array(kinds, pa.int8()),
+                }
+            )
+
+        graph = (
+            win.map_batches(
+                lambda b: b.select(["_w"]), batch_format="pyarrow"
+            )
+            .sort("_w")
+            .map_batches(pack_runs, batch_format="pyarrow")
+        )
+        with preserve_order_execution():
+            packed = graph.materialize()
+
+        def _side(kind_val):
+            return packed.map_batches(
+                lambda b, k=kind_val: b.filter(
+                    pc.equal(b["_kind"], k)
+                ).drop_columns(["_kind"]),
+                batch_format="pyarrow",
+            )
+
+        interior = _side(0)
+        seam_parts = [
+            b.to_pandas()
+            for b in _side(1).iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        kept = interior
+        if seam_parts:
+            sdf = pd.concat(seam_parts, ignore_index=True)
+            rows_doc, rows_blob = [], []
+            for dv, sub in sdf.groupby(id_col, sort=False):
+                arr = np.sort(
+                    np.frombuffer(b"".join(sub["_kidx"].tolist()), np.int32)
+                )
+                rows_doc.append(int(dv))
+                rows_blob.append(arr.tobytes())
+            seam_ds = rd.from_arrow(
+                pa.table(
+                    {
+                        id_col: pa.array(rows_doc, pa.int64()),
+                        "_kidx": pa.array(rows_blob, pa.binary()),
+                    }
+                )
+            )
+            kept = interior.union(seam_ds)
+
+        joined = ds.join(
+            kept, join_type="inner", num_partitions=num_partitions,
+            on=(id_col,),
+        )
+
+        def apply_join(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(
+                    {id_col: pd.Series([], dtype=np.int64),
+                     col: pd.Series([], dtype=object),
+                     "n_paras": pd.Series([], dtype=np.int64),
+                     "n_kept": pd.Series([], dtype=np.int64)}
+                )
+            batch = batch.reset_index(drop=True)
+            paras = batch[col].astype(str).str.split(sep, regex=False)
+            ex = paras.explode()
+            eidx = ex.groupby(level=0).cumcount().to_numpy()
+            ekey = ex.index.to_numpy().astype(np.int64) * _PACK + eidx
+            blobs = batch["_kidx"].tolist()
+            counts = np.fromiter(
+                (len(b) // 4 for b in blobs), dtype=np.int64, count=len(blobs)
+            )
+            kidx = np.frombuffer(b"".join(blobs), np.int32).astype(np.int64)
+            krow = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            kkey = krow * _PACK + kidx  # sorted: row asc, idx asc per row
+            pos = np.searchsorted(kkey, ekey)
+            pos[pos == len(kkey)] = max(len(kkey) - 1, 0)
+            winm = kkey[pos] == ekey if len(kkey) else np.zeros(len(ekey), bool)
+            keep = pd.Series(winm, index=ex.index)
+            kept_text = ex[keep.to_numpy()].groupby(level=0).agg(sep.join)
+            n_paras = ex.groupby(level=0).size()
+            n_kept = keep.groupby(level=0).sum()
+            out = pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    col: kept_text.reindex(batch.index),
+                    "n_paras": n_paras.reindex(batch.index)
+                    .fillna(0).astype(np.int64),
+                    "n_kept": n_kept.reindex(batch.index)
+                    .fillna(0).astype(np.int64),
+                }
+            )
+            return out.loc[out["n_kept"] > 0]
+
+        return joined.map_batches(apply_join, batch_format="pandas")
+
+    parts = [
+        b.to_pandas() for b in cand.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    merged = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("_h", sort=False, as_index=False)
+        .min()
+        if parts else pd.DataFrame({"_h": [], "_w": []})
+    )
     order = np.argsort(merged["_h"].to_numpy())
     hs = merged["_h"].to_numpy()[order]
     ws = merged["_w"].to_numpy()[order]
