@@ -697,12 +697,27 @@ class _DWithinJoiner:
     work is P×N boolean ops + exact math only on survivors; no shuffle.
     """
 
-    def __init__(self, pts_ref, d: float, derive: bool = True):
+    def __init__(self, pts_ref, d: float, derive: bool = True,
+                 metric: str = "planar"):
         pts = ray.get(pts_ref) if isinstance(pts_ref, ray.ObjectRef) else pts_ref
         self.qid, self.px, self.py = pts
         self.d = float(d)
         self.derive = derive
+        if metric not in ("planar", "haversine"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
         self._qid_arr = pa.array(self.qid, type=pa.string())
+        if metric == "haversine":
+            # d is km; probe-side trig once per actor
+            self.prad_y = np.radians(self.py)
+            self.prad_x = np.radians(self.px)
+            self.pcos = np.cos(self.prad_y)
+            # hav-space threshold: h ≤ sin²(d / 2R) ⇔ dist ≤ d
+            self.hmax = np.sin(self.d / (2.0 * _EARTH_RADIUS_KM)) ** 2
+            # conservative prefilter widths: dist ≤ d ⇒ |Δφ| ≤ d/R and
+            # (with L = max |lat| of either endpoint)
+            # dist ≥ 2R·cosL·sin(|Δλ|/2) ⇒ |Δλ| ≤ 2·asin(min(1, d/(2R·cosL)))
+            self.dlat = np.degrees(self.d / _EARTH_RADIUS_KM)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -710,12 +725,54 @@ class _DWithinJoiner:
         if self.derive:
             batch = derive_footprints(batch)
         if len(batch) == 0:
-            return _EMPTY_PAIRS_D
+            return _EMPTY_PAIRS_D if self.metric == "planar" else _EMPTY_PAIRS_G
         xmin = batch["fp_xmin"].to_numpy()
         ymin = batch["fp_ymin"].to_numpy()
         xmax = batch["fp_xmax"].to_numpy()
         ymax = batch["fp_ymax"].to_numpy()
         d = self.d
+        if self.metric == "haversine":
+            # per-rect conservative lon half-width (degrees): smallest cos
+            # over the rect's d-expanded latitude band
+            lat_hi = np.minimum(
+                np.maximum(np.abs(ymin), np.abs(ymax)) + self.dlat, 89.9
+            )
+            coslo = np.cos(np.radians(lat_hi))
+            dlon = np.degrees(
+                2.0 * np.arcsin(
+                    np.minimum(1.0, d / (2.0 * _EARTH_RADIUS_KM * np.maximum(coslo, 1e-9)))
+                )
+            )
+            cand = (
+                (self.px[:, None] >= xmin[None, :] - dlon[None, :])
+                & (self.px[:, None] <= xmax[None, :] + dlon[None, :])
+                & (self.py[:, None] >= ymin[None, :] - self.dlat)
+                & (self.py[:, None] <= ymax[None, :] + self.dlat)
+            )
+            qi, ri = np.nonzero(cand)
+            if len(qi) == 0:
+                return _EMPTY_PAIRS_G
+            # exact phase: haversine to the lon/lat-clamped nearest rect
+            # point — radians applied PER COORDINATE then subtracted (the
+            # oracle-identical expression shape, r02 advice)
+            cx = np.minimum(np.maximum(self.px[qi], xmin[ri]), xmax[ri])
+            cy = np.minimum(np.maximum(self.py[qi], ymin[ri]), ymax[ri])
+            sdlat = np.sin((np.radians(cy) - self.prad_y[qi]) * 0.5)
+            sdlon = np.sin((np.radians(cx) - self.prad_x[qi]) * 0.5)
+            h = sdlat * sdlat + (
+                self.pcos[qi] * np.cos(np.radians(cy))
+            ) * (sdlon * sdlon)
+            hit = h <= self.hmax
+            qi, ri = qi[hit], ri[hit]
+            ids = batch["image_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table(
+                {
+                    "query_id": pc.take(self._qid_arr, pa.array(qi)),
+                    "image_id": ids.take(pa.array(ri)),
+                }
+            )
         # (P, N) candidate mask on d-expanded bboxes
         cand = (
             (self.px[:, None] >= xmin[None, :] - d)
@@ -750,6 +807,18 @@ _EMPTY_PAIRS_D = pa.table(
         "dist2": pa.array([], pa.float64()),
     }
 )
+
+# geodesic variant emits ids only: trig (sin/cos/asin) is not IEEE-portable
+# between numpy and the SQL oracle, so float distances would be ulp-flaky in
+# the value-hash gate (same convention as knn_points_geodesic)
+_EMPTY_PAIRS_G = pa.table(
+    {
+        "query_id": pa.array([], pa.string()),
+        "image_id": pa.array([], pa.string()),
+    }
+)
+
+_EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius (same as stages/knn.py)
 
 
 class _LatestScenePartial:
@@ -970,9 +1039,15 @@ def within_distance_join(
     *,
     concurrency: int | tuple[int, int] = 4,
     footprints_derived: bool = False,
+    metric: str = "planar",
 ) -> "ray.data.Dataset":
-    """All (query point, image) pairs with point→footprint distance ≤ d
-    (planar degrees — the ST_DWithin analogue for the synth grid).
+    """All (query point, image) pairs with point→footprint distance ≤ d.
+
+    ``metric="planar"``: d in degrees on the synth grid; emits
+    (query_id, image_id, dist2). ``metric="haversine"``: d in km,
+    great-circle distance to the lon/lat-clamped nearest footprint point
+    (the spherical ST_DWithin convention for axis-aligned rects); emits
+    (query_id, image_id) only — see ``_EMPTY_PAIRS_G`` for why no float.
 
     ``points``: Arrow table/pandas with (query_id, x, y). Broadcast once
     via ``ray.put``; the corpus streams through the actor pool with no
@@ -984,7 +1059,7 @@ def within_distance_join(
     ref = ray.put((qid, px, py))
     return images_ds.map_batches(
         _DWithinJoiner,
-        fn_constructor_args=(ref, d, not footprints_derived),
+        fn_constructor_args=(ref, d, not footprints_derived, metric),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

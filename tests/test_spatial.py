@@ -316,6 +316,72 @@ def test_dwithin_join_brute_force(fixtures_dir):
     assert (got["dist2"] <= 0.49).all()
 
 
+def test_dwithin_geodesic_brute_force(fixtures_dir):
+    """Haversine dwithin vs an unfiltered brute-force clamp+haversine on
+    the driver — verifies the conservative lat/lon prefilter drops no
+    true hits and the exact phase admits no false ones."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rustac_ray.pipelines.flagship import read_images_metadata
+    from rustac_ray.stages.footprint import derive_footprints
+    from rustac_ray.stages.spatial_join import within_distance_join
+
+    R = 6371.0088
+    d = 120.0  # km
+    pts = pq.read_table(f"{fixtures_dir}/query_points.parquet")
+    imgs = read_images_metadata("/root/testdata/sf0.001")
+    got = within_distance_join(
+        imgs, pts, d=d, concurrency=2, metric="haversine"
+    ).to_pandas()
+    assert list(got.columns) == ["query_id", "image_id"]
+    meta = imgs.map_batches(derive_footprints, batch_format="pyarrow").to_pandas()
+    px, py = pts["x"].to_numpy(), pts["y"].to_numpy()
+    hmax = np.sin(d / (2 * R)) ** 2
+    exp = set()
+    for q in range(len(pts)):
+        cx = np.minimum(np.maximum(px[q], meta["fp_xmin"]), meta["fp_xmax"])
+        cy = np.minimum(np.maximum(py[q], meta["fp_ymin"]), meta["fp_ymax"])
+        sdlat = np.sin((np.radians(cy) - np.radians(py[q])) * 0.5)
+        sdlon = np.sin((np.radians(cx) - np.radians(px[q])) * 0.5)
+        h = sdlat**2 + np.cos(np.radians(py[q])) * np.cos(np.radians(cy)) * sdlon**2
+        for iid in meta.loc[(h <= hmax).to_numpy(), "image_id"]:
+            exp.add((pts["query_id"][q].as_py(), iid))
+    assert set(zip(got["query_id"], got["image_id"])) == exp
+    assert len(exp) > 0
+
+
+def test_dwithin_geodesic_high_latitude_prefilter():
+    """At 80°N a 60 km radius spans ~3.1° of longitude — a naive planar
+    prefilter of d/111 degrees would miss hits. The conservative band
+    expansion must keep them; containment always hits at distance 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rustac_ray.stages.spatial_join import within_distance_join
+
+    # rect at lat 80, lon [10, 11]; point due east at lon 13.5 — planar
+    # 0.54° offset is ~60.4 km at the equator but only ~10.5 km here
+    imgs = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": ["east", "contains"],
+                "fp_xmin": [10.0, 13.0],
+                "fp_ymin": [79.9, 79.9],
+                "fp_xmax": [11.0, 14.0],
+                "fp_ymax": [80.1, 80.1],
+            }
+        )
+    )
+    pts = pa.table({"query_id": ["p0"], "x": [13.5], "y": [80.0]})
+    got = within_distance_join(
+        imgs, pts, d=60.0, concurrency=1, metric="haversine",
+        footprints_derived=True,
+    ).to_pandas()
+    assert set(got["image_id"]) == {"east", "contains"}
+
+
 def test_knn_combine_paths_agree(fixtures_dir):
     import pandas as pd
     import pyarrow.parquet as pq
