@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["tumbling", "sliding", "session_windows"]
+__all__ = ["tumbling", "sliding", "session_windows", "running_totals"]
 
 
 def _window_partials(batch: pa.Table, ts_col, size_us, key_col, value_col, offsets):
@@ -224,3 +224,131 @@ def session_windows(events_ds, gap_s: int, *, ts_col="ts", user_col="user_id"):
         }
     )
     return final_ds.union(rd.from_arrow(tail))
+
+
+def _order_key_int(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Order column → int64 (epoch-us for timestamps/dates, as-is for
+    ints) so driver-side block ordering compares exactly."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def running_totals(ds, *, group_col: str, ts_col: str, id_col: str,
+                   value_col: str):
+    """Per-group running totals — the cumulative-window analogue of
+    ``SUM(v) OVER (PARTITION BY g ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` — emitted for EVERY row, without ever collecting a
+    group. ``id_col`` must be a unique int64 tie-break (total order) and
+    ``value_col`` integral (exact int64 arithmetic). → (id, g, running).
+
+    Scale shape (the prefix-sum problem is the canonical "windows need
+    global order" trap — a naive per-group ``map_groups`` collects whole
+    groups, and a skewed group is one task):
+
+    1. sort by (g, ts, id) and MATERIALIZE — block layout is now fixed,
+       so two passes with ``batch_size=None`` (batch == block) see
+       byte-identical blocks; no reliance on task bundling or
+       ``preserve_order``.
+    2. pass 1 emits one (block-first-key, g, subtotal) row per group run
+       per block — O(blocks × groups-per-block), tiny.
+    3. the driver orders blocks by their first (g, ts, id) key (unique:
+       id is unique) and computes each block's per-group starting offset
+       — a prefix sum over block subtotals, never over rows.
+    4. pass 2 re-reads the SAME materialized blocks, does a local
+       vectorized per-group cumsum, and adds the block's broadcast
+       offset. Rows never shuffle after the one sort.
+    """
+    import ray as _ray
+
+    sel = ds.select_columns([group_col, ts_col, id_col, value_col])
+    mat = sel.sort([group_col, ts_col, id_col]).materialize()
+
+    _SUB = pa.schema(
+        [("bk_g", pa.string()), ("bk_t", pa.int64()), ("bk_i", pa.int64()),
+         ("g", pa.string()), ("sub", pa.int64())]
+    )
+
+    def subtotal(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _SUB.empty_table()
+        g = np.asarray(b[group_col].to_pylist(), dtype=object)
+        t = _order_key_int(b[ts_col])
+        i = b[id_col].to_numpy().astype(np.int64)
+        v = b[value_col].to_numpy().astype(np.int64)
+        change = np.flatnonzero(g[1:] != g[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(g)]])
+        gs = [str(g[s]) for s in bounds[:-1]]
+        subs = np.add.reduceat(v, bounds[:-1])
+        n = len(gs)
+        return pa.table(
+            {
+                "bk_g": pa.array([str(g[0])] * n, pa.string()),
+                "bk_t": pa.array(np.full(n, t[0]), pa.int64()),
+                "bk_i": pa.array(np.full(n, i[0]), pa.int64()),
+                "g": pa.array(gs, pa.string()),
+                "sub": pa.array(subs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in mat.map_batches(
+            subtotal, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    offsets: dict[tuple, dict[str, int]] = {}
+    if parts:
+        allp = pd.concat(parts, ignore_index=True)
+        blocks = (
+            allp[["bk_g", "bk_t", "bk_i"]]
+            .drop_duplicates()
+            .sort_values(["bk_g", "bk_t", "bk_i"])
+        )
+        keys = list(blocks.itertuples(index=False, name=None))
+        if len(keys) != allp[["bk_g", "bk_t", "bk_i"]].drop_duplicates().shape[0]:
+            raise RuntimeError("running_totals: duplicate block keys")
+        by_block = {
+            k: sub for k, sub in allp.groupby(["bk_g", "bk_t", "bk_i"], sort=False)
+        }
+        cum: dict[str, int] = {}
+        for k in keys:
+            sub = by_block[k]
+            offsets[k] = {gv: cum.get(gv, 0) for gv in sub["g"]}
+            for gv, sv in zip(sub["g"], sub["sub"]):
+                cum[gv] = cum.get(gv, 0) + int(sv)
+    off_ref = _ray.put(offsets)
+
+    class _Apply:
+        def __init__(self):
+            self.offsets = _ray.get(off_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.schema(
+                    [(id_col, pa.int64()), (group_col, pa.string()),
+                     ("running", pa.int64())]
+                ).empty_table()
+            g = pd.Series(np.asarray(b[group_col].to_pylist(), dtype=object))
+            t = _order_key_int(b[ts_col])
+            i = b[id_col].to_numpy().astype(np.int64)
+            v = pd.Series(b[value_col].to_numpy().astype(np.int64))
+            local = v.groupby(g, sort=False).cumsum().to_numpy()
+            off = self.offsets.get((str(g.iloc[0]), int(t[0]), int(i[0])))
+            if off is None:
+                raise RuntimeError("running_totals: unknown block key "
+                                   "(materialized layout changed)")
+            base = g.map(lambda gv: off.get(str(gv), 0)).to_numpy(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(i, pa.int64()),
+                    group_col: b[group_col],
+                    "running": pa.array(local + base, pa.int64()),
+                }
+            )
+
+    return mat.map_batches(
+        _Apply, batch_format="pyarrow", batch_size=None, concurrency=2
+    )

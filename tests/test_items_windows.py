@@ -223,3 +223,41 @@ def test_translate_roundtrip(tmp_path, fixtures_dir):
 
     subdirs = [d for d in os.listdir(crawl_dir) if d.startswith("collection=")]
     assert len(subdirs) == 2  # one partition per collection (K5)
+
+
+def test_running_totals_matches_pandas():
+    """Per-group prefix sums vs pandas cumsum on a skewed-key frame
+    (one group = 90% of rows) forced across many blocks; values exact
+    int64, every row emitted once."""
+    import numpy as np
+    import pandas as pd
+
+    from rustac_ray.stages.windows import running_totals
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    g = np.where(rng.rand(n) < 0.9, "HOT", rng.choice(["a", "b", "c"], n))
+    df = pd.DataFrame(
+        {
+            "g": g,
+            "ts": rng.randint(0, 400, n).astype("datetime64[s]")
+            .astype("datetime64[us]"),
+            "rid": rng.permutation(n).astype(np.int64),
+            "v": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        running_totals(
+            rd.from_pandas(df).repartition(16),
+            group_col="g", ts_col="ts", id_col="rid", value_col="v",
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "ts", "rid"], kind="mergesort").copy()
+    exp["running"] = exp.groupby("g", sort=False)["v"].cumsum()
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    assert len(got) == n
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert got["running"].tolist() == exp["running"].tolist()
