@@ -1063,3 +1063,93 @@ def ivfpq_residual_topk(
                         ascending=[True, False, True])
     out = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     return rd.from_pandas(out[["query_id", id_col, "cosine"]])
+
+
+# ------------------------------------------------------------ SemDeDup ----
+
+
+def semantic_dedup(
+    ds,
+    centroids: np.ndarray,
+    *,
+    cosine_threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 1 << 16,
+    chunk: int = 2048,
+    concurrency: int = 2,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster with a coarse
+    k-means quantizer, then drop semantic near-duplicates WITHIN each
+    cluster only — the cluster prefilter is what makes embedding dedup
+    tractable at corpus scale (no global all-pairs).
+
+    Deterministic pairwise semantics: a row is dropped iff some row with a
+    SMALLER id in the SAME cluster has cosine ≥ ``cosine_threshold``; the
+    earliest member of every ε-neighborhood survives. (The paper's greedy
+    sweep differs on τ-chains a–b–c where a–c < τ: greedy re-admits c,
+    the pairwise rule does not. Pairwise is evaluation-order-free, hence
+    expressible as a SQL ``NOT EXISTS`` twin and stable under any block
+    layout.)
+
+    Scale shape: centroids ship to the object store ONCE (``ray.put``);
+    assignment is one float64 matmul + argmax per batch (ties → lowest
+    centroid id, matching SQL ``row_number ... ORDER BY sim DESC, cid``);
+    the only shuffle is ONE ``groupby(cluster)`` of (id, vec) rows. k is
+    chosen so clusters stay ~1e4-1e5 rows (SemDeDup's own operating point
+    — k grows with the corpus), so the per-cluster O(n_c²) cost is a
+    bounded blocked matmul; ``max_cluster`` guards degenerate skew (an
+    oversized cluster is passed through undeduped rather than OOMing a
+    worker — re-run with larger k to split it).
+
+    Returns kept rows → (id_col, cluster).
+    """
+    import ray
+
+    cent = _normalize(np.ascontiguousarray(centroids, dtype=np.float64))
+    ref = ray.put(cent)
+
+    class _Assign:
+        def __init__(self, cref):
+            self.c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "cluster": np.argmax(m @ self.c.T, axis=1).astype(np.int64),
+                    vec_col: batch[vec_col].to_numpy(),
+                }
+            )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "cluster": pd.Series(dtype=np.int64)})
+        if n == 1 or n > max_cluster:
+            return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                                 "cluster": g["cluster"].to_numpy()})
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        dominated = np.zeros(n, dtype=bool)
+        # blocked lower-triangle scan: rows [s:e) vs all columns [0:e)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = m[s:e] @ m[:e].T  # (e-s, e)
+            col = np.arange(e)
+            row = np.arange(s, e)[:, None]
+            sims[col[None, :] >= row] = -np.inf  # strict lower triangle
+            dominated[s:e] = (sims >= cosine_threshold).any(axis=1)
+        kept = g.iloc[~dominated]
+        return pd.DataFrame({id_col: kept[id_col].to_numpy(),
+                             "cluster": kept["cluster"].to_numpy()})
+
+    assigned = ds.map_batches(
+        _Assign, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=concurrency,
+    )
+    return assigned.groupby("cluster").map_groups(
+        keep_first, batch_format="pandas"
+    )

@@ -296,3 +296,59 @@ def hash_bytes_u64(b: bytes) -> int:
     for byte in b:
         h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+# SDXL-style training buckets, sorted by aspect ratio ascending
+DEFAULT_ASPECT_BUCKETS = [
+    (640, 1536), (768, 1344), (832, 1216), (896, 1152), (1024, 1024),
+    (1152, 896), (1216, 832), (1344, 768), (1536, 640),
+]
+
+
+def aspect_buckets(ds, buckets=None, *, w_col: str = "w", h_col: str = "h",
+                   id_col: str = "image_id"):
+    """Aspect-ratio bucketing (the SDXL/NovelAI training recipe): assign
+    every image to the bucket whose target aspect ratio is nearest to
+    w/h, so variable-shape images batch into fixed-shape tensors with
+    minimal crop/pad waste → (id_col, bucket_id, target_w, target_h).
+
+    The nearest-ratio rule is evaluated with EXACT integer arithmetic:
+    the midpoint boundary between consecutive sorted ratios p_k/q_k and
+    p_{k+1}/q_{k+1} is crossed iff ``w * 2*q_k*q_{k+1} > h * (p_k*q_{k+1}
+    + p_{k+1}*q_k)``, so bucket_id = #boundaries exceeded — no float
+    ratio or log ever computed, ties go to the narrower bucket, and the
+    SQL twin is a sum of identical integer comparisons (IEEE-proof).
+
+    Shuffle-free: one vectorized (n × K-1) integer comparison per batch;
+    read only (id, w, h) — the bytes column never leaves storage.
+    """
+    bk = [(int(p), int(q)) for p, q in (buckets or DEFAULT_ASPECT_BUCKETS)]
+    ratios = [(p / q, i) for i, (p, q) in enumerate(bk)]
+    if sorted(ratios) != ratios:
+        raise ValueError("buckets must be sorted by aspect ratio ascending")
+    # boundary k between bucket k and k+1: crossed iff w*D[k] > h*C[k]
+    D = np.array([2 * bk[k][1] * bk[k + 1][1] for k in range(len(bk) - 1)],
+                 dtype=np.int64)
+    C = np.array(
+        [bk[k][0] * bk[k + 1][1] + bk[k + 1][0] * bk[k][1]
+         for k in range(len(bk) - 1)],
+        dtype=np.int64,
+    )
+    tw = pa.array([p for p, _ in bk], pa.int32())
+    th = pa.array([q for _, q in bk], pa.int32())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = batch[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch[h_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (w[:, None] * D[None, :] > h[:, None] * C[None, :]).sum(axis=1)
+        ia = pa.array(idx, pa.int64())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket_id": ia,
+                "target_w": tw.take(ia),
+                "target_h": th.take(ia),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -217,3 +217,97 @@ def bm25_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return sorted_topn(scored, [("score", True), (id_col, False)], k)
+
+
+def vocab_overlap(ds, group_col: str = "source", col: str = "text",
+                  *, n_buckets: int = 64):
+    """Cross-corpus vocabulary overlap: distinct-word Jaccard counts for
+    every pair of groups (sources/domains) → (source_a, source_b,
+    n_common, n_a, n_b) with a < b; Jaccard = n_common/(n_a+n_b-n_common).
+
+    The corpus-similarity primitive for mixture design ("how much does
+    crawl X repeat crawl Y?"). Integer counts only — no floats cross the
+    engine/oracle boundary.
+
+    Scale shape: stage 1 folds each block to its DISTINCT (word, group)
+    pairs (dictionary-encode + unique, all C kernels) bucketed by a word
+    hash; the only shuffle is the ``groupby(bucket)`` of those deduped
+    pairs (vocabulary-bounded, not corpus-bounded). Stage 2 handles one
+    bucket per task: pivot the bucket's word×group incidence matrix M
+    (bool) and take Mᵀ M — one g×g integer matmul replaces all per-word
+    pair loops; g = #groups is small by definition of a mixture. Stage 3
+    sums the ≤ n_buckets g×g partials (tiny). Words never co-locate by
+    group, so a skewed group costs nothing; bucket sizes are uniform by
+    hash construction.
+    """
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent = _tokenize(batch, col)
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gd, gnames = pd.factorize(groups)
+        v = max(len(d.dictionary), 1)
+        # distinct (group, word) within the block
+        key = gd[parent] * v + codes
+        uniq = np.unique(key)
+        w_idx = (uniq % v).astype(np.int64)
+        g_idx = (uniq // v).astype(np.int64)
+        words = d.dictionary.take(pa.array(w_idx)).cast(pa.string())
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        # vocabulary-hash (pandas siphash, stable across machines) — the
+        # same vectorized trick as decontam._token_hash_rows
+        wh = (
+            pd.util.hash_pandas_object(words.to_pandas(), index=False)
+            .to_numpy()
+            .view(np.uint64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((wh % np.uint64(n_buckets)).astype(np.int64)),
+                "word": words,
+                "grp": pa.array(np.asarray(gnames)[g_idx], pa.string()),
+            }
+        )
+
+    def fold(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        if bucket_df.empty:
+            return pd.DataFrame({
+                "source_a": pd.Series(dtype=str),
+                "source_b": pd.Series(dtype=str),
+                "n_common": pd.Series(dtype=np.int64),
+            })
+        dd = bucket_df[["word", "grp"]].drop_duplicates()
+        gcat, gnames = pd.factorize(dd["grp"], sort=True)
+        wcat = pd.factorize(dd["word"])[0]
+        g = len(gnames)
+        m = np.zeros((wcat.max() + 1, g), dtype=np.int64)
+        m[wcat, gcat] = 1
+        cc = m.T @ m  # g×g: co-occurrence counts incl. diagonal (n_g)
+        ia, ib = np.nonzero(cc)
+        keep = ia <= ib  # keep diagonal (per-group distinct partials) + upper
+        return pd.DataFrame(
+            {
+                "source_a": np.asarray(gnames)[ia[keep]],
+                "source_b": np.asarray(gnames)[ib[keep]],
+                "n_common": cc[ia[keep], ib[keep]],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+        .to_pandas()
+    )
+    diag = merged[merged["source_a"] == merged["source_b"]]
+    nd = dict(zip(diag["source_a"], diag["n_common"]))
+    out = merged[merged["source_a"] != merged["source_b"]].copy()
+    out["n_a"] = out["source_a"].map(nd).astype(np.int64)
+    out["n_b"] = out["source_b"].map(nd).astype(np.int64)
+    out["n_common"] = out["n_common"].astype(np.int64)
+    return out.reset_index(drop=True)

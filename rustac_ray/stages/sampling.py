@@ -168,3 +168,90 @@ def sample_sql(key_col: str, rate: float, salt: int = 0) -> str:
     oracle twins and handy for pushing the same sample into a SQL engine."""
     thr = int(rate * MOD32)
     return f"(({key_col} * {KNUTH} + {salt}) % {MOD32}) < {thr}"
+
+
+def dataset_split(ds, key_col: str, fractions, *, salt: int = 0,
+                  split_col: str = "split"):
+    """Deterministic train/val/test (or any n-way) split by hash range.
+
+    ``fractions`` is an ordered list of (name, fraction) — the hash space
+    [0, 2^32) is cut at integer thresholds cum_i = int(cumfrac_i * 2^32),
+    the last split absorbing the remainder, so membership is a pure
+    function of (key, salt): stable across runs, block layouts and
+    cluster sizes, and consistent with :func:`hash_sample` (a row's
+    split never changes when more data arrives). Shuffle-free: one
+    vectorized hash + searchsorted per batch.
+
+    SQL twin: ``CASE WHEN (key*KNUTH+salt)%2^32 < t1 THEN n1 WHEN ... END``.
+    """
+    names = [n for n, _ in fractions]
+    fr = np.array([f for _, f in fractions], dtype=np.float64)
+    if (fr < 0).any() or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be >=0 and sum to 1, got {fr}")
+    cuts = np.array(
+        [int(c * MOD32) for c in np.cumsum(fr)[:-1]], dtype=np.uint64
+    )
+    name_arr = pa.array(names, pa.string())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cuts, hash_bucket(keys, salt), side="right")
+        return batch.append_column(
+            split_col, name_arr.take(pa.array(idx, pa.int64()))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def split_sql(key_col: str, fractions, *, salt: int = 0) -> str:
+    """The SQL CASE expression twin of :func:`dataset_split`."""
+    fr = np.cumsum([f for _, f in fractions])
+    arms = []
+    for (name, _), c in zip(fractions[:-1], fr[:-1]):
+        thr = int(c * MOD32)
+        arms.append(
+            f"WHEN (({key_col} * {KNUTH} + {salt}) % {MOD32}) < {thr} "
+            f"THEN '{name}'"
+        )
+    return ("CASE " + " ".join(arms) +
+            f" ELSE '{fractions[-1][0]}' END")
+
+
+def source_mix_sample(ds, group_col: str, key_col: str,
+                      weights: dict, total_target: int, *, salt: int = 0):
+    """Domain rebalancing (DoReMi-style mixture reweighting, made
+    deterministic): sample each group toward a target mixture.
+
+    Given integer ``weights`` w_g and ``total_target`` T, each group's
+    expected kept count is target_g = T*w_g // Σw; its hash threshold is
+    min(2^32, target_g * 2^32 // n_g) — ALL integer arithmetic, so the
+    SQL twin is IEEE-identical by construction. Groups whose target
+    exceeds their population keep everything (no upsampling).
+
+    Scale shape: pass 1 is a tiny ``groupby(group).count()`` (#domains
+    rows — domains are few by definition of a mixture); thresholds are a
+    broadcast dict; pass 2 is the shuffle-free hash filter. Kept counts
+    are binomial around target_g (hash sampling), exactly like the SQL
+    twin row-for-row.
+    """
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    wsum = sum(int(weights.get(g, 0)) for g in counts)
+    if wsum <= 0:
+        raise ValueError("no positive weights for any present group")
+    thr = {}
+    for g, n in counts.items():
+        target = total_target * int(weights.get(g, 0)) // wsum
+        thr[g] = np.uint64(min(MOD32, target * MOD32 // max(n, 1)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        t = np.zeros(len(groups), dtype=np.uint64)
+        for g, tv in thr.items():  # vectorized per DOMAIN (few), not per row
+            t[groups == g] = tv
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_bucket(keys, salt) < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -600,3 +600,121 @@ def test_residual_pq_lower_distortion(sf_dir):
         )
         hits += len(set(got[got["query_id"] == qid]["vec_id"]) & exact)
     assert hits >= 27  # ≥90% recall@10
+
+
+def test_semantic_dedup_pairwise_semantics():
+    # cluster 0 centered at +x, cluster 1 at +y; a tau-chain a-b-c inside
+    # cluster 0 (a~b, b~c, a!~c): the pairwise dominance rule drops BOTH
+    # b and c (unlike greedy SemDeDup which would re-admit c), and a
+    # near-identical pair split ACROSS clusters is never compared.
+    cent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def unit(v):
+        v = np.asarray(v, float)
+        return v / np.linalg.norm(v)
+
+    a = unit([1.0, 0.02, 0.0])
+    b = unit([1.0, 0.13, 0.0])          # cos(a,b) ~ 0.9985
+    c = unit([1.0, 0.24, 0.0])          # cos(b,c) high, cos(a,c) lower
+    assert a @ b >= 0.993 and b @ c >= 0.993 and a @ c < 0.993
+    x0 = unit([0.72, 0.70, 0.0])        # cluster 0 side of the boundary
+    x1 = unit([0.70, 0.72, 0.0])        # cluster 1 side; cos(x0,x1) ~ 0.999
+    assert x0 @ x1 >= 0.993
+    rows = pd.DataFrame(
+        {
+            "vec_id": np.arange(5, dtype=np.int64),
+            "embedding": [a, b, c, x0, x1],
+        }
+    )
+    ds = rd.from_pandas(rows)
+    kept = embed.semantic_dedup(
+        ds, cent, cosine_threshold=0.993, concurrency=1
+    ).to_pandas().sort_values("vec_id")
+    # a kept; b dominated by a; c dominated by b (pairwise, not greedy);
+    # x0/x1 land in different clusters so both survive
+    assert kept["vec_id"].tolist() == [0, 3, 4]
+
+
+def test_semantic_dedup_oversized_cluster_passthrough():
+    # the skew guard passes an oversized cluster through undeduped
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(4)
+    vecs = [base + rng.standard_normal(4) * 1e-3 for _ in range(6)]
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(6, dtype=np.int64), "embedding": vecs})
+    )
+    cent = np.stack([base])
+    kept = embed.semantic_dedup(ds, cent, cosine_threshold=0.9,
+                                max_cluster=3, concurrency=1).to_pandas()
+    assert sorted(kept["vec_id"].tolist()) == [0, 1, 2, 3, 4, 5]
+    dedup_kept = embed.semantic_dedup(ds, cent, cosine_threshold=0.9,
+                                      concurrency=1).to_pandas()
+    assert dedup_kept["vec_id"].tolist() == [0]
+
+
+def test_aspect_buckets_nearest_ratio_and_ties():
+    buckets = multimodal.DEFAULT_ASPECT_BUCKETS
+    ratios = [p / q for p, q in buckets]
+    df = pd.DataFrame(
+        {
+            "image_id": ["sq", "wide", "tall", "extreme_w", "extreme_t", "tie"],
+            "w": [512, 1600, 300, 4000, 100, 800],
+            "h": [512, 1000, 700, 100, 4000, 700],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = (
+        multimodal.aspect_buckets(ds)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    # brute force: nearest ratio by |log| is equivalent to nearest by
+    # midpoint rule for these spreads; check against argmin of |r - rk|
+    for rec in df.itertuples():
+        if rec.image_id == "tie":
+            continue
+        r = rec.w / rec.h
+        want = int(np.argmin([abs(r - rk) for rk in ratios]))
+        assert out.loc[rec.image_id, "bucket_id"] == want, rec.image_id
+    # extremes clamp to the end buckets
+    assert out.loc["extreme_w", "bucket_id"] == len(buckets) - 1
+    assert out.loc["extreme_t", "bucket_id"] == 0
+    # exact midpoint between 1024/1024 and 1152/896 is 8/7: w=800,h=700
+    # ties go to the NARROWER (lower-ratio) bucket
+    assert out.loc["tie", "bucket_id"] == 4
+    assert (out["target_w"].to_numpy() ==
+            np.array([buckets[i][0] for i in out["bucket_id"]])).all()
+    # unsorted bucket list rejected
+    with pytest.raises(ValueError):
+        multimodal.aspect_buckets(ds, buckets=[(1024, 1024), (640, 1536)])
+
+
+def test_connected_components_deep_chain_converges_fast():
+    # a 200-node path graph: pure neighbor propagation needs ~200 rounds;
+    # with per-round pointer jumping it must converge within the default
+    # bound (this is the giant-phash-component regression from
+    # curated_images: one 4073-node component at sf0.01)
+    n = 200
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": np.arange(n - 1, dtype=np.int64),
+                      "id_b": np.arange(1, n, dtype=np.int64)})
+    )
+    out = dedup.connected_components(pairs).to_pandas()
+    assert len(out) == n
+    assert (out["component"] == 0).all()
+
+
+def test_connected_components_nonconvergence_raises():
+    # adversarial topology: path 1-2-...-31 compresses to a flat tree
+    # rooted at 1, but the global min 0 attaches at the FAR end (edge
+    # 0-31), so each round infects only one more tree node — with
+    # max_rounds=1 the fixpoint is provably not reached and the guard
+    # must raise rather than return wrong labels
+    ids_a = [0] + list(range(1, 31))
+    ids_b = [31] + list(range(2, 32))
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": np.array(ids_a, dtype=np.int64),
+                      "id_b": np.array(ids_b, dtype=np.int64)})
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(pairs, max_rounds=1)

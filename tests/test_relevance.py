@@ -100,3 +100,39 @@ def test_bm25_topk_truncates():
     assert len(got) == 1
     # doc 3 (bird bird bird + cat) dominates
     assert got["doc_id"].iloc[0] == 3
+
+
+def test_vocab_overlap_brute_force():
+    from rustac_ray.stages.relevance import vocab_overlap
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b", "c"],
+            "text": [
+                "cat dog  fish",       # double space -> empty token dropped
+                "dog bird",
+                "cat cat whale",
+                "bird",
+                "zebra",               # no overlap with anyone
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = vocab_overlap(ds, n_buckets=4).sort_values(
+        ["source_a", "source_b"]
+    ).reset_index(drop=True)
+    # brute force distinct-word sets
+    sets = {
+        g: set(" ".join(df[df.source == g].text).split())
+        for g in ["a", "b", "c"]
+    }
+    expect = []
+    for a in ["a", "b", "c"]:
+        for b in ["a", "b", "c"]:
+            if a < b and sets[a] & sets[b]:
+                expect.append((a, b, len(sets[a] & sets[b]),
+                               len(sets[a]), len(sets[b])))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == expect
+    # zebra (source c) overlaps nothing -> absent from pair rows
+    assert not ((out.source_a == "c") | (out.source_b == "c")).any()

@@ -333,3 +333,50 @@ def test_histogram_and_profile_nan_handling():
     assert int(p["n_rows"]) == 7
     assert int(p["n_null"]) == 1  # the true NULL only, not the NaN
     assert p["min_d"] == 1.0 and p["max_d"] == 3.0
+
+
+def test_dataset_split_partition_properties(ray_session):
+    from rustac_ray.stages.sampling import dataset_split, hash_bucket
+
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(7)
+    out = dataset_split(
+        ds, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], salt=11
+    ).to_pandas()
+    # total partition: every row exactly once, no split missing
+    assert len(out) == n and out["doc_id"].nunique() == n
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # membership is a pure function of (key, salt): recompute directly
+    h = hash_bucket(df["doc_id"].to_numpy(), 11)
+    expect = np.where(h < int(0.8 * 2**32), "train",
+                      np.where(h < int(0.9 * 2**32), "val", "test"))
+    got = out.sort_values("doc_id")["split"].to_numpy()
+    assert (got == expect).all()
+    with pytest.raises(ValueError):
+        dataset_split(ds, "doc_id", [("a", 0.5), ("b", 0.4)])
+
+
+def test_source_mix_sample_targets_and_edge_groups(ray_session):
+    from rustac_ray.stages.sampling import source_mix_sample
+
+    # big: 4000 rows, small: 30 rows, zero-weight: 100 rows
+    df = pd.DataFrame({
+        "doc_id": np.arange(4130, dtype=np.int64),
+        "source": ["big"] * 4000 + ["small"] * 30 + ["banned"] * 100,
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    out = source_mix_sample(
+        ds, "source", "doc_id", {"big": 1, "small": 1, "banned": 0},
+        total_target=400, salt=3,
+    ).to_pandas()
+    got = out["source"].value_counts()
+    # target per weighted group = 400*1//2 = 200; big is binomial(4000, .05)
+    assert abs(got.get("big", 0) - 200) < 60
+    # small's target (200) exceeds its population -> keeps everything
+    assert got.get("small", 0) == 30
+    # zero-weight group fully dropped
+    assert got.get("banned", 0) == 0
