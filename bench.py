@@ -412,6 +412,77 @@ def run_bench() -> dict:
                 bench_meta_ds(), res=10, concurrency=max(2, num_cpus // 3)
             ).count()
             timings["nearest_scene_1m"] = time.perf_counter() - t0
+            _ck("image_curation_1m")
+
+            # image-curation E2E over a 1M-row phash table: band-LSH
+            # near-dup pairs -> connected components -> keep-min-id ->
+            # aspect buckets -> hash split (pixels never exist here —
+            # the same metadata-only economics as the real pipeline)
+            from rustac_ray.stages.dedup import near_dup_filter, phash_near_dup
+            from rustac_ray.stages.multimodal import aspect_buckets
+            from rustac_ray.stages.sampling import dataset_split
+
+            phash_path = synth.ensure_bench_phash(bench_rows)
+
+            def bench_phash_ds():
+                return rd.read_parquet(
+                    phash_path, override_num_blocks=n_blocks
+                )
+
+            t0 = time.perf_counter()
+            pairs = phash_near_dup(
+                bench_phash_ds(), max_hamming=2, n_bands=3
+            )
+            canon = near_dup_filter(
+                bench_phash_ds(), pairs, id_col="image_id"
+            )
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            keyed = aspect_buckets(canon).map_batches(
+                lambda b: b.append_column(
+                    "img_key",
+                    _pc.cast(
+                        _pc.utf8_slice_codeunits(b["image_id"], 4, 32),
+                        _pa.int64(),
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            n_canon = dataset_split(
+                keyed, "img_key",
+                [("train", 0.9), ("val", 0.05), ("test", 0.05)], salt=13,
+            ).count()
+            timings["image_curation_1m"] = time.perf_counter() - t0
+            result_extra["curated_images"] = n_canon
+            _ck("semantic_dedup_200k")
+
+            # SemDeDup over 200k 32-dim embeddings, 64 clusters: broadcast
+            # assignment matmul + ONE groupby(cluster) + per-cluster
+            # blocked O(n_c^2) dominance (n_c ~ 3k here)
+            from rustac_ray.stages.embed import semantic_dedup
+
+            emb_rows = int(os.environ.get("GRAFT_BENCH_EMB_ROWS", "200000"))
+            emb_dir = synth.ensure_bench_embeddings(emb_rows)
+            cent_tbl = pq_.read_table(f"{emb_dir}/centroids.parquet")
+            import numpy as _np
+
+            centroids = _np.stack(
+                cent_tbl["centroid"].to_numpy(zero_copy_only=False)
+            )
+            emb_ds = rd.read_parquet(
+                [f"{emb_dir}/part-{i:03d}.parquet" for i in range(
+                    len([f for f in os.listdir(emb_dir)
+                         if f.startswith("part-")]))],
+                override_num_blocks=n_blocks,
+            )
+            t0 = time.perf_counter()
+            n_sem = semantic_dedup(
+                emb_ds, centroids, cosine_threshold=0.99,
+                concurrency=max(2, num_cpus // 2),
+            ).count()
+            timings["semantic_dedup_200k"] = time.perf_counter() - t0
+            result_extra["semantic_kept"] = n_sem
 
 
         except _BudgetExceeded:

@@ -711,6 +711,24 @@ def ngram_jaccard_near_dup(
     return rd.from_arrow(cand_tbl).map_batches(verify, batch_format="pyarrow")
 
 
+def _group_min_pairs(node_vals, lbl_vals):
+    """Per-node lexicographic min of labels, vectorized for ANY id dtype:
+    sorted-factorize both columns to integer codes (code order == value
+    order), then one argsort + ``np.minimum.reduceat``. pandas'
+    ``groupby()["lbl"].min()`` on object strings falls back to per-group
+    Python min — measured 8.8s on 200k rows vs ~40ms for this path."""
+    allv = np.concatenate([np.asarray(node_vals), np.asarray(lbl_vals)])
+    codes, uniq = pd.factorize(allv, sort=True)
+    n = len(node_vals)
+    nc, lc = codes[:n], codes[n:]
+    order = np.argsort(nc, kind="stable")
+    snc, slc = nc[order], lc[order]
+    starts = np.flatnonzero(np.r_[True, snc[1:] != snc[:-1]])
+    mins = np.minimum.reduceat(slc, starts) if len(slc) else slc[:0]
+    uniq = np.asarray(uniq)
+    return uniq[snc[starts]], uniq[mins]
+
+
 def connected_components(
     pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 40,
     max_label_rows: int = 50_000_000,
@@ -726,15 +744,15 @@ def connected_components(
     Partitioning assumption (enforced by ``max_label_rows``): the label
     table — distinct nodes appearing in candidate PAIRS, a small fraction
     of the corpus — fits in driver memory, where it is re-pinned each
-    round (hash-aggregate outputs carry empty blocks with empty schemas
-    that would poison the next join; see NOTES.md). The propagation join
-    itself is distributed; the convergence check is one vectorized
+    round. Each round broadcasts the label table (``ray.put`` once, read
+    per task) and streams ONE distributed map over the edge set — no
+    shuffle join, no distributed groupby; per-block (node, min-label)
+    partials merge on the driver. The convergence check is one vectorized
     sorted-array comparison, no Python dicts. For billion-edge graphs,
     shard the label table and switch the check to a changed-row count
     aggregate.
     """
     import pyarrow as pa
-    from ray.data.aggregate import Min
 
     a, b = id_cols
 
@@ -756,7 +774,6 @@ def connected_components(
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
     id_type = edges.schema().base_schema.field("node").type
     lbl_schema = pa.schema([("node", id_type), ("lbl", id_type)])
-    nbr_schema = pa.schema([("nbr", id_type), ("lbl", id_type)])
 
     def _norm(batch: pa.Table, schema: pa.Schema, rename=None) -> pa.Table:
         # hash aggregates emit EMPTY blocks with an empty schema; every
@@ -769,38 +786,37 @@ def connected_components(
             )
         return batch.select(schema.names).cast(schema)
 
-    # label(node) = min(node, min(nbr labels)); iterate until fixpoint
-    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
-
-    def self_min(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        batch = _norm(batch, lbl_schema)
-        if batch.num_rows == 0:
-            return batch
-        return pa.table(
-            {"node": batch["node"], "lbl": pc.min_element_wise(batch["node"], batch["lbl"])}
-        )
-
     import ray.data as rd
 
-    # per the documented assumption the label table is driver-small: pin a
-    # clean-schema Arrow copy each round (hash-aggregate outputs carry
-    # empty blocks with empty schemas that would poison the next join,
-    # and empty blocks bypass map_batches UDFs, so re-pinning is the
-    # robust normalization)
-    labels_tbl = (
-        pa.concat_tables(
-            [
-                _norm(b, lbl_schema)
-                for b in labels.map_batches(self_min, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-                if b.num_rows
-            ]
-            or [lbl_schema.empty_table()]
+    # label(node) = min(node, min over nbrs); the label table is
+    # driver-small by the documented assumption, so compute it as
+    # per-block pandas partials + ONE driver merge instead of a Ray
+    # sort-shuffle groupby (which cost 20s on 200k string keys — pure
+    # fixed overhead at this table size)
+    def initial_partial(batch: pa.Table) -> pa.Table:
+        nodes, mins = _group_min_pairs(
+            batch["node"].to_numpy(zero_copy_only=False),
+            batch["nbr"].to_numpy(zero_copy_only=False),
         )
+        return pa.table(
+            {"node": pa.array(nodes), "lbl": pa.array(mins)}
+        ).cast(lbl_schema)
+
+    init_parts = [
+        _norm(b, lbl_schema)
+        for b in edges.map_batches(
+            initial_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    init = pa.concat_tables(init_parts or [lbl_schema.empty_table()])
+    nodes0, mins0 = _group_min_pairs(
+        init["node"].to_numpy(zero_copy_only=False),
+        init["lbl"].to_numpy(zero_copy_only=False),
     )
+    labels_tbl = pa.table(
+        {"node": pa.array(nodes0), "lbl": pa.array(np.minimum(nodes0, mins0))}
+    ).cast(lbl_schema)
     if labels_tbl.num_rows > max_label_rows:
         raise ValueError(
             f"label table has {labels_tbl.num_rows} rows > max_label_rows="
@@ -843,26 +859,54 @@ def connected_components(
              "lbl": pa.array(new_lbl).cast(t.schema.field("lbl").type)}
         )
 
+    import ray
+
     labels_tbl = _compress(labels_tbl)
     prev = _canon_sorted(labels_tbl)
     for _ in range(max_rounds):
-        nbr_labels = rd.from_arrow(
-            labels_tbl.rename_columns(["nbr", "lbl"])
-        )
-        prop = edges.join(nbr_labels, join_type="inner", num_partitions=8, on=("nbr",))
-        new_labels = (
-            prop.map_batches(lambda b: _norm(b, lbl_schema), batch_format="pyarrow")
-            .union(rd.from_arrow(labels_tbl))
-            .groupby("node")
-            .aggregate(Min("lbl", alias_name="lbl"))
-        )
+        # Propagation round WITHOUT a shuffle join: the label table is
+        # driver-small (guarded above), so broadcast it once via ray.put
+        # and let every edge block gather lbl(nbr) with C-hash lookups,
+        # pre-minning per node locally. The only distributed work is one
+        # streaming map over the edges; the driver merges per-block
+        # (node, lbl) partials — bounded by min(#edges, #nodes × #blocks),
+        # the same driver-residency assumption the table itself obeys.
+        # (The previous edges.join(labels) round was 10-20× slower: a
+        # full hash-shuffle of the edge set per round, measured 58s vs
+        # 3s for 100k planted pairs at 1M rows.)
+        node_idx = pd.Index(labels_tbl["node"].to_pandas())
+        lbl_vals = labels_tbl["lbl"].to_pandas().to_numpy()
+        ref = ray.put((node_idx, lbl_vals))
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            idx, lv = ray.get(ref)
+            nbr = batch["nbr"].to_pandas()
+            cand = lv[idx.get_indexer(nbr)]
+            nodes, mins = _group_min_pairs(
+                batch["node"].to_numpy(zero_copy_only=False), cand
+            )
+            return pa.table(
+                {"node": pa.array(nodes), "lbl": pa.array(mins)}
+            ).cast(lbl_schema)
+
         parts = [
             _norm(b, lbl_schema)
-            for b in new_labels.iter_batches(batch_format="pyarrow", batch_size=None)
+            for b in edges.map_batches(
+                propagate, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
             if b.num_rows
         ]
+        merged = pa.concat_tables(
+            [labels_tbl, *parts] or [lbl_schema.empty_table()]
+        )
+        nodes1, mins1 = _group_min_pairs(
+            merged["node"].to_numpy(zero_copy_only=False),
+            merged["lbl"].to_numpy(zero_copy_only=False),
+        )
         labels_tbl = _compress(
-            pa.concat_tables(parts or [lbl_schema.empty_table()])
+            pa.table(
+                {"node": pa.array(nodes1), "lbl": pa.array(mins1)}
+            ).cast(lbl_schema)
         )
         # vectorized convergence check: sorted tables equal ⇔ fixpoint
         cur = _canon_sorted(labels_tbl)

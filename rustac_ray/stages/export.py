@@ -27,7 +27,7 @@ import tarfile
 
 import pyarrow as pa
 
-__all__ = ["write_webdataset_shards", "read_webdataset_shard"]
+__all__ = ["write_webdataset_shards", "read_webdataset_shard", "read_webdataset"]
 
 _META_COLS = ("w", "h", "fmt", "phash")
 
@@ -154,3 +154,64 @@ def read_webdataset_shard(path: str) -> list[dict]:
         if cur:
             out.append(cur)
     return out
+
+
+def read_webdataset(shard_dir: str):
+    """Distributed WebDataset reader: one Ray task per tar shard →
+    Dataset with the input_hint schema (image_id, bytes, w, h, fmt,
+    caption, phash) — the loader-side inverse of
+    :func:`write_webdataset_shards`.
+
+    Scale shape: the SHARD is the parallelism unit (exactly how
+    WebDataset is consumed in training loaders — sequential tar reads,
+    no random access); each task streams its archive front-to-back once
+    and emits one Arrow block, so a 100k-shard corpus is a 100k-task
+    streaming read with no driver involvement. ``batch_size=1`` pins one
+    shard per task; payload bytes go straight from tar to block.
+    """
+    import glob as _glob
+
+    import numpy as np
+    import ray.data as rd
+
+    paths = sorted(_glob.glob(os.path.join(shard_dir, "shard-*.tar")))
+    if not paths:
+        raise FileNotFoundError(f"no shard-*.tar under {shard_dir}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"].to_pylist():
+            samples = read_webdataset_shard(p)
+            meta = [s.get("json", {}) for s in samples]
+            tables.append(
+                pa.table(
+                    {
+                        "image_id": pa.array(
+                            [s["__key__"] for s in samples], pa.string()
+                        ),
+                        "bytes": pa.array(
+                            [s.get("img", b"") for s in samples], pa.binary()
+                        ),
+                        "w": pa.array(
+                            np.array([m.get("w", 0) for m in meta], np.int32)
+                        ),
+                        "h": pa.array(
+                            np.array([m.get("h", 0) for m in meta], np.int32)
+                        ),
+                        "fmt": pa.array(
+                            [str(m.get("fmt", "")) for m in meta], pa.string()
+                        ),
+                        "caption": pa.array(
+                            [s.get("txt", "") for s in samples], pa.string()
+                        ),
+                        "phash": pa.array(
+                            np.array([m.get("phash", 0) for m in meta],
+                                     np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    files = rd.from_items([{"path": p} for p in paths])
+    return files.map_batches(load, batch_size=1, batch_format="pyarrow")

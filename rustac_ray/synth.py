@@ -562,3 +562,116 @@ def ensure_fixtures(sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race; other copy is identical
     return out
+
+
+def ensure_bench_phash(n_rows: int) -> str:
+    """Write (once) an n-row (image_id, phash, w, h) table as a SHARDED
+    parquet directory for image-curation benches; returns its path.
+
+    10% of rows are planted near-dups: row i with i % 10 == 1 copies the
+    phash of row i-1 with ≤ 2 bits flipped (hamming ≤ 2), so a
+    max_hamming=2 / n_bands=3 phash LSH finds exactly the planted pairs
+    (21-22-bit bands keep random collisions negligible at 10^6 rows).
+    w/h cycle the bench aspect regimes. Deterministic (seed fixed).
+    """
+    out = os.path.join(FIXTURE_ROOT, f"bench_phash_{n_rows}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    rng = np.random.default_rng(20260818)
+    phash = rng.integers(0, 2**63, n_rows, dtype=np.int64)
+    dup = np.arange(n_rows) % 10 == 1
+    src = np.where(dup)[0] - 1
+    # bits 0-62 only: base phashes live in [0, 2^63) and flipping the
+    # sign bit would make the int64<->uint64 band views diverge
+    flips = rng.integers(0, 63, (dup.sum(), 2))
+    flipped = phash[src]
+    for k in range(2):
+        flipped = flipped ^ (np.int64(1) << flips[:, k].astype(np.int64))
+    phash[dup] = flipped
+    w_choices = np.array([640, 832, 1024, 1344, 1536], dtype=np.int32)
+    w = w_choices[np.arange(n_rows) % 5]
+    h = w_choices[(np.arange(n_rows) + 2) % 5]
+    ids = np.array([f"img-{i:08d}" for i in range(n_rows)], dtype=object)
+    table = pa.Table.from_arrays(
+        [pa.array(ids, pa.string()), pa.array(phash, pa.int64()),
+         pa.array(w, pa.int32()), pa.array(h, pa.int32())],
+        names=["image_id", "phash", "w", "h"],
+    )
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    shards = min(BENCH_META_SHARDS, max(1, n_rows // 10_000))
+    step = -(-n_rows // shards)
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part, os.path.join(tmp, f"part-{i:03d}.parquet"),
+                compression="zstd", row_group_size=50_000,
+            )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("1\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass
+    return out
+
+
+def ensure_bench_embeddings(n_rows: int, dim: int = 32,
+                            n_clusters: int = 64) -> str:
+    """Write (once) an n-row (vec_id, embedding: list<float>) table as a
+    SHARDED parquet directory plus its generating centroids
+    (centroids.parquet in the same dir); returns the dir path.
+
+    Vectors are unit-normalized centroid + noise draws (so the k-means
+    assignment is non-degenerate), and every row with vec_id % 20 == 1
+    is a near-copy of its predecessor (cosine ≥ 0.999) — the planted
+    5% that SemDeDup must remove. Deterministic (seed fixed).
+    """
+    out = os.path.join(FIXTURE_ROOT, f"bench_emb_{n_rows}_{dim}_{n_clusters}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    rng = np.random.default_rng(20260819)
+    cent = rng.standard_normal((n_clusters, dim))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n_rows)
+    vecs = cent[assign] + rng.standard_normal((n_rows, dim)) * 0.25
+    dup = np.arange(n_rows) % 20 == 1
+    vecs[dup] = vecs[np.where(dup)[0] - 1] + (
+        rng.standard_normal((int(dup.sum()), dim)) * 1e-3
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "centroid_id": pa.array(np.arange(n_clusters, dtype=np.int64)),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(cent.ravel(), pa.float64()), dim
+            ).cast(pa.list_(pa.float64())),
+        }),
+        os.path.join(tmp, "centroids.parquet"),
+    )
+    table = pa.table({
+        "vec_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), dim
+        ).cast(pa.list_(pa.float32())),
+    })
+    shards = min(BENCH_META_SHARDS, max(1, n_rows // 10_000))
+    step = -(-n_rows // shards)
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part, os.path.join(tmp, f"part-{i:03d}.parquet"),
+                compression="zstd", row_group_size=50_000,
+            )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("1\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass
+    return out
