@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "19"
+DERIVED_VERSION = "21"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -541,6 +541,37 @@ def _embeddings_with_planted_dups(
 
 
 # --------------------------------------------------------------- IVF oracle --
+
+
+def _expected_kmeans_train(sf_dir: str, *, k: int = 8, iters: int = 5,
+                           seed: int = 42) -> pa.Table:
+    """Scalar full-batch spherical Lloyd (same init convention as the
+    engine: whole table is the sample at this size, rng.choice(seed)
+    rows) → final assignment per vec. The engine's distributed
+    partial-sum trainer must land every vector in the same cluster —
+    float64 sum reorderings are ~1e-15 against ≥1e-3 margins."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    m = vecs / np.maximum(
+        np.sqrt((vecs * vecs).sum(axis=1)), 1e-12
+    )[:, None]
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(float(np.sqrt((v * v).sum())), 1e-12)
+    final = np.argmax(m @ cent.T, axis=1)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(final.astype(np.int64)),
+        }
+    )
 
 
 def _ivf_fixture(
@@ -1688,6 +1719,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
           _expected_ivfpq_residual(sf_dir, cent, res_books))
     write("stac_items_validate.parquet", _validation_fixture(fdir))
     write("expected_approx_distinct.parquet", _expected_approx_distinct(sf_dir))
+    write("expected_kmeans_train.parquet", _expected_kmeans_train(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
     write("expected_zonal.parquet", _expected_zonal(fdir))
     write("expected_point_samples.parquet", _expected_point_samples(fdir))
@@ -1713,6 +1745,28 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)
     write("expected_frame_stats.parquet", _expected_frame_stats(vids))
+
+    # expected payload digests (scalar hashlib — DuckDB's md5() hashes
+    # BLOB→VARCHAR *escaped* text, not raw bytes, so the twin reads this)
+    import hashlib as _hashlib
+
+    pay = pa.concat_tables(
+        [pq.read_table(p, columns=["image_id", "bytes"])
+         for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+    )
+    write(
+        "expected_payload_md5.parquet",
+        pa.table(
+            {
+                "image_id": pay["image_id"],
+                "payload_md5": pa.array(
+                    [_hashlib.md5(x).hexdigest()
+                     for x in pay["bytes"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+    )
     with open(done, "w") as f:
         f.write(DERIVED_VERSION + "\n")
     return fdir

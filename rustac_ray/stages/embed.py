@@ -1153,3 +1153,73 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(
         keep_first, batch_format="pandas"
     )
+
+
+def train_kmeans(
+    ds, k: int = 16, *, vec_col: str = "embedding", id_col: str = "vec_id",
+    iters: int = 10, seed: int = 42, concurrency: int = 2,
+) -> np.ndarray:
+    """Distributed FULL-CORPUS Lloyd k-means (spherical: cosine assign,
+    normalized mean update) — the iterative-algorithm shape on Ray Data.
+
+    Unlike :func:`train_ivf_centroids` (driver-side sample), every
+    iteration streams the whole corpus exactly once: ``map_batches``
+    folds each block to a k×(d+1) partial (per-cluster vector sum +
+    count), the driver reduces the tiny partial stream and re-broadcasts
+    the updated centroids via ``ray.put``. No shuffle in any iteration,
+    nothing corpus-sized on the driver; per-iteration cost is one read
+    pass + k×d×(#blocks) partial floats. Deterministic: init is the
+    id-hash sample of :func:`train_ivf_centroids` (block-order
+    independent) and every update is a sum of float64 vectors.
+
+    Empty clusters keep their previous centroid (same rule as the
+    scalar trainer). Returns the (k, d) float64 centroid matrix.
+    """
+    import ray
+
+    cent = train_ivf_centroids(
+        ds, k, vec_col=vec_col, id_col=id_col, iters=0, seed=seed
+    )
+    k_eff, d = cent.shape
+
+    class _Partial:
+        def __init__(self, cref):
+            self.c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(
+                np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            )
+            assign = np.argmax(m @ self.c.T, axis=1)
+            sums = np.zeros((k_eff, d))
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=k_eff).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(k_eff, dtype=np.int64),
+                    "n": cnt,
+                    "vsum": list(sums),
+                }
+            )
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        parts = ds.map_batches(
+            _Partial, fn_constructor_args=(ref,), batch_format="pandas",
+            concurrency=concurrency,
+        ).to_pandas()
+        cnt = np.zeros(k_eff)
+        sums = np.zeros((k_eff, d))
+        cl = parts["cluster"].to_numpy()
+        np.add.at(cnt, cl, parts["n"].to_numpy())
+        np.add.at(sums, cl, np.stack(parts["vsum"].to_numpy()))
+        nz = cnt > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / np.maximum(
+            np.linalg.norm(sums[nz], axis=1, keepdims=True), 1e-12
+        )
+        if np.allclose(new, cent, atol=0.0, rtol=0.0):
+            cent = new
+            break
+        cent = new
+    return cent

@@ -718,3 +718,49 @@ def test_connected_components_nonconvergence_raises():
     )
     with pytest.raises(ValueError, match="did not converge"):
         dedup.connected_components(pairs, max_rounds=1)
+
+
+def test_train_kmeans_matches_scalar_lloyd(sf_dir):
+    # distributed partial-sum Lloyd == scalar full-batch Lloyd: same
+    # init (id-hash sample == whole table here), same spherical update,
+    # same argmax tie rule — assignments must agree exactly
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(emb_path)
+    cent = embed.train_kmeans(ds, k=8, iters=5, concurrency=2)
+
+    t = pq.read_table(emb_path)
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = vecs / np.maximum(
+        np.sqrt((vecs * vecs).sum(axis=1)), 1e-12
+    )[:, None]
+    rng = np.random.default_rng(42)
+    ref = m[rng.choice(len(m), size=8, replace=False)].copy()
+    for _ in range(5):
+        assign = np.argmax(m @ ref.T, axis=1)
+        for c in range(8):
+            mem = m[assign == c]
+            if len(mem):
+                v = mem.mean(axis=0)
+                ref[c] = v / max(float(np.sqrt((v * v).sum())), 1e-12)
+    assert np.allclose(cent, ref, atol=1e-12)
+    assert (np.argmax(m @ cent.T, axis=1) == np.argmax(m @ ref.T, axis=1)).all()
+
+
+def test_train_kmeans_empty_cluster_keeps_centroid():
+    # two tight groups + k=3: one centroid never wins a vector and must
+    # keep its init position (no NaN, no collapse)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(4) * 0.01 + np.array([1.0, 0, 0, 0])
+    b = rng.standard_normal(4) * 0.01 + np.array([0, 1.0, 0, 0])
+    vecs = [a + rng.standard_normal(4) * 1e-3 for _ in range(20)] + [
+        b + rng.standard_normal(4) * 1e-3 for _ in range(20)
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                      "embedding": vecs})
+    )
+    cent = embed.train_kmeans(ds, k=3, iters=4, concurrency=1)
+    assert cent.shape == (3, 4)
+    assert np.isfinite(cent).all()
+    norms = np.linalg.norm(cent, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9)

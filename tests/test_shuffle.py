@@ -159,3 +159,38 @@ def test_webdataset_resume_detects_stale_input(fixtures_dir, tmp_path):
     assert sum(r["rows"] for r in recs2) == ds2.count()
     assert n_after == ds2.count()
     assert n_after != n_before
+
+
+def test_read_webdataset_distributed_inverse(fixtures_dir, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rustac_ray.stages.export import read_webdataset, write_webdataset_shards
+
+    out = str(tmp_path / "wds_rt")
+    cols = ["image_id", "bytes", "caption", "w", "h", "fmt", "phash"]
+    ds = rd.read_parquet(f"{fixtures_dir}/images.parquet", columns=cols)
+    write_webdataset_shards(ds, out)
+    back = (
+        read_webdataset(out)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    src = (
+        pq.read_table(f"{fixtures_dir}/images.parquet", columns=cols)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(src)
+    for c in ["image_id", "caption", "fmt"]:
+        assert (back[c] == src[c]).all(), c
+    for c in ["w", "h", "phash"]:
+        assert (back[c].to_numpy() == src[c].to_numpy()).all(), c
+    # payload bytes survive the tar cycle exactly
+    assert all(a == b for a, b in zip(back["bytes"], src["bytes"]))
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_webdataset(str(tmp_path / "nope"))
