@@ -22,6 +22,7 @@ __all__ = [
     "NormalizeText",
     "add_token_counts",
     "repetition_stats",
+    "chunk_documents",
 ]
 
 _STOPWORDS = {
@@ -236,3 +237,48 @@ def add_token_counts(batch: pd.DataFrame) -> pd.DataFrame:
         batch["text"].astype(str).str.split().str.len().fillna(0).astype("int64")
     )
     return batch
+
+
+def chunk_documents(ds, *, window: int = 64, stride: int = 48,
+                    col: str = "text", id_col: str = "doc_id"):
+    """Fixed-token-window chunking with overlap — the context-window prep
+    every LM training pipeline runs before packing: each document splits
+    into chunks of ``window`` whitespace tokens advancing by ``stride``
+    (chunk starts s = 0, stride, 2·stride, … while s < n_tokens; the
+    tail chunk may be short). → (id_col, chunk_id, n_tokens, chunk_text).
+
+    Shuffle-free flat expansion: the split is one vectorized pandas C
+    call per batch; the per-chunk loop does only C-level list-slice +
+    join work, so cost is proportional to OUTPUT characters (the
+    unavoidable lower bound for materialized chunk text), never corpus
+    row count² and never the driver. Tokenization is the engine-wide
+    single-space convention, so the SQL twin is DuckDB
+    ``list_slice(string_split(text,' '), …)`` verbatim.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_col = batch[col].astype(str).str.split(" ")
+        ids = batch[id_col].to_numpy()
+        out_id, out_cid, out_nt, out_txt = [], [], [], []
+        for did, toks in zip(ids, toks_col.to_numpy()):
+            n = len(toks)
+            if n == 0:
+                continue
+            for cid, s in enumerate(range(0, n, stride)):
+                seg = toks[s:s + window]
+                out_id.append(did)
+                out_cid.append(cid)
+                out_nt.append(len(seg))
+                out_txt.append(" ".join(seg))
+        return pd.DataFrame(
+            {
+                id_col: np.array(out_id, dtype=ids.dtype),
+                "chunk_id": np.array(out_cid, dtype=np.int64),
+                "n_tokens": np.array(out_nt, dtype=np.int64),
+                "chunk_text": out_txt,
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")

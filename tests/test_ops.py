@@ -764,3 +764,50 @@ def test_train_kmeans_empty_cluster_keeps_centroid():
     assert np.isfinite(cent).all()
     norms = np.linalg.norm(cent, axis=1)
     assert np.allclose(norms, 1.0, atol=1e-9)
+
+
+def test_chunk_documents_brute_force():
+    texts = [
+        "a b c d e f g h i j",   # 10 tokens: window 4 stride 3 -> 4 chunks
+        "one two",                # shorter than window -> 1 chunk
+        "solo",
+    ]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    got = (
+        text.chunk_documents(rd.from_pandas(df), window=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for did, t in zip([1, 2, 3], texts):
+        toks = t.split(" ")
+        for cid, s in enumerate(range(0, len(toks), 3)):
+            seg = toks[s:s + 4]
+            want.append((did, cid, len(seg), " ".join(seg)))
+    assert list(got.itertuples(index=False, name=None)) == want
+    with pytest.raises(ValueError):
+        text.chunk_documents(rd.from_pandas(df), window=0)
+
+
+def test_mutual_knn_matches_brute_force(sf_dir):
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    got = (
+        embed.mutual_knn_pairs(rd.read_parquet(emb_path), k=3, concurrency=2)
+        .to_pandas()
+    )
+    got_set = set(zip(got["id_a"], got["id_b"]))
+
+    t = pq.read_table(emb_path)
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    nn = np.argsort(-sims, axis=1, kind="stable")[:, :3]
+    directed = {(ids[i], ids[j]) for i in range(len(ids)) for j in nn[i]}
+    want = {(min(a, b), max(a, b)) for (a, b) in directed
+            if (b, a) in directed}
+    assert got_set == want and len(got) == len(want)
