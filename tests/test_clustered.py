@@ -1,0 +1,129 @@
+"""Morton-clustered store: write, prune, read, resume (sources/clustered)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rustac_ray.pipelines.flagship import read_images_metadata
+from rustac_ray.sources.clustered import (
+    SpatialManifest,
+    morton_key,
+    prune_plan,
+    read_clustered,
+    write_clustered,
+)
+from rustac_ray.stages.footprint import derive_footprints
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, fixtures_dir):
+    out = str(tmp_path_factory.mktemp("clustered") / "images")
+    recs = write_clustered(read_images_metadata(SF), out)
+    return out, recs
+
+
+@pytest.fixture(scope="module")
+def full_fp(fixtures_dir):
+    return (
+        read_images_metadata(SF)
+        .map_batches(derive_footprints, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def _truth_ids(full, B):
+    m = (
+        (full.fp_xmin <= B[2])
+        & (full.fp_xmax >= B[0])
+        & (full.fp_ymin <= B[3])
+        & (full.fp_ymax >= B[1])
+    )
+    return set(full.loc[m, "image_id"])
+
+
+def test_morton_key_locality():
+    # neighboring points share high bits; antipodal points do not
+    k = morton_key(np.array([10.0, 10.001, -170.0]), np.array([45.0, 45.001, -45.0]))
+    assert abs(k[0] - k[1]) < abs(k[0] - k[2])
+
+
+def test_pruned_read_matches_full_scan(store, full_fp):
+    out, recs = store
+    assert sum(r["rows"] for r in recs) == len(full_fp)
+    for B in [(-110.0, 35.0, -105.0, 40.0), (-70.0, 20.0, -60.0, 30.0)]:
+        got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+        assert set(got["image_id"]) == _truth_ids(full_fp, B)
+
+
+def test_prune_actually_skips_files(store):
+    out, recs = store
+    kept, total = prune_plan(out, (-110.0, 35.0, -105.0, 40.0))
+    assert total == len(recs)
+    # clustering makes per-file bboxes tight: a ~1/40-area query box must
+    # prune well over half the files
+    assert len(kept) < total / 2
+
+
+def test_file_bboxes_are_tight(store, full_fp):
+    _, recs = store
+    gx = full_fp.fp_xmax.max() - full_fp.fp_xmin.min()
+    gy = full_fp.fp_ymax.max() - full_fp.fp_ymin.min()
+    areas = [(r["xmax"] - r["xmin"]) * (r["ymax"] - r["ymin"]) for r in recs]
+    assert np.mean(areas) < 0.5 * gx * gy
+
+
+def test_no_bbox_reads_everything(store, full_fp):
+    out, _ = store
+    assert read_clustered(out).count() == len(full_fp)
+
+
+def test_empty_intersection(store):
+    out, _ = store
+    ds = read_clustered(out, bbox=(0.0, 0.0, 1.0, 1.0), columns=["image_id"])
+    assert ds.count() == 0
+
+
+def test_resume_skips_completed(store):
+    out, recs = store
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
+    recs2 = write_clustered(read_images_metadata(SF), out)
+    assert [r["partition_id"] for r in recs2] == [r["partition_id"] for r in recs]
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m  # untouched
+
+
+def test_antimeridian_query_splits(tmp_path):
+    import ray.data as rd
+
+    # footprints on both sides of the antimeridian + one far away
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c", "d"]),
+            "fp_xmin": pa.array([178.9, -179.9, 10.0, 179.5]),
+            "fp_ymin": pa.array([10.0, 10.0, 10.0, -60.0]),
+            "fp_xmax": pa.array([179.1, -179.7, 10.1, 179.7]),
+            "fp_ymax": pa.array([10.2, 10.2, 10.2, -59.8]),
+        }
+    )
+    out = str(tmp_path / "am")
+    write_clustered(rd.from_arrow(t), out, footprints_derived=True)
+    got = read_clustered(out, bbox=(170.0, 0.0, -170.0, 20.0), columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == {"a", "b"}
+
+
+def test_manifest_roundtrip(store):
+    out, recs = store
+    assert len(SpatialManifest(out).completed()) == len(recs)
+    # zkey ranges non-decreasing across sorted partitions (the drift guard)
+    zs = [(r["zmin"], r["zmax"]) for r in recs if r["zmin"] is not None]
+    assert all(b0 >= a0 for (a0, _), (b0, _) in zip(zs, zs[1:]))
