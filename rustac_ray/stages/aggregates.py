@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "daily_counts_filled", "global_extent", "grouped_topk"]
+__all__ = ["collection_extents", "coverage_area", "scene_gaps", "rolling_window_counts", "daily_counts_filled", "global_extent", "grouped_topk", "collection_summaries", "summaries_dict"]
 
 _PARTIAL_COLS = ["collection", "xmin", "ymin", "xmax", "ymax", "start", "end", "n_items"]
 
@@ -688,3 +688,157 @@ def daily_counts_filled(ds, *, group_col: str = "collection",
             }
         )
     )
+
+
+def collection_summaries(
+    ds,
+    *,
+    ranges: tuple[str, ...] = (),
+    sets: tuple[str, ...] = (),
+    group_col: str = "collection",
+    max_distinct: int = 25,
+    on_overflow: str = "drop",
+):
+    """→ long table (collection, property, kind, minimum, maximum, value):
+    the STAC ``Collection.summaries`` map derived from the items.
+
+    The reference declares the field — ``summaries: Option<Map<String,
+    Value>>``, "either a set of values or a range of values"
+    (crates/core/src/collection.rs:100-103) — but never derives it; this
+    stage is the autogen, the per-property companion of the extent autogen
+    (collection.rs:270-276 / ``collection_extents``).
+
+    Scale shape (combiner-first, like ``collection_extents``): each block
+    folds to per-(collection, property) partial min/max rows and per-block
+    DISTINCT value rows, so the ``groupby`` shuffles carry partials
+    bounded by collections × properties × distinct values — never items.
+    ``kind='range'`` rows carry (minimum, maximum); ``kind='set'`` rows
+    carry one stringified ``value`` each (ints/strings only — float
+    formatting is locale-fragile). Sets exceeding ``max_distinct`` are
+    dropped (``on_overflow='drop'``, the STAC "keep summaries small"
+    guidance) or raise (``'error'``). Nulls never summarize.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    if not ranges and not sets:
+        raise ValueError("need at least one property in ranges= or sets=")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for p in ranges:
+            v = pd.to_numeric(df[p], errors="coerce")
+            g = (
+                pd.DataFrame({group_col: df[group_col], "_v": v})
+                .dropna()
+                .groupby(group_col, sort=False)["_v"]
+                .agg(["min", "max"])
+                .reset_index()
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        group_col: g[group_col],
+                        "property": p,
+                        "minimum": g["min"].astype(np.float64),
+                        "maximum": g["max"].astype(np.float64),
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {group_col: [], "property": [], "minimum": [], "maximum": []}
+            )
+        )
+
+    def partial_sets(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for p in sets:
+            sub = df[[group_col, p]].dropna().drop_duplicates()
+            vals = sub[p]
+            # ints must stringify without a float suffix even when pandas
+            # promoted a nullable int column to float
+            if vals.dtype.kind == "f":
+                vals = vals.astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        group_col: sub[group_col].to_numpy(),
+                        "property": p,
+                        "value": vals.astype(str).to_numpy(),
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({group_col: [], "property": [], "value": []})
+        )
+
+    frames = []
+    if ranges:
+        rr = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby([group_col, "property"])
+            .aggregate(
+                Min("minimum", alias_name="minimum"),
+                Max("maximum", alias_name="maximum"),
+            )
+            .to_pandas()
+        )
+        rr["kind"] = "range"
+        rr["value"] = pd.array([None] * len(rr), dtype="string")
+        frames.append(rr)
+    if sets:
+        ss = (
+            ds.map_batches(partial_sets, batch_format="pandas")
+            .groupby([group_col, "property", "value"])
+            .aggregate(Count())
+            .to_pandas()[[group_col, "property", "value"]]
+        )
+        n = ss.groupby([group_col, "property"])["value"].transform("size")
+        over = ss.loc[n > max_distinct, [group_col, "property"]].drop_duplicates()
+        if len(over):
+            if on_overflow == "error":
+                raise ValueError(
+                    f"summaries over max_distinct={max_distinct}: "
+                    f"{over.to_records(index=False).tolist()}"
+                )
+            ss = ss.loc[n <= max_distinct]
+        ss["kind"] = "set"
+        ss["minimum"] = np.nan
+        ss["maximum"] = np.nan
+        frames.append(ss)
+    cols = [group_col, "property", "kind", "minimum", "maximum", "value"]
+    out = pd.concat(frames, ignore_index=True)[cols]
+    out["value"] = out["value"].astype(object).where(out["value"].notna(), None)
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out[group_col], pa.string()),
+                "property": pa.array(out["property"], pa.string()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "minimum": pa.array(out["minimum"], pa.float64()),
+                "maximum": pa.array(out["maximum"], pa.float64()),
+                "value": pa.array(out["value"].tolist(), pa.string()),
+            }
+        )
+    )
+
+
+def summaries_dict(df: "pd.DataFrame", *, group_col: str = "collection") -> dict:
+    """Pivot the long summaries table into the STAC JSON shape:
+    {collection: {property: {"minimum": x, "maximum": y} | [v, ...]}}."""
+    out: dict = {}
+    for (coll, prop), g in df.groupby([group_col, "property"], sort=True):
+        d = out.setdefault(coll, {})
+        if g["kind"].iloc[0] == "range":
+            d[prop] = {
+                "minimum": float(g["minimum"].iloc[0]),
+                "maximum": float(g["maximum"].iloc[0]),
+            }
+        else:
+            d[prop] = sorted(g["value"].tolist())
+    return out
