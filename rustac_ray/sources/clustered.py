@@ -48,6 +48,7 @@ __all__ = [
     "morton_key",
     "write_clustered",
     "read_clustered",
+    "merge_clustered",
     "prune_plan",
     "SpatialManifest",
 ]
@@ -263,3 +264,98 @@ def read_clustered(
     if columns is not None and scan_columns != columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def merge_clustered(
+    out_dir: str,
+    new_ds,
+    *,
+    footprints_derived: bool = False,
+    bits: int = 16,
+) -> list[dict]:
+    """Incremental ingest into an existing clustered store (the lakehouse
+    MERGE): each new row routes to the file owning its zkey range, and
+    ONLY touched files are rewritten (read old + merge + re-sort + atomic
+    rename) — untouched files and their manifest records stay byte-
+    identical. Returns the updated manifest records.
+
+    Ownership: manifest files sorted by zmin; file i owns keys in
+    [zmin_i, zmin_{i+1}), the first file also owns everything below. The
+    routing boundaries are a tiny broadcast array, so the only exchange
+    is the ``groupby`` of NEW rows by target file — incremental cost is
+    O(new rows + touched files), independent of store size. Periodic
+    re-clustering (``write_clustered`` to a fresh dir) is the compaction
+    path once merged files grow past the target size.
+    """
+    import pandas as pd
+    import ray
+
+    man = SpatialManifest(out_dir)
+    recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+    if not recs:
+        raise FileNotFoundError(f"no clustered store at {out_dir}")
+    own = sorted(
+        (r for r in recs if r["zmin"] is not None), key=lambda r: r["zmin"]
+    )
+    if not own:
+        raise ValueError(f"{out_dir}: store has no non-empty files to merge into")
+    bounds = np.asarray([r["zmin"] for r in own], np.int64)  # sorted
+    pids = np.asarray([r["partition_id"] for r in own], np.int64)
+    bounds_ref = ray.put((bounds, pids))
+
+    def route(batch: pa.Table) -> pa.Table:
+        b = _zkey_stage(batch, derive=not footprints_derived, bits=bits)
+        bnds, ps = ray.get(bounds_ref) if isinstance(bounds_ref, ray.ObjectRef) else bounds_ref
+        z = b["_zkey"].to_numpy()
+        slot = np.maximum(np.searchsorted(bnds, z, side="right") - 1, 0)
+        return b.append_column("_target", pa.array(ps[slot], pa.int64()))
+
+    by_rec = {r["partition_id"]: r for r in recs}
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_target"].iloc[0])
+        fname = f"part-{pid:05d}.parquet"
+        final = os.path.join(out_dir, fname)
+        old = pq.read_table(final)
+        add = pa.Table.from_pandas(
+            g.drop(columns=["_target"]), preserve_index=False
+        ).select(old.column_names).cast(old.schema)
+        merged = pa.concat_tables([old, add])
+        order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
+        merged = merged.take(pa.array(order))
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(merged, tmp, compression="zstd", row_group_size=16384)
+        os.rename(tmp, final)
+        z = merged["_zkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "file": [fname],
+                "rows": [merged.num_rows],
+                "xmin": [float(np.min(merged["fp_xmin"].to_numpy()))],
+                "ymin": [float(np.min(merged["fp_ymin"].to_numpy()))],
+                "xmax": [float(np.max(merged["fp_xmax"].to_numpy()))],
+                "ymax": [float(np.max(merged["fp_ymax"].to_numpy()))],
+                "zmin": [int(z.min())],
+                "zmax": [int(z.max())],
+            }
+        )
+
+    updated = (
+        new_ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_target")
+        .map_groups(rewrite, batch_format="pandas")
+        .to_pandas()
+    )
+    for rec in updated.to_dict("records"):
+        by_rec[int(rec["partition_id"])] = {
+            k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
+            for k, v in rec.items()
+        }
+    # atomic manifest rewrite (tmp + rename), preserving id order
+    tmp = man.path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        for k in sorted(by_rec):
+            f.write(json.dumps(by_rec[k], default=str) + "\n")
+    os.rename(tmp, man.path)
+    return [by_rec[k] for k in sorted(by_rec)]

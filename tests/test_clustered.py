@@ -127,3 +127,49 @@ def test_manifest_roundtrip(store):
     # zkey ranges non-decreasing across sorted partitions (the drift guard)
     zs = [(r["zmin"], r["zmax"]) for r in recs if r["zmin"] is not None]
     assert all(b0 >= a0 for (a0, _), (b0, _) in zip(zs, zs[1:]))
+
+
+def test_merge_clustered(tmp_path, full_fp):
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import merge_clustered
+
+    base = full_fp.sample(frac=0.8, random_state=1)
+    extra = full_fp.drop(base.index)
+    out = str(tmp_path / "merge")
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    write_clustered(rd.from_pandas(base[cols]), out, footprints_derived=True)
+    before = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
+    recs = merge_clustered(out, rd.from_pandas(extra[cols]), footprints_derived=True)
+    assert sum(r["rows"] for r in recs) == len(full_fp)
+    # merged store answers queries over the UNION
+    B = (-110.0, 35.0, -105.0, 40.0)
+    got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+    # only files owning new rows were rewritten
+    touched = [
+        f for f, m in before.items()
+        if os.path.getmtime(os.path.join(out, f)) != m
+    ]
+    assert 0 < len(touched) <= len(before)
+    # files stay internally zkey-sorted after merge
+    import pyarrow.parquet as pqt
+
+    z = pqt.read_table(os.path.join(out, touched[0]), columns=["_zkey"])["_zkey"].to_numpy()
+    assert np.all(np.diff(z) >= 0)
+
+
+def test_merge_requires_store(tmp_path):
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import merge_clustered
+
+    with pytest.raises(FileNotFoundError):
+        merge_clustered(
+            str(tmp_path / "nope"),
+            rd.from_arrow(pa.table({"image_id": pa.array(["x"])})),
+        )
