@@ -483,7 +483,77 @@ def run_bench() -> dict:
             ).count()
             timings["semantic_dedup_200k"] = time.perf_counter() - t0
             result_extra["semantic_kept"] = n_sem
+            _ck("clustered_store_1m")
 
+            # Morton-clustered store: ONE write-time Z-order sort, then a
+            # bbox query reads only manifest-intersecting files (vs the
+            # full-scan filter over all blocks)
+            import shutil as _sh
+
+            from rustac_ray.sources.clustered import (
+                prune_plan,
+                read_clustered,
+                write_clustered,
+            )
+            from rustac_ray.stages.footprint import derive_footprints as _dfp
+
+            cl_dir = "/tmp/rustac_bench_clustered"
+            _sh.rmtree(cl_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            write_clustered(bench_meta_ds(), cl_dir)
+            timings["clustered_write_1m"] = time.perf_counter() - t0
+            _B = (-110.0, 35.0, -105.0, 40.0)
+            t0 = time.perf_counter()
+            n_pruned = read_clustered(cl_dir, bbox=_B, columns=["image_id"]).count()
+            timings["clustered_bbox_read"] = time.perf_counter() - t0
+
+            def _boxfilter(b):
+                b = _dfp(b)
+                m = _pc.and_(
+                    _pc.and_(
+                        _pc.less_equal(b["fp_xmin"], _B[2]),
+                        _pc.greater_equal(b["fp_xmax"], _B[0]),
+                    ),
+                    _pc.and_(
+                        _pc.less_equal(b["fp_ymin"], _B[3]),
+                        _pc.greater_equal(b["fp_ymax"], _B[1]),
+                    ),
+                )
+                return b.filter(m).select(["image_id"])
+
+            t0 = time.perf_counter()
+            n_full = bench_meta_ds().map_batches(
+                _boxfilter, batch_format="pyarrow"
+            ).count()
+            timings["clustered_fullscan_control"] = time.perf_counter() - t0
+            kept, total_files = prune_plan(cl_dir, _B)
+            result_extra["clustered_files_kept"] = f"{len(kept)}/{total_files}"
+            assert n_pruned == n_full
+            _ck("bloom_semi_join")
+
+            # Bloom-prefiltered semi join: orders with a high-quantity
+            # lineitem (native left_semi verify of the survivors only)
+            from rustac_ray.stages.bloomjoin import bloom_semi_join
+
+            orders_b = rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_totalprice"],
+            )
+            li_b = rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_quantity"],
+            ).map_batches(
+                lambda b: b.filter(_pc.greater(b["l_quantity"], 45)),
+                batch_format="pyarrow",
+            )
+            t0 = time.perf_counter()
+            n_semi = bloom_semi_join(
+                orders_b, li_b, on="o_orderkey", right_on="l_orderkey",
+                how="semi", verify="join", num_partitions=num_cpus // 2,
+                concurrency=max(2, num_cpus // 4),
+            ).count()
+            timings["bloom_semi_join"] = time.perf_counter() - t0
+            result_extra["bloom_semi_rows"] = n_semi
 
         except _BudgetExceeded:
             pass
