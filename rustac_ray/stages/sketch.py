@@ -35,6 +35,8 @@ import pyarrow.compute as pc
 __all__ = [
     "approx_distinct",
     "exact_quantiles",
+    "approx_quantiles",
+    "MPQuantileSketch",
     "histogram",
     "profile_columns",
     "splitmix64",
@@ -514,4 +516,151 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int):
     return rd.from_pandas(
         pd.DataFrame({"bin": merged.index.to_numpy().astype("int64"),
                       "n": merged.to_numpy().astype("int64")})
+    )
+
+
+# ------------------------------------------------- mergeable quantiles --
+
+
+class MPQuantileSketch:
+    """Deterministic mergeable quantile summary (Munro-Paterson 1980 /
+    MRL-style compactors): per-level sorted buffers of capacity ``cap``;
+    a full level sorts and keeps every other element (fixed even offset —
+    fully deterministic, no RNG), promoting survivors to the next level
+    with doubled weight.
+
+    One sketch holds ≤ cap × levels values where levels ≈ log2(n / cap),
+    so a per-block partial is a few KB regardless of block size, and
+    merging is concatenate-then-compact — the classic one-streaming-pass
+    alternative to :func:`exact_quantiles`' driver-coordinated multi-pass
+    bisection (use this when the input can only be read once, e.g. a
+    transform stream that is not re-runnable; use exact_quantiles when
+    re-scanning is cheap and exactness matters).
+
+    Deterministic-compaction rank-error bound: each compaction at level i
+    perturbs any rank by ≤ 2^i, and level i compacts ≤ n / (cap · 2^i)
+    times, so total error ≤ levels · n / cap — estimates carry a
+    worst-case rank error of ``levels / cap`` as a fraction of n (the
+    pytest asserts it). Merge order shifts WHICH elements survive but
+    never the bound.
+    """
+
+    def __init__(self, cap: int = 1024):
+        if cap < 2 or cap % 2:
+            raise ValueError("cap must be even and >= 2")
+        self.cap = cap
+        self.levels: list[np.ndarray] = [np.zeros(0, np.float64)]
+        self.n = 0
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.cap:
+                buf = np.sort(self.levels[i], kind="stable")
+                # keep the even offset: floor-biased, deterministic
+                promoted = buf[0::2]
+                self.levels[i] = np.zeros(0, np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.zeros(0, np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def add(self, values: np.ndarray) -> "MPQuantileSketch":
+        v = np.asarray(values, np.float64)
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        # feed in cap-sized slices so level 0 never balloons
+        for s in range(0, len(v), self.cap):
+            self.levels[0] = np.concatenate([self.levels[0], v[s : s + self.cap]])
+            self._compact()
+        return self
+
+    def merge(self, other: "MPQuantileSketch") -> "MPQuantileSketch":
+        if other.cap != self.cap:
+            raise ValueError("cap mismatch")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.zeros(0, np.float64))
+        for i, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self.n += other.n
+        self._compact()
+        return self
+
+    def error_bound(self) -> float:
+        """Worst-case rank error as a fraction of n."""
+        return len(self.levels) / self.cap
+
+    def quantiles(self, qs: list[float]) -> np.ndarray:
+        vals = np.concatenate([b for b in self.levels if len(b)] or [np.zeros(0)])
+        if len(vals) == 0:
+            return np.full(len(qs), np.nan)
+        w = np.concatenate(
+            [
+                np.full(len(b), 1 << i, np.int64)
+                for i, b in enumerate(self.levels)
+                if len(b)
+            ]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        out = np.empty(len(qs))
+        for j, q in enumerate(qs):
+            target = q * (total - 1)
+            out[j] = vals[np.searchsorted(cum, target, side="right")]
+        return out
+
+    # --- serialization (one row per sketch, for map_batches partials) ---
+
+    def to_blob(self) -> bytes:
+        import io
+
+        bio = io.BytesIO()
+        np.savez(
+            bio,
+            n=np.int64(self.n),
+            cap=np.int64(self.cap),
+            **{f"l{i}": b for i, b in enumerate(self.levels)},
+        )
+        return bio.getvalue()
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "MPQuantileSketch":
+        import io
+
+        z = np.load(io.BytesIO(blob))
+        sk = cls(cap=int(z["cap"]))
+        sk.n = int(z["n"])
+        nlev = sum(1 for k in z.files if k.startswith("l"))
+        sk.levels = [z[f"l{i}"].astype(np.float64) for i in range(nlev)]
+        return sk
+
+
+def approx_quantiles(ds, col: str, qs: list[float], *, cap: int = 1024):
+    """→ pandas DataFrame (q, value, error_bound): one-pass mergeable
+    approximate quantiles.
+
+    Scale shape: each block folds to ONE serialized sketch row (a few KB,
+    block-size-independent); the driver merges the partial stream —
+    O(blocks × sketch size), no shuffle, no second pass, no value gather.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = MPQuantileSketch(cap=cap)
+        sk.add(batch[col].to_numpy())
+        return pd.DataFrame({"blob": [sk.to_blob()]})
+
+    merged = MPQuantileSketch(cap=cap)
+    for b in ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for blob in b["blob"]:
+            merged.merge(MPQuantileSketch.from_blob(blob))
+    vals = merged.quantiles(qs)
+    return pd.DataFrame(
+        {"q": qs, "value": vals, "error_bound": merged.error_bound()}
     )
