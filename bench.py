@@ -554,6 +554,24 @@ def run_bench() -> dict:
             ).count()
             timings["bloom_semi_join"] = time.perf_counter() - t0
             result_extra["bloom_semi_rows"] = n_semi
+            _ck("approx_quantiles")
+
+            # one-pass mergeable quantile sketch vs the multi-pass exact
+            # bisection, same column
+            from rustac_ray.stages.sketch import approx_quantiles, exact_quantiles
+
+            def li_price():
+                return rd.read_parquet(
+                    f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+                )
+
+            _QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+            t0 = time.perf_counter()
+            approx_quantiles(li_price(), "l_extendedprice", _QS, cap=2048)
+            timings["approx_quantiles_1pass"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            exact_quantiles(li_price(), "l_extendedprice", _QS)
+            timings["exact_quantiles_multipass"] = time.perf_counter() - t0
 
         except _BudgetExceeded:
             pass

@@ -390,9 +390,52 @@ def cmd_coverage(args):
     _emit(coverage_area(ds, group_col=args.group, quantum=args.quantum), args.output)
 
 
+def cmd_cluster(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .sources.clustered import (
+        merge_clustered,
+        prune_plan,
+        read_clustered,
+        write_clustered,
+    )
+
+    if args.action == "write":
+        recs = write_clustered(rd.read_parquet(args.input), args.store)
+        print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
+    elif args.action == "merge":
+        recs = merge_clustered(args.store, rd.read_parquet(args.input))
+        print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
+    else:  # read
+        bbox = (
+            tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
+        )
+        if args.plan_only:
+            kept, total = prune_plan(args.store, bbox)
+            print(json.dumps({"kept_files": len(kept), "total_files": total}))
+            return
+        cols = args.columns.split(",") if args.columns else None
+        _emit(read_clustered(args.store, bbox=bbox, columns=cols), args.output)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rustac_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    cl = sub.add_parser(
+        "cluster",
+        help="Morton-clustered store: write / merge / bbox-pruned read",
+    )
+    cl.add_argument("action", choices=["write", "merge", "read"])
+    cl.add_argument("store", help="clustered store directory")
+    cl.add_argument("--input", help="input parquet (write/merge)")
+    cl.add_argument("--bbox", help="xmin,ymin,xmax,ymax (read)")
+    cl.add_argument("--columns", help="comma-separated projection (read)")
+    cl.add_argument("--plan-only", action="store_true",
+                    help="print the file-prune decision without reading")
+    cl.add_argument("--output", "-o", default=None)
+    cl.set_defaults(fn=cmd_cluster)
 
     s = sub.add_parser("search", help="item search over a flat items table")
     s.add_argument("input")

@@ -167,3 +167,18 @@ def test_cli_coverage(fixtures_dir, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
             if l.startswith("{")]
     assert rows and all(r["union_cells"] <= r["sum_box_cells"] for r in rows)
+
+
+def test_cli_cluster_roundtrip(fixtures_dir, tmp_path, capsys):
+    store = str(tmp_path / "clustore")
+    main(["cluster", "write", store,
+          "--input", f"{fixtures_dir}/images.parquet"])
+    wrote = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert wrote["rows"] == 1000
+    main(["cluster", "read", store, "--bbox=-110,35,-105,40", "--plan-only"])
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < plan["kept_files"] <= plan["total_files"]
+    main(["cluster", "read", store, "--bbox=-110,35,-105,40",
+          "--columns=image_id"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert all("image_id" in line for line in out if line.startswith("{"))
