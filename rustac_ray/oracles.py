@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "21"
+DERIVED_VERSION = "22"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1681,6 +1681,65 @@ def _expected_ivfpq_residual(
     )
 
 
+
+ALIGN_TAU = 0.05  # curation threshold the alignment fixture is built at
+
+
+def _expected_alignment(fdir: str, tau: float = ALIGN_TAU) -> pa.Table:
+    """Naive scalar twin of stages.align.CaptionAlignment: pure-Python md5
+    word hashing, per-pixel block-sum loops, int arithmetic throughout;
+    kept uses the identical float expression on identical ints."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    from .imaging.codec import decode_image
+
+    G = 4
+    D = G * G * 3
+    imgs = pa.concat_tables(
+        [pq.read_table(p, columns=["image_id", "bytes", "w", "h", "fmt", "caption"])
+         for p in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet")))]
+    )
+    rows = []
+    for i in range(len(imgs)):
+        iid = imgs["image_id"][i].as_py()
+        caption = imgs["caption"][i].as_py() or ""
+        t = [0] * D
+        for word in caption.lower().split():
+            hv = int.from_bytes(
+                _hashlib.md5(word.encode("utf-8")).digest()[:8], "little"
+            )
+            t[hv % D] += 1 if hv >> 63 else -1
+        px = decode_image(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py())
+        hh = px.shape[0] - px.shape[0] % G
+        ww = px.shape[1] - px.shape[1] % G
+        v = [0] * D
+        for yy in range(hh):
+            for xx in range(ww):
+                by = yy * G // hh
+                bx = xx * G // ww
+                for c in range(3):
+                    v[(by * G + bx) * 3 + c] += int(px[yy, xx, c])
+        dot = sum(a * b for a, b in zip(t, v))
+        tn = sum(a * a for a in t)
+        vn = sum(b * b for b in v)
+        kept = bool(
+            dot > 0 and float(dot) ** 2 >= (tau ** 2) * float(tn) * float(vn)
+        )
+        rows.append((iid, dot, tn, vn, True, kept))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "image_id": pa.array(cols[0], pa.string()),
+            "dot": pa.array(cols[1], pa.int64()),
+            "t_norm2": pa.array(cols[2], pa.int64()),
+            "i_norm2": pa.array(cols[3], pa.int64()),
+            "decoded": pa.array(cols[4], pa.bool_()),
+            "kept": pa.array(cols[5], pa.bool_()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1740,6 +1799,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
         _expected_bpe(caps, id_col="image_id", text_col="caption"),
     )
     write("expected_random_crop.parquet", _expected_random_crop(fdir))
+    write("expected_alignment.parquet", _expected_alignment(fdir))
     write("expected_mosaic_delta.parquet", _expected_mosaic_delta(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
