@@ -49,6 +49,7 @@ __all__ = [
     "write_clustered",
     "read_clustered",
     "merge_clustered",
+    "compact_clustered",
     "prune_plan",
     "SpatialManifest",
 ]
@@ -359,3 +360,157 @@ def merge_clustered(
             f.write(json.dumps(by_rec[k], default=str) + "\n")
     os.rename(tmp, man.path)
     return [by_rec[k] for k in sorted(by_rec)]
+
+
+def compact_clustered(
+    out_dir: str,
+    *,
+    target_rows: int = 16384,
+    min_fill: float = 0.5,
+    max_fill: float = 2.0,
+) -> list[dict]:
+    """Compaction pass for a clustered store: coalesce runs of adjacent
+    under-filled files (< ``min_fill``·target) and split oversized ones
+    (> ``max_fill``·target) into ~target_rows chunks; everything else is
+    only RENAMED into the new id sequence (metadata op, no IO on the
+    bytes). Completes the write → merge → compact lakehouse cycle:
+    repeated ``merge_clustered`` calls grow hot files and leave sparse
+    ones; compaction restores uniform file sizes so prune selectivity
+    and per-task read costs stay predictable.
+
+    Adjacent files are zkey-contiguous by construction (the original
+    write was one global sort; merges only insert keys INSIDE a file's
+    ownership range), so coalescing a run preserves global order — the
+    rewrite re-sorts the concatenation anyway as a cheap invariant.
+    Partition ids are reassigned 0..n-1 in zkey order; the manifest is
+    rewritten atomically at the end.
+    """
+    import ray
+
+    man = SpatialManifest(out_dir)
+    recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+    if not recs:
+        raise FileNotFoundError(f"no clustered store at {out_dir}")
+
+    # group planning on the tiny manifest: greedy run-coalesce + splits
+    groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
+    run: list[dict] = []
+    run_rows = 0
+
+    def flush_run():
+        nonlocal run, run_rows
+        if run:
+            groups.append(
+                {
+                    "files": [r["file"] for r in run],
+                    "action": "rewrite" if len(run) > 1 else "keep",
+                }
+            )
+            run, run_rows = [], 0
+
+    for r in recs:
+        if r["rows"] > max_fill * target_rows:
+            flush_run()
+            groups.append({"files": [r["file"]], "action": "split"})
+            continue
+        if r["rows"] < min_fill * target_rows:
+            if run_rows + r["rows"] > target_rows and run:
+                flush_run()
+            run.append(r)
+            run_rows += r["rows"]
+            if run_rows >= min_fill * target_rows:
+                flush_run()
+        else:
+            flush_run()
+            groups.append({"files": [r["file"]], "action": "keep"})
+    flush_run()
+
+    @ray.remote
+    def rework(files: list[str], action: str) -> list[dict]:
+        tables = [pq.read_table(os.path.join(out_dir, f)) for f in files]
+        merged = pa.concat_tables(tables)
+        order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
+        merged = merged.take(pa.array(order))
+        chunks = []
+        if action == "split":
+            n_parts = max(2, int(np.ceil(merged.num_rows / target_rows)))
+            step = int(np.ceil(merged.num_rows / n_parts))
+            for s in range(0, merged.num_rows, step):
+                chunks.append(merged.slice(s, step))
+        else:
+            chunks = [merged]
+        out = []
+        for i, c in enumerate(chunks):
+            tmp = os.path.join(
+                out_dir, f".compact.{os.getpid()}.{files[0]}.{i}"
+            )
+            pq.write_table(c, tmp, compression="zstd", row_group_size=16384)
+            z = c["_zkey"].to_numpy()
+            out.append(
+                {
+                    "tmp": tmp,
+                    "rows": c.num_rows,
+                    "xmin": float(np.min(c["fp_xmin"].to_numpy())),
+                    "ymin": float(np.min(c["fp_ymin"].to_numpy())),
+                    "xmax": float(np.max(c["fp_xmax"].to_numpy())),
+                    "ymax": float(np.max(c["fp_ymax"].to_numpy())),
+                    "zmin": int(z.min()),
+                    "zmax": int(z.max()),
+                }
+            )
+        return out
+
+    by_file = {r["file"]: r for r in recs}
+    futures = []
+    for g in groups:
+        if g["action"] in ("rewrite", "split"):
+            g["fut"] = rework.remote(g["files"], g["action"])
+            futures.append(g["fut"])
+
+    # assemble the new sequence in zkey order
+    new_recs: list[dict] = []
+    staged: list[tuple[str, str]] = []  # (src, final) renames
+    pid = 0
+    for g in groups:
+        if g["action"] == "keep":
+            r = dict(by_file[g["files"][0]])
+            old = r["file"]
+            r["partition_id"] = pid
+            r["file"] = f"part-{pid:05d}.parquet"
+            staged.append((old, r["file"]))
+            new_recs.append(r)
+            pid += 1
+        else:
+            for piece in ray.get(g["fut"]):
+                rec = {
+                    "partition_id": pid,
+                    "file": f"part-{pid:05d}.parquet",
+                    **{k: v for k, v in piece.items() if k != "tmp"},
+                }
+                staged.append((piece["tmp"], rec["file"]))
+                new_recs.append(rec)
+                pid += 1
+
+    # two-phase publish: move everything aside, then into place (handles
+    # id-sequence shifts where an old name is also a new name)
+    aside = []
+    for src, dst in staged:
+        if os.path.isabs(src):  # freshly written compaction chunk
+            aside.append((src, dst))
+        else:  # kept file: move aside so id-sequence shifts can't collide
+            hold = os.path.join(out_dir, f".hold.{os.getpid()}.{src}")
+            os.rename(os.path.join(out_dir, src), hold)
+            aside.append((hold, dst))
+    # drop stale parquet files not carried forward (their rows were
+    # rewritten into compacted chunks)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and not f.startswith((".hold.", ".compact.")):
+            os.remove(os.path.join(out_dir, f))
+    for src, dst in aside:
+        os.rename(src, os.path.join(out_dir, dst))
+    tmp = man.path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        for r in new_recs:
+            f.write(json.dumps(r, default=str) + "\n")
+    os.rename(tmp, man.path)
+    return new_recs

@@ -173,3 +173,42 @@ def test_merge_requires_store(tmp_path):
             str(tmp_path / "nope"),
             rd.from_arrow(pa.table({"image_id": pa.array(["x"])})),
         )
+
+
+def test_compact_clustered(tmp_path, full_fp):
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import compact_clustered, merge_clustered
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    out = str(tmp_path / "compact")
+    # many tiny files: repartition the base into 20 blocks of ~40 rows
+    base = rd.from_pandas(full_fp[cols]).repartition(20)
+    write_clustered(base, out, footprints_derived=True)
+    n0 = len(SpatialManifest(out).completed())
+    assert n0 >= 10
+    recs = compact_clustered(out, target_rows=250)
+    # coalesced: fewer files, none tiny except possibly the tail
+    assert len(recs) < n0
+    assert sum(r["rows"] for r in recs) == len(full_fp)
+    assert all(r["rows"] <= 2 * 250 for r in recs)
+    # id sequence + zkey order invariant holds
+    zs = [(r["zmin"], r["zmax"]) for r in recs]
+    assert all(b0 >= a0 for (a0, _), (b0, _) in zip(zs, zs[1:]))
+    # queries still exact after compaction
+    B = (-110.0, 35.0, -105.0, 40.0)
+    got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+    # split path: merge everything into one region then re-compact
+    recs2 = compact_clustered(out, target_rows=100)
+    assert all(r["rows"] <= 200 for r in recs2)
+    assert sum(r["rows"] for r in recs2) == len(full_fp)
+    got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+    # no stray hold/tmp files left behind
+    assert not [f for f in os.listdir(out) if f.startswith((".hold.", ".compact."))]
+    # per-file internal sort preserved
+    f0 = os.path.join(out, recs2[0]["file"])
+    z = pqt.read_table(f0, columns=["_zkey"])["_zkey"].to_numpy()
+    assert np.all(np.diff(z) >= 0)
