@@ -50,6 +50,7 @@ __all__ = [
     "read_clustered",
     "merge_clustered",
     "compact_clustered",
+    "search_clustered",
     "prune_plan",
     "SpatialManifest",
 ]
@@ -89,8 +90,33 @@ class SpatialManifest:
             f.write(json.dumps(record, default=str) + "\n")
 
 
-def _zkey_stage(batch: pa.Table, *, derive: bool, bits: int) -> pa.Table:
-    if derive:
+def _zkey_stage(
+    batch: pa.Table, *, derive: bool, bits: int, bbox_col: str | None = None
+) -> pa.Table:
+    if bbox_col is not None:
+        # stac-items shape: bbox is a struct<xmin,ymin,xmax,ymax> — lift
+        # the fields to the flat fp_* stat columns the store prunes on
+        bb = batch[bbox_col]
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        xmin = bb.field("xmin").to_numpy(zero_copy_only=False)
+        ymin = bb.field("ymin").to_numpy(zero_copy_only=False)
+        xmax = bb.field("xmax").to_numpy(zero_copy_only=False)
+        ymax = bb.field("ymax").to_numpy(zero_copy_only=False)
+        if np.any(xmin > xmax):
+            # antimeridian-crossing item bboxes (STAC-legal) would need a
+            # two-row split to prune correctly; refuse rather than build
+            # a store that silently misses them
+            raise ValueError(
+                "write_clustered(bbox_col=...): antimeridian-crossing item "
+                "bbox (xmin > xmax) not supported in the clustered layout"
+            )
+        for name, arr in (
+            ("fp_xmin", xmin), ("fp_ymin", ymin),
+            ("fp_xmax", xmax), ("fp_ymax", ymax),
+        ):
+            batch = batch.append_column(name, pa.array(arr, pa.float64()))
+    elif derive:
         batch = derive_footprints(batch)
     cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
     cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
@@ -103,10 +129,17 @@ def write_clustered(
     *,
     bits: int = 16,
     footprints_derived: bool = False,
+    bbox_col: str | None = None,
     resume: bool = True,
 ) -> list[dict]:
     """Write ``ds`` as a Morton-clustered parquet directory + sidecar
     spatial manifest; returns the manifest records (old + new).
+
+    Accepts either the image-table shape (footprints derived from
+    w/h/transform, or already-present ``fp_*`` columns with
+    ``footprints_derived=True``) or the stac-items shape
+    (``bbox_col="bbox"`` lifts the bbox struct to the ``fp_*`` stat
+    columns).
 
     One ``sort("_zkey")`` range shuffle co-locates spatially-near rows;
     each sorted block becomes one atomic file whose bbox/zkey stats go to
@@ -122,7 +155,11 @@ def write_clustered(
     keyed = ds.map_batches(
         _zkey_stage,
         batch_format="pyarrow",
-        fn_kwargs={"derive": not footprints_derived, "bits": bits},
+        fn_kwargs={
+            "derive": not footprints_derived,
+            "bits": bits,
+            "bbox_col": bbox_col,
+        },
     ).sort("_zkey")
 
     man = SpatialManifest(out_dir)
@@ -514,3 +551,60 @@ def compact_clustered(
             f.write(json.dumps(r, default=str) + "\n")
     os.rename(tmp, man.path)
     return new_recs
+
+
+def _geojson_bounds(geom: dict) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of any GeoJSON geometry's coordinates."""
+    xs: list[float] = []
+    ys: list[float] = []
+
+    def walk(c):
+        if isinstance(c, (list, tuple)):
+            if c and isinstance(c[0], (int, float)):
+                xs.append(float(c[0]))
+                ys.append(float(c[1]))
+            else:
+                for e in c:
+                    walk(e)
+
+    if geom.get("type") == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            walk(g.get("coordinates", []))
+    else:
+        walk(geom.get("coordinates", []))
+    if not xs:
+        raise ValueError("empty geometry")
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def search_clustered(store_dir: str, spec, **read_kwargs):
+    """Layout-aware item search: the QuerySpec's spatial constraint
+    (bbox, or the bounds of ``intersects``) prunes the clustered store
+    BEFORE the scan — files that can't intersect never enter the read
+    plan, row groups prune on parquet stats, and then the ordinary
+    ``query.search`` predicate chain (datetime / CQL2 / fields / sort)
+    runs over the survivors with identical semantics to a full scan.
+    This is the reference's DuckDB pushdown story (SURVEY S7) re-expressed
+    as layout + manifest: selectivity comes from how the data is laid
+    out, not from a SQL engine underneath.
+    """
+    from ..query import search as _search
+
+    bbox = None
+    if getattr(spec, "bbox", None) is not None:
+        b = list(spec.bbox)
+        if len(b) == 6:  # [xmin, ymin, zmin, xmax, ymax, zmax]
+            bbox = (b[0], b[1], b[3], b[4])
+        else:
+            bbox = (b[0], b[1], b[2], b[3])
+    elif getattr(spec, "intersects", None) is not None:
+        bbox = _geojson_bounds(spec.intersects)
+    ds = read_clustered(store_dir, bbox=bbox, **read_kwargs)
+    drop = [
+        c
+        for c in ("fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", "_zkey")
+        if c in (ds.schema().names if ds.schema() else [])
+    ]
+    if drop:
+        ds = ds.drop_columns(drop)
+    return _search(ds, spec)

@@ -212,3 +212,44 @@ def test_compact_clustered(tmp_path, full_fp):
     f0 = os.path.join(out, recs2[0]["file"])
     z = pqt.read_table(f0, columns=["_zkey"])["_zkey"].to_numpy()
     assert np.all(np.diff(z) >= 0)
+
+
+def test_search_clustered_pushdown(tmp_path, fixtures_dir):
+    from rustac_ray.query import QuerySpec, search
+    from rustac_ray.sources.clustered import prune_plan, search_clustered
+
+    import ray.data as rd
+
+    items = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+    out = str(tmp_path / "items_store")
+    write_clustered(items, out, bbox_col="bbox")
+    spec = QuerySpec(bbox=[-106.1, 40.5, -106.0, 40.6])
+    got = search_clustered(out, spec).to_pandas()
+    want = search(items, spec).to_pandas()
+    assert sorted(got["id"]) == sorted(want["id"])
+    assert set(got.columns) == set(want.columns)  # fp_*/_zkey dropped
+    # intersects bounds drive the prune too
+    spec2 = QuerySpec(
+        intersects={"type": "Point", "coordinates": [-106.0, 40.5]}
+    )
+    got2 = search_clustered(out, spec2).to_pandas()
+    want2 = search(items, spec2).to_pandas()
+    assert sorted(got2["id"]) == sorted(want2["id"])
+    # and no spatial term -> full scan, still correct
+    spec3 = QuerySpec(ids=["item-00003"])
+    assert search_clustered(out, spec3).count() == 1
+
+
+def test_items_store_rejects_antimeridian_bbox(tmp_path):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "id": pa.array(["x"]),
+            "bbox": pa.array(
+                [{"xmin": 179.0, "ymin": 0.0, "xmax": -179.0, "ymax": 1.0}]
+            ),
+        }
+    )
+    with pytest.raises(Exception, match="antimeridian"):
+        write_clustered(rd.from_arrow(t), str(tmp_path / "am2"), bbox_col="bbox")
