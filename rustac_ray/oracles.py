@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "22"
+DERIVED_VERSION = "23"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1740,6 +1740,102 @@ def _expected_alignment(fdir: str, tau: float = ALIGN_TAU) -> pa.Table:
     )
 
 
+
+def _audio_table(n_clips: int, seed: int = 777) -> pa.Table:
+    """Deterministic PCM16 WAV clips via the stdlib ``wave`` writer
+    (independent of stages.audio.encode_wav): sine carriers with seeded
+    noise, planted clipped rows (i%7==0), stereo rows (i%5==0), and
+    planted undecodable payloads (i%23==22)."""
+    import io as _io
+    import wave as _wave
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, srs, nss, caps = [], [], [], [], []
+    for i in range(n_clips):
+        sr = 8000 if i % 2 else 16000
+        n = 2000 + (i * 997) % 6000
+        f0 = 100.0 + (i % 37) * 13.0
+        amp = 36000.0 if i % 7 == 0 else 9000.0 + (i % 5) * 4000.0
+        t = np.arange(n)
+        sig = amp * np.sin(2 * np.pi * f0 * t / sr) + rng.integers(-200, 201, n)
+        mono = np.clip(np.round(sig), -32768, 32767).astype(np.int16)
+        if i % 23 == 22:
+            payload = b"\x00not-a-wav" + bytes(rng.integers(0, 256, 64).tolist())
+        else:
+            bio = _io.BytesIO()
+            with _wave.open(bio, "wb") as wf:
+                ch = 2 if i % 5 == 0 else 1
+                wf.setnchannels(ch)
+                wf.setsampwidth(2)
+                wf.setframerate(sr)
+                if ch == 2:
+                    inter = np.empty(n * 2, np.int16)
+                    inter[0::2] = mono
+                    inter[1::2] = np.roll(mono, 7)
+                    wf.writeframes(inter.tobytes())
+                else:
+                    wf.writeframes(mono.tobytes())
+            payload = bio.getvalue()
+        ids.append(f"aud-{i:06d}")
+        payloads.append(payload)
+        srs.append(sr)
+        nss.append(n)
+        caps.append(f"clip {i} tone {int(f0)} hz")
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(nss, pa.int32()),
+            "fmt": pa.array(["wav"] * n_clips, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+
+
+def _expected_audio_stats(aud: pa.Table) -> pa.Table:
+    """Naive scalar twin of stages.audio.AudioStats: stdlib ``wave``
+    reader + per-sample struct loops, int accumulation."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    rows = []
+    for i in range(len(aud)):
+        aid = aud["audio_id"][i].as_py()
+        raw = aud["bytes"][i].as_py()
+        try:
+            with _wave.open(_io.BytesIO(raw), "rb") as wf:
+                ch = wf.getnchannels()
+                sr = wf.getframerate()
+                nfr = wf.getnframes()
+                data = wf.readframes(nfr)
+        except (_wave.Error, EOFError):
+            rows.append((aid, 0, 0, 0, 0, 0, 0, False))
+            continue
+        peak = 0
+        clip = 0
+        sumsq = 0
+        for (v,) in _struct.iter_unpack("<h", data):
+            a = -v if v < 0 else v
+            if a > peak:
+                peak = a
+            if v >= 32767 or v <= -32768:
+                clip += 1
+            sumsq += v * v
+        rows.append((aid, nfr, sr, ch, peak, clip, sumsq, True))
+    cols = list(zip(*rows))
+    names = ["audio_id", "n_samples", "sample_rate", "channels", "peak",
+             "clip_count", "sumsq", "decoded"]
+    return pa.table(
+        {
+            "audio_id": pa.array(cols[0], pa.string()),
+            **{n: pa.array(cols[j], pa.int64()) for j, n in enumerate(names) if 0 < j < 7},
+            "decoded": pa.array(cols[7], pa.bool_()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1802,6 +1898,9 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_alignment.parquet", _expected_alignment(fdir))
     write("expected_mosaic_delta.parquet", _expected_mosaic_delta(fdir))
     write("expected_tile_mosaic.parquet", _expected_tile_mosaic(fdir))
+    aud = _audio_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
+    write("audio.parquet", aud)
+    write("expected_audio_stats.parquet", _expected_audio_stats(aud))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)
     write("expected_frame_stats.parquet", _expected_frame_stats(vids))
