@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "23"
+DERIVED_VERSION = "24"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1836,6 +1836,44 @@ def _expected_audio_stats(aud: pa.Table) -> pa.Table:
     )
 
 
+
+def _expected_audio_chunks(aud: pa.Table, window: int = 1024) -> pa.Table:
+    """Naive scalar twin of stages.audio.chunk_audio (non-overlapping
+    windows, channel 0): stdlib wave + struct loops."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    rows = []
+    for i in range(len(aud)):
+        aid = aud["audio_id"][i].as_py()
+        raw = aud["bytes"][i].as_py()
+        try:
+            with _wave.open(_io.BytesIO(raw), "rb") as wf:
+                ch = wf.getnchannels()
+                data = wf.readframes(wf.getnframes())
+        except (_wave.Error, EOFError):
+            continue
+        samples = [v for (v,) in _struct.iter_unpack("<h", data)][0::ch]
+        j = 0
+        for st in range(0, max(len(samples), 1), window):
+            w = samples[st : st + window]
+            if not w:
+                break
+            rows.append((aid, j, st, len(w), sum(v * v for v in w)))
+            j += 1
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "audio_id": pa.array(cols[0], pa.string()),
+            "chunk_idx": pa.array(cols[1], pa.int64()),
+            "start": pa.array(cols[2], pa.int64()),
+            "n_samples": pa.array(cols[3], pa.int64()),
+            "sumsq": pa.array(cols[4], pa.int64()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1901,6 +1939,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     aud = _audio_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("audio.parquet", aud)
     write("expected_audio_stats.parquet", _expected_audio_stats(aud))
+    write("expected_audio_chunks.parquet", _expected_audio_chunks(aud))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)
     write("expected_frame_stats.parquet", _expected_frame_stats(vids))
