@@ -52,6 +52,7 @@ __all__ = [
     "compact_clustered",
     "search_clustered",
     "prune_plan",
+    "StoreLockedError",
     "SpatialManifest",
 ]
 
@@ -216,6 +217,56 @@ def write_clustered(
     return [done[k] for k in sorted(done)]
 
 
+class StoreLockedError(RuntimeError):
+    pass
+
+
+class _StoreLock:
+    """O_EXCL lockfile guarding store MUTATIONS (merge/compact) — two
+    concurrent mutators would interleave file rewrites and manifest
+    publishes. Readers never take the lock (reads are consistent: files
+    publish atomically and the manifest is replaced atomically). A lock
+    left by a dead local pid is reclaimed; a live one raises
+    :class:`StoreLockedError` immediately (no blocking — the caller
+    decides whether to retry)."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, "_mutation.lock")
+
+    def __enter__(self):
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self.path) as f:
+                    pid = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                pid = 0
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive:
+                raise StoreLockedError(
+                    f"store mutation in progress (pid {pid}): {self.path}"
+                ) from None
+            os.unlink(self.path)  # stale lock from a dead process
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def _query_boxes(bbox: tuple[float, float, float, float]):
     """Split an antimeridian-crossing query bbox (xmin > xmax, STAC-legal)
     into its two in-range halves; plain boxes pass through."""
@@ -332,71 +383,72 @@ def merge_clustered(
     recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
     if not recs:
         raise FileNotFoundError(f"no clustered store at {out_dir}")
-    own = sorted(
-        (r for r in recs if r["zmin"] is not None), key=lambda r: r["zmin"]
-    )
-    if not own:
-        raise ValueError(f"{out_dir}: store has no non-empty files to merge into")
-    bounds = np.asarray([r["zmin"] for r in own], np.int64)  # sorted
-    pids = np.asarray([r["partition_id"] for r in own], np.int64)
-    bounds_ref = ray.put((bounds, pids))
-
-    def route(batch: pa.Table) -> pa.Table:
-        b = _zkey_stage(batch, derive=not footprints_derived, bits=bits)
-        bnds, ps = ray.get(bounds_ref) if isinstance(bounds_ref, ray.ObjectRef) else bounds_ref
-        z = b["_zkey"].to_numpy()
-        slot = np.maximum(np.searchsorted(bnds, z, side="right") - 1, 0)
-        return b.append_column("_target", pa.array(ps[slot], pa.int64()))
-
-    by_rec = {r["partition_id"]: r for r in recs}
-
-    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
-        pid = int(g["_target"].iloc[0])
-        fname = f"part-{pid:05d}.parquet"
-        final = os.path.join(out_dir, fname)
-        old = pq.read_table(final)
-        add = pa.Table.from_pandas(
-            g.drop(columns=["_target"]), preserve_index=False
-        ).select(old.column_names).cast(old.schema)
-        merged = pa.concat_tables([old, add])
-        order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
-        merged = merged.take(pa.array(order))
-        tmp = final + f".tmp.{os.getpid()}"
-        pq.write_table(merged, tmp, compression="zstd", row_group_size=16384)
-        os.rename(tmp, final)
-        z = merged["_zkey"].to_numpy()
-        return pd.DataFrame(
-            {
-                "partition_id": [pid],
-                "file": [fname],
-                "rows": [merged.num_rows],
-                "xmin": [float(np.min(merged["fp_xmin"].to_numpy()))],
-                "ymin": [float(np.min(merged["fp_ymin"].to_numpy()))],
-                "xmax": [float(np.max(merged["fp_xmax"].to_numpy()))],
-                "ymax": [float(np.max(merged["fp_ymax"].to_numpy()))],
-                "zmin": [int(z.min())],
-                "zmax": [int(z.max())],
-            }
+    with _StoreLock(out_dir):
+        own = sorted(
+            (r for r in recs if r["zmin"] is not None), key=lambda r: r["zmin"]
         )
+        if not own:
+            raise ValueError(f"{out_dir}: store has no non-empty files to merge into")
+        bounds = np.asarray([r["zmin"] for r in own], np.int64)  # sorted
+        pids = np.asarray([r["partition_id"] for r in own], np.int64)
+        bounds_ref = ray.put((bounds, pids))
 
-    updated = (
-        new_ds.map_batches(route, batch_format="pyarrow")
-        .groupby("_target")
-        .map_groups(rewrite, batch_format="pandas")
-        .to_pandas()
-    )
-    for rec in updated.to_dict("records"):
-        by_rec[int(rec["partition_id"])] = {
-            k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
-            for k, v in rec.items()
-        }
-    # atomic manifest rewrite (tmp + rename), preserving id order
-    tmp = man.path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        for k in sorted(by_rec):
-            f.write(json.dumps(by_rec[k], default=str) + "\n")
-    os.rename(tmp, man.path)
-    return [by_rec[k] for k in sorted(by_rec)]
+        def route(batch: pa.Table) -> pa.Table:
+            b = _zkey_stage(batch, derive=not footprints_derived, bits=bits)
+            bnds, ps = ray.get(bounds_ref) if isinstance(bounds_ref, ray.ObjectRef) else bounds_ref
+            z = b["_zkey"].to_numpy()
+            slot = np.maximum(np.searchsorted(bnds, z, side="right") - 1, 0)
+            return b.append_column("_target", pa.array(ps[slot], pa.int64()))
+
+        by_rec = {r["partition_id"]: r for r in recs}
+
+        def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+            pid = int(g["_target"].iloc[0])
+            fname = f"part-{pid:05d}.parquet"
+            final = os.path.join(out_dir, fname)
+            old = pq.read_table(final)
+            add = pa.Table.from_pandas(
+                g.drop(columns=["_target"]), preserve_index=False
+            ).select(old.column_names).cast(old.schema)
+            merged = pa.concat_tables([old, add])
+            order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
+            merged = merged.take(pa.array(order))
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(merged, tmp, compression="zstd", row_group_size=16384)
+            os.rename(tmp, final)
+            z = merged["_zkey"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "file": [fname],
+                    "rows": [merged.num_rows],
+                    "xmin": [float(np.min(merged["fp_xmin"].to_numpy()))],
+                    "ymin": [float(np.min(merged["fp_ymin"].to_numpy()))],
+                    "xmax": [float(np.max(merged["fp_xmax"].to_numpy()))],
+                    "ymax": [float(np.max(merged["fp_ymax"].to_numpy()))],
+                    "zmin": [int(z.min())],
+                    "zmax": [int(z.max())],
+                }
+            )
+
+        updated = (
+            new_ds.map_batches(route, batch_format="pyarrow")
+            .groupby("_target")
+            .map_groups(rewrite, batch_format="pandas")
+            .to_pandas()
+        )
+        for rec in updated.to_dict("records"):
+            by_rec[int(rec["partition_id"])] = {
+                k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
+                for k, v in rec.items()
+            }
+        # atomic manifest rewrite (tmp + rename), preserving id order
+        tmp = man.path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            for k in sorted(by_rec):
+                f.write(json.dumps(by_rec[k], default=str) + "\n")
+        os.rename(tmp, man.path)
+        return [by_rec[k] for k in sorted(by_rec)]
 
 
 def compact_clustered(
@@ -428,129 +480,130 @@ def compact_clustered(
     recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
     if not recs:
         raise FileNotFoundError(f"no clustered store at {out_dir}")
+    with _StoreLock(out_dir):
 
-    # group planning on the tiny manifest: greedy run-coalesce + splits
-    groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
-    run: list[dict] = []
-    run_rows = 0
+        # group planning on the tiny manifest: greedy run-coalesce + splits
+        groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
+        run: list[dict] = []
+        run_rows = 0
 
-    def flush_run():
-        nonlocal run, run_rows
-        if run:
-            groups.append(
-                {
-                    "files": [r["file"] for r in run],
-                    "action": "rewrite" if len(run) > 1 else "keep",
-                }
-            )
-            run, run_rows = [], 0
+        def flush_run():
+            nonlocal run, run_rows
+            if run:
+                groups.append(
+                    {
+                        "files": [r["file"] for r in run],
+                        "action": "rewrite" if len(run) > 1 else "keep",
+                    }
+                )
+                run, run_rows = [], 0
 
-    for r in recs:
-        if r["rows"] > max_fill * target_rows:
-            flush_run()
-            groups.append({"files": [r["file"]], "action": "split"})
-            continue
-        if r["rows"] < min_fill * target_rows:
-            if run_rows + r["rows"] > target_rows and run:
+        for r in recs:
+            if r["rows"] > max_fill * target_rows:
                 flush_run()
-            run.append(r)
-            run_rows += r["rows"]
-            if run_rows >= min_fill * target_rows:
+                groups.append({"files": [r["file"]], "action": "split"})
+                continue
+            if r["rows"] < min_fill * target_rows:
+                if run_rows + r["rows"] > target_rows and run:
+                    flush_run()
+                run.append(r)
+                run_rows += r["rows"]
+                if run_rows >= min_fill * target_rows:
+                    flush_run()
+            else:
                 flush_run()
-        else:
-            flush_run()
-            groups.append({"files": [r["file"]], "action": "keep"})
-    flush_run()
+                groups.append({"files": [r["file"]], "action": "keep"})
+        flush_run()
 
-    @ray.remote
-    def rework(files: list[str], action: str) -> list[dict]:
-        tables = [pq.read_table(os.path.join(out_dir, f)) for f in files]
-        merged = pa.concat_tables(tables)
-        order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
-        merged = merged.take(pa.array(order))
-        chunks = []
-        if action == "split":
-            n_parts = max(2, int(np.ceil(merged.num_rows / target_rows)))
-            step = int(np.ceil(merged.num_rows / n_parts))
-            for s in range(0, merged.num_rows, step):
-                chunks.append(merged.slice(s, step))
-        else:
-            chunks = [merged]
-        out = []
-        for i, c in enumerate(chunks):
-            tmp = os.path.join(
-                out_dir, f".compact.{os.getpid()}.{files[0]}.{i}"
-            )
-            pq.write_table(c, tmp, compression="zstd", row_group_size=16384)
-            z = c["_zkey"].to_numpy()
-            out.append(
-                {
-                    "tmp": tmp,
-                    "rows": c.num_rows,
-                    "xmin": float(np.min(c["fp_xmin"].to_numpy())),
-                    "ymin": float(np.min(c["fp_ymin"].to_numpy())),
-                    "xmax": float(np.max(c["fp_xmax"].to_numpy())),
-                    "ymax": float(np.max(c["fp_ymax"].to_numpy())),
-                    "zmin": int(z.min()),
-                    "zmax": int(z.max()),
-                }
-            )
-        return out
+        @ray.remote
+        def rework(files: list[str], action: str) -> list[dict]:
+            tables = [pq.read_table(os.path.join(out_dir, f)) for f in files]
+            merged = pa.concat_tables(tables)
+            order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
+            merged = merged.take(pa.array(order))
+            chunks = []
+            if action == "split":
+                n_parts = max(2, int(np.ceil(merged.num_rows / target_rows)))
+                step = int(np.ceil(merged.num_rows / n_parts))
+                for s in range(0, merged.num_rows, step):
+                    chunks.append(merged.slice(s, step))
+            else:
+                chunks = [merged]
+            out = []
+            for i, c in enumerate(chunks):
+                tmp = os.path.join(
+                    out_dir, f".compact.{os.getpid()}.{files[0]}.{i}"
+                )
+                pq.write_table(c, tmp, compression="zstd", row_group_size=16384)
+                z = c["_zkey"].to_numpy()
+                out.append(
+                    {
+                        "tmp": tmp,
+                        "rows": c.num_rows,
+                        "xmin": float(np.min(c["fp_xmin"].to_numpy())),
+                        "ymin": float(np.min(c["fp_ymin"].to_numpy())),
+                        "xmax": float(np.max(c["fp_xmax"].to_numpy())),
+                        "ymax": float(np.max(c["fp_ymax"].to_numpy())),
+                        "zmin": int(z.min()),
+                        "zmax": int(z.max()),
+                    }
+                )
+            return out
 
-    by_file = {r["file"]: r for r in recs}
-    futures = []
-    for g in groups:
-        if g["action"] in ("rewrite", "split"):
-            g["fut"] = rework.remote(g["files"], g["action"])
-            futures.append(g["fut"])
+        by_file = {r["file"]: r for r in recs}
+        futures = []
+        for g in groups:
+            if g["action"] in ("rewrite", "split"):
+                g["fut"] = rework.remote(g["files"], g["action"])
+                futures.append(g["fut"])
 
-    # assemble the new sequence in zkey order
-    new_recs: list[dict] = []
-    staged: list[tuple[str, str]] = []  # (src, final) renames
-    pid = 0
-    for g in groups:
-        if g["action"] == "keep":
-            r = dict(by_file[g["files"][0]])
-            old = r["file"]
-            r["partition_id"] = pid
-            r["file"] = f"part-{pid:05d}.parquet"
-            staged.append((old, r["file"]))
-            new_recs.append(r)
-            pid += 1
-        else:
-            for piece in ray.get(g["fut"]):
-                rec = {
-                    "partition_id": pid,
-                    "file": f"part-{pid:05d}.parquet",
-                    **{k: v for k, v in piece.items() if k != "tmp"},
-                }
-                staged.append((piece["tmp"], rec["file"]))
-                new_recs.append(rec)
+        # assemble the new sequence in zkey order
+        new_recs: list[dict] = []
+        staged: list[tuple[str, str]] = []  # (src, final) renames
+        pid = 0
+        for g in groups:
+            if g["action"] == "keep":
+                r = dict(by_file[g["files"][0]])
+                old = r["file"]
+                r["partition_id"] = pid
+                r["file"] = f"part-{pid:05d}.parquet"
+                staged.append((old, r["file"]))
+                new_recs.append(r)
                 pid += 1
+            else:
+                for piece in ray.get(g["fut"]):
+                    rec = {
+                        "partition_id": pid,
+                        "file": f"part-{pid:05d}.parquet",
+                        **{k: v for k, v in piece.items() if k != "tmp"},
+                    }
+                    staged.append((piece["tmp"], rec["file"]))
+                    new_recs.append(rec)
+                    pid += 1
 
-    # two-phase publish: move everything aside, then into place (handles
-    # id-sequence shifts where an old name is also a new name)
-    aside = []
-    for src, dst in staged:
-        if os.path.isabs(src):  # freshly written compaction chunk
-            aside.append((src, dst))
-        else:  # kept file: move aside so id-sequence shifts can't collide
-            hold = os.path.join(out_dir, f".hold.{os.getpid()}.{src}")
-            os.rename(os.path.join(out_dir, src), hold)
-            aside.append((hold, dst))
-    # drop stale parquet files not carried forward (their rows were
-    # rewritten into compacted chunks)
-    for f in os.listdir(out_dir):
-        if f.endswith(".parquet") and not f.startswith((".hold.", ".compact.")):
-            os.remove(os.path.join(out_dir, f))
-    for src, dst in aside:
-        os.rename(src, os.path.join(out_dir, dst))
-    tmp = man.path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        for r in new_recs:
-            f.write(json.dumps(r, default=str) + "\n")
-    os.rename(tmp, man.path)
-    return new_recs
+        # two-phase publish: move everything aside, then into place (handles
+        # id-sequence shifts where an old name is also a new name)
+        aside = []
+        for src, dst in staged:
+            if os.path.isabs(src):  # freshly written compaction chunk
+                aside.append((src, dst))
+            else:  # kept file: move aside so id-sequence shifts can't collide
+                hold = os.path.join(out_dir, f".hold.{os.getpid()}.{src}")
+                os.rename(os.path.join(out_dir, src), hold)
+                aside.append((hold, dst))
+        # drop stale parquet files not carried forward (their rows were
+        # rewritten into compacted chunks)
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet") and not f.startswith((".hold.", ".compact.")):
+                os.remove(os.path.join(out_dir, f))
+        for src, dst in aside:
+            os.rename(src, os.path.join(out_dir, dst))
+        tmp = man.path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            for r in new_recs:
+                f.write(json.dumps(r, default=str) + "\n")
+        os.rename(tmp, man.path)
+        return new_recs
 
 
 def _geojson_bounds(geom: dict) -> tuple[float, float, float, float]:

@@ -253,3 +253,30 @@ def test_items_store_rejects_antimeridian_bbox(tmp_path):
     )
     with pytest.raises(Exception, match="antimeridian"):
         write_clustered(rd.from_arrow(t), str(tmp_path / "am2"), bbox_col="bbox")
+
+
+def test_mutation_lock(tmp_path, full_fp):
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import (
+        StoreLockedError,
+        _StoreLock,
+        merge_clustered,
+    )
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    out = str(tmp_path / "locked")
+    write_clustered(
+        rd.from_pandas(full_fp[cols].head(500)), out, footprints_derived=True
+    )
+    extra = rd.from_pandas(full_fp[cols].tail(100))
+    # a live lock blocks mutation...
+    with _StoreLock(out):
+        with pytest.raises(StoreLockedError):
+            merge_clustered(out, extra, footprints_derived=True)
+    # ...a stale lock (dead pid) is reclaimed
+    with open(os.path.join(out, "_mutation.lock"), "w") as f:
+        f.write("999999999")
+    recs = merge_clustered(out, extra, footprints_derived=True)
+    assert sum(r["rows"] for r in recs) == 600
+    assert not os.path.exists(os.path.join(out, "_mutation.lock"))
