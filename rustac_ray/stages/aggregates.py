@@ -753,6 +753,8 @@ def collection_summaries(
             )
         )
 
+    _POISON = "\x00__overflow__"
+
     def partial_sets(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for p in sets:
@@ -762,15 +764,37 @@ def collection_summaries(
             # promoted a nullable int column to float
             if vals.dtype.kind == "f":
                 vals = vals.astype(np.int64)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        group_col: sub[group_col].to_numpy(),
-                        "property": p,
-                        "value": vals.astype(str).to_numpy(),
-                    }
-                )
+            part = pd.DataFrame(
+                {
+                    group_col: sub[group_col].to_numpy(),
+                    "property": p,
+                    "value": vals.astype(str).to_numpy(),
+                }
             )
+            # scale guard: a (group, property) whose distinct count
+            # already exceeds max_distinct INSIDE one block can never
+            # survive globally (block distinct ≤ global distinct), so
+            # emit a single poison marker instead of shuffling an
+            # unbounded value set — the partial stream stays bounded by
+            # groups × properties × max_distinct per block
+            sizes = part.groupby(group_col, sort=False)["value"].transform("size")
+            over = sizes > max_distinct
+            if over.any():
+                poisoned = part.loc[over, [group_col]].drop_duplicates()
+                part = pd.concat(
+                    [
+                        part.loc[~over],
+                        pd.DataFrame(
+                            {
+                                group_col: poisoned[group_col].to_numpy(),
+                                "property": p,
+                                "value": _POISON,
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            outs.append(part)
         return (
             pd.concat(outs, ignore_index=True)
             if outs
@@ -799,14 +823,18 @@ def collection_summaries(
             .to_pandas()[[group_col, "property", "value"]]
         )
         n = ss.groupby([group_col, "property"])["value"].transform("size")
-        over = ss.loc[n > max_distinct, [group_col, "property"]].drop_duplicates()
+        poisoned = ss.groupby([group_col, "property"])["value"].transform(
+            lambda v: (v == _POISON).any()
+        )
+        bad = (n > max_distinct) | poisoned
+        over = ss.loc[bad, [group_col, "property"]].drop_duplicates()
         if len(over):
             if on_overflow == "error":
                 raise ValueError(
                     f"summaries over max_distinct={max_distinct}: "
                     f"{over.to_records(index=False).tolist()}"
                 )
-            ss = ss.loc[n <= max_distinct]
+            ss = ss.loc[~bad]
         ss["kind"] = "set"
         ss["minimum"] = np.nan
         ss["maximum"] = np.nan

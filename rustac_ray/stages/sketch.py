@@ -36,6 +36,7 @@ __all__ = [
     "approx_distinct",
     "exact_quantiles",
     "approx_quantiles",
+    "grouped_approx_quantiles",
     "MPQuantileSketch",
     "histogram",
     "profile_columns",
@@ -664,3 +665,77 @@ def approx_quantiles(ds, col: str, qs: list[float], *, cap: int = 1024):
     return pd.DataFrame(
         {"q": qs, "value": vals, "error_bound": merged.error_bound()}
     )
+
+
+def grouped_approx_quantiles(
+    ds,
+    key: str,
+    col: str,
+    qs: list[float],
+    *,
+    cap: int = 512,
+    combine: str = "auto",
+    max_driver_keys: int = 100_000,
+):
+    """→ pandas DataFrame (key, q, value, error_bound): per-key one-pass
+    mergeable quantiles (per-collection latency percentiles and friends).
+
+    Scale shape: the partial is one serialized sketch per (block, key) —
+    KB-sized, value-count-independent — so the combine stream is bounded
+    by keys × blocks sketch rows, never the data. combine="driver"
+    merges that stream on the driver (the repo's measured driver-merge
+    rule for small keyed partials); combine="shuffle" runs ONE
+    ``groupby(key).map_groups`` whose groups are just the per-block
+    blobs (tiny by construction, no skewed-key hazard). "auto" stays on
+    the driver path under an explicit ``max_driver_keys`` guard that
+    names the shuffle swap instead of silently ballooning.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks, blobs = [], []
+        for k, g in df.groupby(key, sort=False):
+            ks.append(k)
+            blobs.append(MPQuantileSketch(cap=cap).add(g[col].to_numpy()).to_blob())
+        return pd.DataFrame({key: ks, "blob": blobs})
+
+    parts = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def finish(merged: dict) -> pd.DataFrame:
+        rows = []
+        for k in sorted(merged):
+            sk = merged[k]
+            for q, v in zip(qs, sk.quantiles(qs)):
+                rows.append((k, q, v, sk.error_bound()))
+        return pd.DataFrame(rows, columns=[key, "q", "value", "error_bound"])
+
+    if combine == "auto":
+        combine = "driver"  # the max_driver_keys guard below enforces the cap
+
+    if combine == "shuffle":
+
+        def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+            sk = MPQuantileSketch(cap=cap)
+            for blob in g["blob"]:
+                sk.merge(MPQuantileSketch.from_blob(blob))
+            return finish({g[key].iloc[0]: sk})
+
+        out = parts.groupby(key).map_groups(merge_group, batch_format="pandas")
+        return out.to_pandas().sort_values([key, "q"], ignore_index=True)
+
+    merged: dict = {}
+    for b in parts.iter_batches(batch_format="pandas"):
+        for k, blob in zip(b[key], b["blob"]):
+            sk = merged.get(k)
+            other = MPQuantileSketch.from_blob(blob)
+            if sk is None:
+                merged[k] = other
+            else:
+                sk.merge(other)
+        if len(merged) > max_driver_keys:
+            raise ValueError(
+                f"grouped_approx_quantiles: >{max_driver_keys} distinct keys "
+                "on the driver path; use combine='shuffle'"
+            )
+    return finish(merged)

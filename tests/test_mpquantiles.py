@@ -86,3 +86,39 @@ def test_dataset_approx_quantiles(ray_session):
     out = approx_quantiles(ds, "v", QS, cap=512)
     for q, est, eb in zip(out["q"], out["value"], out["error_bound"]):
         assert _rank_error(data, q, est) <= eb
+
+
+def test_grouped_approx_quantiles(ray_session):
+    from rustac_ray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c"], 12_000),
+            "v": np.concatenate(
+                [rng.normal(0, 1, 12_000), rng.normal(50, 5, 12_000),
+                 rng.exponential(2, 12_000)]
+            ),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    for combine in ("driver", "shuffle"):
+        out = grouped_approx_quantiles(
+            ds, "g", "v", QS, cap=512, combine=combine
+        )
+        assert len(out) == 3 * len(QS)
+        for g in ["a", "b", "c"]:
+            sub = df.loc[df.g == g, "v"].to_numpy()
+            rows = out[out.g == g]
+            for q, est, eb in zip(rows["q"], rows["value"], rows["error_bound"]):
+                assert _rank_error(sub, q, est) <= eb, (combine, g, q)
+
+
+def test_grouped_driver_key_cap(ray_session):
+    from rustac_ray.stages.sketch import grouped_approx_quantiles
+
+    df = pd.DataFrame({"g": [f"k{i}" for i in range(50)], "v": np.arange(50.0)})
+    with pytest.raises(ValueError, match="shuffle"):
+        grouped_approx_quantiles(
+            rd.from_pandas(df), "g", "v", [0.5], max_driver_keys=10
+        )

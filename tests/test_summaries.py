@@ -49,3 +49,21 @@ def test_overflow_drop_and_error(items):
 def test_needs_a_property(items):
     with pytest.raises(ValueError):
         collection_summaries(rd.from_pandas(items))
+
+
+def test_block_level_overflow_poison(ray_session):
+    # one block holds 30 distinct values for a single (group, property):
+    # the partial must emit a poison marker, never the unbounded set,
+    # and the final result drops (or errors on) that property
+    import ray.data as rd
+
+    wide = pd.DataFrame(
+        {"collection": ["a"] * 30 + ["b"] * 3, "tag": [f"t{i}" for i in range(30)] + ["x", "y", "x"]}
+    )
+    ds = rd.from_pandas(wide)  # single block → block distinct == global
+    out = collection_summaries(ds, sets=("tag",), max_distinct=25).to_pandas()
+    d = summaries_dict(out)
+    assert "a" not in d  # overflowed, dropped
+    assert d["b"]["tag"] == ["x", "y"]  # small set survives
+    with pytest.raises(ValueError, match="max_distinct"):
+        collection_summaries(ds, sets=("tag",), max_distinct=25, on_overflow="error")
