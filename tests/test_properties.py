@@ -467,3 +467,67 @@ def test_incremental_dedup_random_differential():
     )
     exp = new[~new["text"].isin(set(prior["text"]))]["doc_id"].tolist()
     assert got == sorted(exp)
+
+
+# --- round-3 primitives: morton keys, quantile sketch, WAV codec -------
+
+from rustac_ray.sources.clustered import morton_key
+
+
+@settings(max_examples=50, deadline=None)
+@given(coord, lat, st.floats(1e-6, 0.001), st.floats(1e-6, 0.001))
+def test_morton_locality_monotone_quadrant(x, y, dx, dy):
+    # a point and its epsilon-neighbor quantize to the same or adjacent
+    # morton cell; keys are identical when the quantized coords match
+    k = morton_key(np.array([x, x + dx]), np.array([y, y + dy]), bits=10)
+    n = 1 << 10
+    ix = int((x + 180.0) / 360.0 * n)
+    ix2 = int((x + dx + 180.0) / 360.0 * n)
+    iy = int((y + 90.0) / 180.0 * n)
+    iy2 = int((y + dy + 90.0) / 180.0 * n)
+    if ix == ix2 and iy == iy2:
+        assert k[0] == k[1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=64), min_size=1, max_size=400
+    ),
+    st.integers(0, 3),
+)
+def test_sketch_bound_holds_under_random_split(values, nsplits):
+    from rustac_ray.stages.sketch import MPQuantileSketch
+
+    data = np.asarray(values)
+    parts = np.array_split(data, nsplits + 1)
+    sk = MPQuantileSketch(cap=64)
+    for p in parts:
+        sk.merge(MPQuantileSketch(cap=64).add(p))
+    assert sk.n == len(data)
+    srt = np.sort(data)
+    for q, est in zip([0.0, 0.5, 1.0], sk.quantiles([0.0, 0.5, 1.0])):
+        lo = np.searchsorted(srt, est, "left")
+        hi = np.searchsorted(srt, est, "right")
+        # measure against the nearest ACHIEVABLE (integer) rank — a
+        # fractional target like 0.5·(n−1) is unreachable by any exact
+        # answer at tiny n
+        target = round(q * (len(data) - 1))
+        err = max(0.0, lo - target, target - (hi - 1)) / len(data)
+        assert err <= sk.error_bound() + 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(1, 3),
+)
+def test_wav_roundtrip_any_payload(samples, sr, ch):
+    from rustac_ray.stages.audio import decode_wav, encode_wav
+
+    s = np.asarray(samples, np.int16)
+    s = np.stack([s] * ch, axis=1)
+    got, got_sr = decode_wav(encode_wav(s, sr))
+    assert got_sr == sr
+    np.testing.assert_array_equal(got, s)
