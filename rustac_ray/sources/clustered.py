@@ -132,6 +132,7 @@ def write_clustered(
     footprints_derived: bool = False,
     bbox_col: str | None = None,
     resume: bool = True,
+    rows_per_file: int = 16384,
 ) -> list[dict]:
     """Write ``ds`` as a Morton-clustered parquet directory + sidecar
     spatial manifest; returns the manifest records (old + new).
@@ -142,78 +143,142 @@ def write_clustered(
     (``bbox_col="bbox"`` lifts the bbox struct to the ``fp_*`` stat
     columns).
 
-    One ``sort("_zkey")`` range shuffle co-locates spatially-near rows;
-    each sorted block becomes one atomic file whose bbox/zkey stats go to
-    the sidecar. Blocks already recorded in the manifest are skipped on
-    resume (stable ids from the preserve_order'd sorted block order — the
-    sort is deterministic for identical input, and the recorded zmin/zmax
-    let a resumed run detect drift: a mismatch raises rather than silently
-    keeping stale files).
+    Partitioning is DETERMINISTIC, not sort-sampled: file boundaries are
+    the exact equi-depth quantiles of the zkey multiset (rank-based —
+    identical input ⇒ identical boundaries regardless of block layout),
+    computed by the histogram-bisection pass over a column-pruned zkey
+    stream; rows route to their boundary interval and ONE
+    ``groupby(_file)`` shuffle co-locates each file's rows. This is what
+    makes resume SAFE: a re-run reproduces the exact same (pid → row
+    set) mapping, so completed partitions verify against their recorded
+    (rows, zmin, zmax) and skip the write IO (a mismatch means the input
+    changed — that raises instead of silently mixing runs). Ray's
+    ``sort`` was rejected here precisely because its sampled range
+    boundaries differ run to run, which would turn crash-resume into
+    silent row loss. Manifest records stream to disk as file tasks
+    finish, so a crash keeps everything already published.
     """
-    import ray
-    from ray.data import DataContext
+    import math
 
-    keyed = ds.map_batches(
-        _zkey_stage,
-        batch_format="pyarrow",
-        fn_kwargs={
-            "derive": not footprints_derived,
-            "bits": bits,
-            "bbox_col": bbox_col,
-        },
-    ).sort("_zkey")
+    import ray
+
+    from ..stages.sketch import exact_quantiles
+
+    kw = {"derive": not footprints_derived, "bits": bits, "bbox_col": bbox_col}
+    keyed = ds.map_batches(_zkey_stage, batch_format="pyarrow", fn_kwargs=kw)
 
     man = SpatialManifest(out_dir)
     done = man.completed() if resume else {}
 
-    @ray.remote
-    def write_task(block: pa.Table, pid: int) -> dict:
-        final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        tmp = final + f".tmp.{os.getpid()}"
-        pq.write_table(block, tmp, compression="zstd", row_group_size=16384)
-        os.rename(tmp, final)
-        z = block["_zkey"].to_numpy() if block.num_rows else np.zeros(0, np.int64)
-        return {
-            "partition_id": pid,
-            "file": f"part-{pid:05d}.parquet",
-            "rows": block.num_rows,
-            "xmin": float(np.min(block["fp_xmin"].to_numpy())) if block.num_rows else None,
-            "ymin": float(np.min(block["fp_ymin"].to_numpy())) if block.num_rows else None,
-            "xmax": float(np.max(block["fp_xmax"].to_numpy())) if block.num_rows else None,
-            "ymax": float(np.max(block["fp_ymax"].to_numpy())) if block.num_rows else None,
-            "zmin": int(z.min()) if len(z) else None,
-            "zmax": int(z.max()) if len(z) else None,
-        }
-
-    ctx = DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        futures = []
-        pid = 0
-        for block_ref in keyed.to_arrow_refs():
-            if pid in done:
-                pid += 1
-                continue
-            futures.append(write_task.remote(block_ref, pid))
-            pid += 1
-        for fut in futures:
-            rec = ray.get(fut)
-            man.append(rec)
-            done[rec["partition_id"]] = rec
-        # drift guard for resumed runs: a skipped partition whose recorded
-        # zkey range now overlaps a NEWLY written neighbor out of order
-        # means the input changed shape; surface it instead of mixing runs
-        recs = [done[k] for k in sorted(done)]
-        zs = [(r["zmin"], r["zmax"]) for r in recs if r["zmin"] is not None]
-        for (a0, a1), (b0, b1) in zip(zs, zs[1:]):
-            if b0 < a0:  # sorted block order must be non-decreasing
-                raise RuntimeError(
-                    f"{out_dir}: manifest zkey ranges out of order — input "
-                    "changed between runs; delete the directory to rewrite"
+    with _StoreLock(out_dir):
+        # partitioning parameters are part of the store's identity: a
+        # resume with different bits/rows_per_file would compute different
+        # boundaries and mis-skip — verify against the recorded descriptor
+        meta_path = os.path.join(out_dir, "_store_meta.json")
+        params = {"bits": bits, "rows_per_file": rows_per_file, "version": 1}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev_params = json.load(f)
+            if prev_params != params:
+                raise ValueError(
+                    f"{out_dir}: store written with {prev_params}, "
+                    f"got {params} — pass the same parameters or delete the dir"
                 )
-    finally:
-        ctx.execution_options.preserve_order = prev
+        else:
+            tmp_meta = meta_path + f".tmp.{os.getpid()}"
+            with open(tmp_meta, "w") as f:
+                json.dump(params, f, sort_keys=True)
+            os.rename(tmp_meta, meta_path)
+        # boundary pass over a column-pruned stream (the bisection reads
+        # the input several times; never ship payload bytes through it)
+        names = ds.schema().names
+        if bbox_col is not None:
+            need = [bbox_col]
+        elif footprints_derived:
+            need = [c for c in ("fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax") if c in names]
+        else:
+            need = [c for c in ("w", "h", "transform") if c in names]
+        zonly = ds.select_columns(need).map_batches(
+            _zkey_stage, batch_format="pyarrow", fn_kwargs=kw
+        ).select_columns(["_zkey"])
+        n = zonly.count()
+        if n == 0:
+            return [done[k] for k in sorted(done)]
+        n_files = max(1, math.ceil(n / rows_per_file))
+        if n_files > 1:
+            qs = [i / n_files for i in range(1, n_files)]
+            qdf = exact_quantiles(zonly, "_zkey", qs)
+            boundaries = np.unique(qdf["value"].to_numpy().astype(np.int64))
+        else:
+            boundaries = np.zeros(0, np.int64)
+        b_ref = ray.put(boundaries)
+
+        def route(batch: pa.Table) -> pa.Table:
+            b = ray.get(b_ref) if isinstance(b_ref, ray.ObjectRef) else b_ref
+            z = batch["_zkey"].to_numpy()
+            slot = np.searchsorted(b, z, side="right").astype(np.int64)
+            return batch.append_column("_file", pa.array(slot, pa.int64()))
+
+        prev_ref = ray.put(
+            {
+                int(pid): (rec["rows"], rec["zmin"], rec["zmax"])
+                for pid, rec in done.items()
+            }
+        )
+
+        def write_group(t: pa.Table) -> pa.Table:
+            pid = int(t["_file"][0].as_py())
+            order = np.argsort(t["_zkey"].to_numpy(), kind="stable")
+            t = t.take(pa.array(order)).drop_columns(["_file"])
+            z = t["_zkey"].to_numpy()
+            rec = {
+                "partition_id": pid,
+                "file": f"part-{pid:05d}.parquet",
+                "rows": t.num_rows,
+                "xmin": float(np.min(t["fp_xmin"].to_numpy())),
+                "ymin": float(np.min(t["fp_ymin"].to_numpy())),
+                "xmax": float(np.max(t["fp_xmax"].to_numpy())),
+                "ymax": float(np.max(t["fp_ymax"].to_numpy())),
+                "zmin": int(z.min()),
+                "zmax": int(z.max()),
+            }
+            prev = (
+                ray.get(prev_ref) if isinstance(prev_ref, ray.ObjectRef) else prev_ref
+            ).get(pid)
+            if prev is not None:
+                if prev != (rec["rows"], rec["zmin"], rec["zmax"]):
+                    raise RuntimeError(
+                        f"{out_dir} partition {pid}: recorded (rows, zmin, zmax) "
+                        f"{prev} != recomputed "
+                        f"({rec['rows']}, {rec['zmin']}, {rec['zmax']}) — input "
+                        "changed since the interrupted run; delete the "
+                        "directory to rewrite"
+                    )
+                rec["skipped"] = True
+                return pa.Table.from_pylist([rec])
+            final = os.path.join(out_dir, rec["file"])
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(t, tmp, compression="zstd", row_group_size=16384)
+            os.rename(tmp, final)
+            rec["skipped"] = False
+            return pa.Table.from_pylist([rec])
+
+        records = (
+            keyed.map_batches(route, batch_format="pyarrow")
+            .groupby("_file")
+            .map_groups(write_group, batch_format="pyarrow")
+        )
+        # stream manifest appends as file tasks finish — a crash keeps
+        # every record already published
+        for b in records.iter_batches(batch_format="pandas"):
+            for rec in b.to_dict("records"):
+                if not rec.pop("skipped", False):
+                    rec = {
+                        k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
+                        for k, v in rec.items()
+                    }
+                    man.append(rec)
+                    done[rec["partition_id"]] = rec
     return [done[k] for k in sorted(done)]
 
 

@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def store(tmp_path_factory, fixtures_dir):
     out = str(tmp_path_factory.mktemp("clustered") / "images")
-    recs = write_clustered(read_images_metadata(SF), out)
+    recs = write_clustered(read_images_metadata(SF), out, rows_per_file=32)
     return out, recs
 
 
@@ -96,7 +96,7 @@ def test_resume_skips_completed(store):
         for f in os.listdir(out)
         if f.endswith(".parquet")
     }
-    recs2 = write_clustered(read_images_metadata(SF), out)
+    recs2 = write_clustered(read_images_metadata(SF), out, rows_per_file=32)
     assert [r["partition_id"] for r in recs2] == [r["partition_id"] for r in recs]
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, f)) == m  # untouched
@@ -138,7 +138,8 @@ def test_merge_clustered(tmp_path, full_fp):
     extra = full_fp.drop(base.index)
     out = str(tmp_path / "merge")
     cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
-    write_clustered(rd.from_pandas(base[cols]), out, footprints_derived=True)
+    write_clustered(rd.from_pandas(base[cols]), out, footprints_derived=True,
+                    rows_per_file=64)
     before = {
         f: os.path.getmtime(os.path.join(out, f))
         for f in os.listdir(out)
@@ -184,8 +185,8 @@ def test_compact_clustered(tmp_path, full_fp):
     cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
     out = str(tmp_path / "compact")
     # many tiny files: repartition the base into 20 blocks of ~40 rows
-    base = rd.from_pandas(full_fp[cols]).repartition(20)
-    write_clustered(base, out, footprints_derived=True)
+    base = rd.from_pandas(full_fp[cols])
+    write_clustered(base, out, footprints_derived=True, rows_per_file=50)
     n0 = len(SpatialManifest(out).completed())
     assert n0 >= 10
     recs = compact_clustered(out, target_rows=250)
@@ -222,7 +223,7 @@ def test_search_clustered_pushdown(tmp_path, fixtures_dir):
 
     items = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
     out = str(tmp_path / "items_store")
-    write_clustered(items, out, bbox_col="bbox")
+    write_clustered(items, out, bbox_col="bbox", rows_per_file=64)
     spec = QuerySpec(bbox=[-106.1, 40.5, -106.0, 40.6])
     got = search_clustered(out, spec).to_pandas()
     want = search(items, spec).to_pandas()
@@ -267,7 +268,8 @@ def test_mutation_lock(tmp_path, full_fp):
     cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
     out = str(tmp_path / "locked")
     write_clustered(
-        rd.from_pandas(full_fp[cols].head(500)), out, footprints_derived=True
+        rd.from_pandas(full_fp[cols].head(500)), out, footprints_derived=True,
+        rows_per_file=100,
     )
     extra = rd.from_pandas(full_fp[cols].tail(100))
     # a live lock blocks mutation...
@@ -280,3 +282,37 @@ def test_mutation_lock(tmp_path, full_fp):
     recs = merge_clustered(out, extra, footprints_derived=True)
     assert sum(r["rows"] for r in recs) == 600
     assert not os.path.exists(os.path.join(out, "_mutation.lock"))
+
+
+def test_crash_resume_completes(tmp_path, full_fp):
+    """Simulate a crash mid-write: manifest holds a prefix of the
+    partitions and one written file has no record (rename happened,
+    append didn't). Re-running completes the store exactly."""
+    import json as _json
+
+    import ray.data as rd
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    out = str(tmp_path / "crash")
+    recs = write_clustered(
+        rd.from_pandas(full_fp[cols]), out,
+        footprints_derived=True, rows_per_file=100,
+    )
+    assert len(recs) >= 6
+    man_path = os.path.join(out, "_spatial_manifest.jsonl")
+    with open(man_path) as f:
+        lines = [l for l in f if l.strip()]
+    # drop the last 3 records; delete 2 of those files, leave 1 orphan
+    dropped = [_json.loads(l) for l in lines[-3:]]
+    with open(man_path, "w") as f:
+        f.writelines(lines[:-3])
+    for r in dropped[:2]:
+        os.remove(os.path.join(out, r["file"]))
+    recs2 = write_clustered(
+        rd.from_pandas(full_fp[cols]), out,
+        footprints_derived=True, rows_per_file=100,
+    )
+    assert [r["partition_id"] for r in recs2] == [r["partition_id"] for r in recs]
+    assert sum(r["rows"] for r in recs2) == len(full_fp)
+    got = read_clustered(out, columns=["image_id"]).to_pandas()
+    assert sorted(got["image_id"]) == sorted(full_fp["image_id"])
