@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "24"
+DERIVED_VERSION = "25"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1874,6 +1874,66 @@ def _expected_audio_chunks(aud: pa.Table, window: int = 1024) -> pa.Table:
     )
 
 
+
+def _expected_quality_lr(docs: pa.Table, epochs: int = 40, lr: float = 2.0) -> pa.Table:
+    """Naive scalar twin of stages.quality_lr: pure-Python per-row loops
+    (counts, hard sigmoid, per-row fixed-point gradient rounding,
+    sequential integer sums) — bit-identical weights by construction."""
+    PUNCT = set(".,;:!?")
+    STOP = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            "that", "for", "on", "with", "as", "this"}
+    FIX = float(1 << 32)
+    texts = [t if t is not None else "" for t in docs["text"].to_pylist()]
+    ids = docs["doc_id"].to_pylist()
+
+    feats = []
+    for t in texts:
+        t = str(t)
+        n_chars = len(t)
+        punct = sum(1 for c in t if c in PUNCT)
+        upper = sum(1 for c in t if "A" <= c <= "Z")
+        words = t.split()
+        n_words = len(words)
+        stops = sum(1 for w in words if w.lower() in STOP)
+        d_c = float(max(n_chars, 1))
+        d_w = float(max(n_words, 1))
+        feats.append(
+            (1.0, n_chars / 256.0, punct / d_c, stops / d_w,
+             n_chars / d_w / 16.0, upper / d_c)
+        )
+    labels = [1.0 if (x[3] > 0.15 and x[2] < 0.08) else 0.0 for x in feats]
+
+    n_total = len(texts)
+    w = [0.0] * 6
+    for _ in range(epochs):
+        g = [0] * 6
+        for x, y in zip(feats, labels):
+            z = x[0] * w[0]
+            for j in range(1, 6):
+                z = z + x[j] * w[j]
+            s = 0.5 + z * 0.25
+            s = 0.0 if s < 0.0 else (1.0 if s > 1.0 else s)
+            err = s - y
+            for j in range(6):
+                g[j] += int(np.rint((err * x[j]) * FIX))
+        for j in range(6):
+            w[j] = w[j] - (lr / n_total) * (g[j] / FIX)
+
+    rows = []
+    for i, x in enumerate(feats):
+        z = x[0] * w[0]
+        for j in range(1, 6):
+            z = z + x[j] * w[j]
+        rows.append((ids[i], int(np.rint(z * float(1 << 20))), z >= 0.0))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "wx_fixed": pa.array([r[1] for r in rows], pa.int64()),
+            "kept": pa.array([r[2] for r in rows], pa.bool_()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -1940,6 +2000,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("audio.parquet", aud)
     write("expected_audio_stats.parquet", _expected_audio_stats(aud))
     write("expected_audio_chunks.parquet", _expected_audio_chunks(aud))
+    write("expected_quality_lr.parquet", _expected_quality_lr(docs))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)
     write("expected_frame_stats.parquet", _expected_frame_stats(vids))

@@ -1,0 +1,157 @@
+"""Distributed trained quality filter: logistic-style regression by
+full-corpus gradient descent, bit-exact at ANY parallelism.
+
+The curation stack's learned filter (the fasttext-style quality model of
+CCNet/GPT-3 lineage, reduced to its distributed-systems core): featurize
+every document, train a linear model by iterative gradient descent where
+each epoch is ONE streaming ``map_batches`` pass folding a per-block
+gradient partial, driver-reduce, re-broadcast — the same zero-shuffle
+iterative shape as the k-means trainer (stages/embed.assign_clusters'
+``kmeans_train``).
+
+Everything is DETERMINISTIC and layout-independent, so the trained
+weights are bit-identical to a scalar single-threaded twin:
+
+- features are exact rationals of integer counts (no transcendentals);
+- the activation is the HARD sigmoid clip(0.5 + z/4, 0, 1) — exact
+  float arithmetic, no libm ulp drift between vector and scalar paths;
+- per-row gradient contributions are fixed-point-rounded to int64
+  BEFORE summation (``rint(g · 2^32)``), so the epoch reduction is an
+  exact integer sum — float summation order can never leak into the
+  weights no matter how Ray splits the blocks.
+
+Features (per document text, all from integer counts):
+  f0 = 1;  f1 = n_chars / 256;  f2 = punct / max(n_chars, 1);
+  f3 = stop_words / max(n_words, 1);  f4 = n_chars / max(n_words, 1) / 16;
+  f5 = upper_AZ / max(n_chars, 1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["featurize", "train_quality_lr", "score_quality_lr",
+           "PUNCT", "STOPWORDS", "N_FEATURES"]
+
+PUNCT = ".,;:!?"
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "that", "for", "on", "with", "as", "this")
+N_FEATURES = 6
+_FIX = float(1 << 32)  # gradient fixed-point scale
+
+
+def featurize(texts: pd.Series) -> np.ndarray:
+    """→ (n, 6) float64 feature matrix; exact rationals of int counts
+    (vectorized, but every row value is reproducible by the scalar
+    oracle because each is one IEEE division of two ints)."""
+    s = texts.fillna("").astype(str)
+    n_chars = s.str.len().to_numpy(np.int64)
+    punct = s.str.count(f"[{PUNCT}]").to_numpy(np.int64)
+    upper = s.str.count(r"[A-Z]").to_numpy(np.int64)
+    words = s.str.split()
+    n_words = words.str.len().fillna(0).to_numpy(np.int64)
+    stops = np.asarray(
+        [
+            sum(1 for w in ws if w.lower() in STOPWORDS)
+            if isinstance(ws, list)
+            else 0
+            for ws in words
+        ],
+        np.int64,
+    )
+    d_c = np.maximum(n_chars, 1).astype(np.float64)
+    d_w = np.maximum(n_words, 1).astype(np.float64)
+    x = np.empty((len(s), N_FEATURES), np.float64)
+    x[:, 0] = 1.0
+    x[:, 1] = n_chars / 256.0
+    x[:, 2] = punct / d_c
+    x[:, 3] = stops / d_w
+    x[:, 4] = n_chars / d_w / 16.0
+    x[:, 5] = upper / d_c
+    return x
+
+
+def _hard_sigmoid(z: np.ndarray) -> np.ndarray:
+    return np.clip(0.5 + z * 0.25, 0.0, 1.0)
+
+
+def default_label(x: np.ndarray) -> np.ndarray:
+    """Weak heuristic label the model distills (1 = quality): prose-like
+    stopword density without punctuation soup."""
+    return ((x[:, 3] > 0.15) & (x[:, 2] < 0.08)).astype(np.float64)
+
+
+def train_quality_lr(
+    ds,
+    *,
+    text_col: str = "text",
+    epochs: int = 40,
+    lr: float = 2.0,
+    label_fn=default_label,
+) -> np.ndarray:
+    """→ trained weight vector (6,). One streaming pass per epoch:
+    per-block int64 gradient partials (fixed-point), driver reduce,
+    ``ray.put`` re-broadcast — weights are bit-identical for any block
+    layout or worker count."""
+    import ray
+
+    n_total = ds.count()
+    if n_total == 0:
+        raise ValueError("empty dataset")
+    w = np.zeros(N_FEATURES, np.float64)
+    for _ in range(epochs):
+        w_ref = ray.put(w)
+
+        def grad_partial(df: pd.DataFrame, _w=w_ref) -> pd.DataFrame:
+            ww = ray.get(_w) if not isinstance(_w, np.ndarray) else _w
+            x = featurize(df[text_col])
+            y = label_fn(x)
+            # explicit per-term dot (fixed expression tree — no BLAS
+            # reassociation): z = Σ_j w_j·x_j evaluated left to right
+            z = x[:, 0] * ww[0]
+            for j in range(1, N_FEATURES):
+                z = z + x[:, j] * ww[j]
+            err = _hard_sigmoid(z) - y
+            g = np.rint(err[:, None] * x * _FIX).astype(np.int64).sum(axis=0)
+            return pd.DataFrame([{f"g{j}": g[j] for j in range(N_FEATURES)}])
+
+        parts = ds.map_batches(grad_partial, batch_format="pandas")
+        g = np.zeros(N_FEATURES, np.int64)
+        for b in parts.iter_batches(batch_format="pandas"):
+            for j in range(N_FEATURES):
+                g[j] += int(b[f"g{j}"].sum())
+        w = w - (lr / n_total) * (g / _FIX)
+    return w
+
+
+def score_quality_lr(
+    ds,
+    weights: np.ndarray,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """→ (id, wx_fixed: int64, kept: bool): score every document with
+    the trained weights (broadcast once). ``wx_fixed = rint(z · 2^20)``
+    is the hashable integer score; kept = z ≥ 0 (hard-sigmoid ≥ 0.5)."""
+    import ray
+
+    w_ref = ray.put(np.asarray(weights, np.float64))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ww = ray.get(w_ref) if not isinstance(w_ref, np.ndarray) else w_ref
+        x = featurize(df[text_col])
+        z = x[:, 0] * ww[0]
+        for j in range(1, N_FEATURES):
+            z = z + x[:, j] * ww[j]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "wx_fixed": np.rint(z * float(1 << 20)).astype(np.int64),
+                "kept": z >= 0.0,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
