@@ -572,6 +572,27 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             exact_quantiles(li_price(), "l_extendedprice", _QS)
             timings["exact_quantiles_multipass"] = time.perf_counter() - t0
+            _ck("quality_lr_train_200k")
+
+            # distributed-GD trained quality filter: 6 one-pass epochs
+            # over the 200k-doc corpus + a scoring pass
+            from rustac_ray.stages.quality_lr import (
+                score_quality_lr,
+                train_quality_lr,
+            )
+
+            docs_path = synth.ensure_bench_docs(200_000)
+            docs_b = rd.read_parquet(
+                docs_path, columns=["doc_id", "text"],
+                override_num_blocks=n_blocks,
+            )
+            t0 = time.perf_counter()
+            w_lr = train_quality_lr(docs_b, epochs=6)
+            n_kept_lr = score_quality_lr(docs_b, w_lr).map_batches(
+                lambda d: d.loc[d["kept"]], batch_format="pandas"
+            ).count()
+            timings["quality_lr_train_200k"] = time.perf_counter() - t0
+            result_extra["lr_kept_docs"] = n_kept_lr
 
         except _BudgetExceeded:
             pass

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "25"
+DERIVED_VERSION = "26"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1901,7 +1901,7 @@ def _expected_quality_lr(docs: pa.Table, epochs: int = 40, lr: float = 2.0) -> p
             (1.0, n_chars / 256.0, punct / d_c, stops / d_w,
              n_chars / d_w / 16.0, upper / d_c)
         )
-    labels = [1.0 if (x[3] > 0.15 and x[2] < 0.08) else 0.0 for x in feats]
+    labels = [1.0 if (x[3] > 0.06 and x[2] < 0.05) else 0.0 for x in feats]
 
     n_total = len(texts)
     w = [0.0] * 6

@@ -79,8 +79,9 @@ def _hard_sigmoid(z: np.ndarray) -> np.ndarray:
 
 def default_label(x: np.ndarray) -> np.ndarray:
     """Weak heuristic label the model distills (1 = quality): prose-like
-    stopword density without punctuation soup."""
-    return ((x[:, 3] > 0.15) & (x[:, 2] < 0.08)).astype(np.float64)
+    stopword density without punctuation soup (thresholds sit at the
+    synthetic corpus' f3 median so both classes are populated)."""
+    return ((x[:, 3] > 0.06) & (x[:, 2] < 0.05)).astype(np.float64)
 
 
 def train_quality_lr(

@@ -43,7 +43,7 @@ def test_model_learns_the_heuristic(docs):
     w = train_quality_lr(ds, epochs=40)
     scored = score_quality_lr(ds, w).to_pandas()
     x = featurize(docs["text"])
-    label = (x[:, 3] > 0.15) & (x[:, 2] < 0.08)
+    label = (x[:, 3] > 0.06) & (x[:, 2] < 0.05)
     agree = (scored.set_index("doc_id")["kept"].to_numpy() == label).mean()
     assert agree > 0.9  # linear model distills the linearly-ish heuristic
 
