@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "26"
+DERIVED_VERSION = "27"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1934,6 +1934,65 @@ def _expected_quality_lr(docs: pa.Table, epochs: int = 40, lr: float = 2.0) -> p
     )
 
 
+
+def _expected_audio_resample(aud: pa.Table, factor: int = 4) -> pa.Table:
+    """Naive scalar twin of stages.audio.ResampleDownmix: wave-module
+    decode, per-frame python loops (channel sum // ch, block sum //
+    factor), wave-module re-encode, hashlib md5 of the payload."""
+    import hashlib as _hashlib
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    rows = []
+    for i in range(len(aud)):
+        aid = aud["audio_id"][i].as_py()
+        raw = aud["bytes"][i].as_py()
+        try:
+            with _wave.open(_io.BytesIO(raw), "rb") as wf:
+                ch = wf.getnchannels()
+                sr = wf.getframerate()
+                data = wf.readframes(wf.getnframes())
+            if sr % factor:
+                raise _wave.Error("factor mismatch")
+        except (_wave.Error, EOFError):
+            rows.append((aid, 0, 0, None, False))
+            continue
+        flat = [v for (v,) in _struct.iter_unpack("<h", data)]
+        mono = []
+        for f0 in range(0, len(flat), ch):
+            s = 0
+            for c in range(ch):
+                s += flat[f0 + c]
+            mono.append(s // ch)
+        n_out = len(mono) // factor
+        pooled = []
+        for j in range(n_out):
+            s = 0
+            for k in range(factor):
+                s += mono[j * factor + k]
+            pooled.append(s // factor)
+        bio = _io.BytesIO()
+        with _wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr // factor)
+            wf.writeframes(b"".join(_struct.pack("<h", v) for v in pooled))
+        payload = bio.getvalue()
+        rows.append(
+            (aid, sr // factor, n_out, _hashlib.md5(payload).hexdigest(), True)
+        )
+    return pa.table(
+        {
+            "audio_id": pa.array([r[0] for r in rows], pa.string()),
+            "sample_rate": pa.array([r[1] for r in rows], pa.int64()),
+            "n_samples": pa.array([r[2] for r in rows], pa.int64()),
+            "payload_md5": pa.array([r[3] for r in rows], pa.string()),
+            "decoded": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -2001,6 +2060,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_audio_stats.parquet", _expected_audio_stats(aud))
     write("expected_audio_chunks.parquet", _expected_audio_chunks(aud))
     write("expected_quality_lr.parquet", _expected_quality_lr(docs))
+    write("expected_audio_resample.parquet", _expected_audio_resample(aud))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)
     write("expected_frame_stats.parquet", _expected_frame_stats(vids))

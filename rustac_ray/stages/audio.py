@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["decode_wav", "encode_wav", "AudioStats", "chunk_audio",
-           "DEFAULT_AUDIO_BATCH"]
+           "ResampleDownmix", "resample_audio", "DEFAULT_AUDIO_BATCH"]
 
 DEFAULT_AUDIO_BATCH = 256
 
@@ -185,6 +185,76 @@ def chunk_audio(
 
     return ds.map_batches(
         _Chunker,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ResampleDownmix:
+    """Actor-pool stage: stereo→mono downmix (per-frame channel sum //
+    channels — exact integer floor) + integer-factor decimation by block
+    mean (block sum // factor), re-encoded as PCM16 WAV payloads at
+    ``sample_rate / factor``. All arithmetic is integer floor division,
+    so outputs are byte-deterministic (the md5 oracle compares payloads
+    whole). The tail remainder (< factor samples) is dropped —
+    n_out = n // factor exactly.
+    """
+
+    def __init__(self, factor: int, strict: bool = False):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        n = len(batch)
+        out_bytes: list[bytes | None] = [None] * n
+        out_sr = np.zeros(n, np.int64)
+        out_ns = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        f = self.factor
+        for i in range(n):
+            try:
+                s, sr = decode_wav(payloads[i])
+                if sr % f:
+                    raise WavFormatError(f"factor {f} does not divide sr {sr}")
+            except WavFormatError:
+                if self.strict:
+                    raise
+                continue
+            v = s.astype(np.int64)
+            mono = v.sum(axis=1) // v.shape[1]
+            n_out = len(mono) // f
+            pooled = mono[: n_out * f].reshape(n_out, f).sum(axis=1) // f
+            out_bytes[i] = encode_wav(pooled.astype(np.int16), sr // f)
+            out_sr[i] = sr // f
+            out_ns[i] = n_out
+            ok[i] = True
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "sample_rate": pa.array(out_sr, pa.int64()),
+                "n_samples": pa.array(out_ns, pa.int64()),
+                "decoded": pa.array(ok),
+            }
+        )
+
+
+def resample_audio(
+    ds,
+    factor: int,
+    *,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = DEFAULT_AUDIO_BATCH,
+):
+    """→ (audio_id, bytes, sample_rate, n_samples, decoded): downmixed,
+    ``factor``×-decimated PCM16 WAV payloads (see ResampleDownmix)."""
+    return ds.map_batches(
+        ResampleDownmix,
+        fn_constructor_args=(factor,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -98,3 +98,40 @@ def test_chunk_audio_conserves_mass(ray_session):
     # overlapping hop: window 256 hop 128 doubles coverage (except tail)
     out2 = chunk_audio(rd.from_arrow(t), window=256, hop=128).to_pandas()
     assert len(out2) > len(out)
+
+
+def test_resample_downmix_exact(ray_session):
+    from rustac_ray.stages.audio import resample_audio
+
+    rng = np.random.default_rng(12)
+    mono = rng.integers(-20000, 20000, 1003).astype(np.int16)
+    inter = np.empty(2006, np.int16)
+    inter[0::2] = mono
+    inter[1::2] = (mono // 2)
+    t = pa.table(
+        {
+            "audio_id": pa.array(["m", "s", "bad"]),
+            "bytes": pa.array(
+                [
+                    _wave_module_bytes(mono, 8000),
+                    _wave_module_bytes(inter, 16000, ch=2),
+                    b"nope",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = resample_audio(rd.from_arrow(t), 4).to_pandas().set_index("audio_id")
+    # mono: block means with floor division, tail dropped
+    v = mono.astype(np.int64)
+    expect = v[: 250 * 4].reshape(250, 4).sum(1) // 4
+    got, sr = decode_wav(out.loc["m", "bytes"])
+    assert sr == 2000 and out.loc["m", "n_samples"] == 250
+    np.testing.assert_array_equal(got[:, 0], expect.astype(np.int16))
+    # stereo: downmix first (floor of channel sum / 2)
+    mix = (v + (v // 2)) // 2
+    expect_s = mix[: 250 * 4].reshape(250, 4).sum(1) // 4
+    got_s, sr_s = decode_wav(out.loc["s", "bytes"])
+    assert sr_s == 4000
+    np.testing.assert_array_equal(got_s[:, 0], expect_s.astype(np.int16))
+    assert not out.loc["bad", "decoded"] and out.loc["bad", "bytes"] is None
