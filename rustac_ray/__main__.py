@@ -404,6 +404,11 @@ def cmd_cluster(args):
     if args.action == "write":
         recs = write_clustered(rd.read_parquet(args.input), args.store)
         print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
+    elif args.action == "compact":
+        from .sources.clustered import compact_clustered
+
+        recs = compact_clustered(args.store, target_rows=args.target_rows)
+        print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
     elif args.action == "merge":
         recs = merge_clustered(args.store, rd.read_parquet(args.input))
         print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
@@ -427,8 +432,10 @@ def main(argv=None):
         "cluster",
         help="Morton-clustered store: write / merge / bbox-pruned read",
     )
-    cl.add_argument("action", choices=["write", "merge", "read"])
+    cl.add_argument("action", choices=["write", "merge", "read", "compact"])
     cl.add_argument("store", help="clustered store directory")
+    cl.add_argument("--target-rows", type=int, default=16384,
+                    help="compaction target rows per file")
     cl.add_argument("--input", help="input parquet (write/merge)")
     cl.add_argument("--bbox", help="xmin,ymin,xmax,ymax (read)")
     cl.add_argument("--columns", help="comma-separated projection (read)")

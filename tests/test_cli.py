@@ -178,6 +178,9 @@ def test_cli_cluster_roundtrip(fixtures_dir, tmp_path, capsys):
     main(["cluster", "read", store, "--bbox=-110,35,-105,40", "--plan-only"])
     plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < plan["kept_files"] <= plan["total_files"]
+    main(["cluster", "compact", store, "--target-rows", "500"])
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["rows"] == 1000
     main(["cluster", "read", store, "--bbox=-110,35,-105,40",
           "--columns=image_id"])
     out = capsys.readouterr().out.strip().splitlines()
