@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "27"
+DERIVED_VERSION = "29"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -1993,6 +1993,125 @@ def _expected_audio_resample(aud: pa.Table, factor: int = 4) -> pa.Table:
     )
 
 
+
+def _expected_simplified(fdir: str, tol: float = 0.05) -> pa.Table:
+    """Naive scalar twin of stages.simplify: pure-Python recursive
+    Douglas-Peucker (same cross-product strict-> test, first-max tie
+    rule, closed-ring far-anchor split), md5 of the re-encoded WKB."""
+    import hashlib as _hashlib
+
+    from .geo import wkb as _w
+
+    def dp(pts, a, b, keep, t2):
+        if b - a < 2:
+            return
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best_j = -1
+        best_s = -1.0
+        for j in range(a + 1, b):
+            px, py = pts[j]
+            if seg2 == 0.0:
+                s = (px - ax) ** 2 + (py - ay) ** 2
+                bound = t2
+            else:
+                cr = dx * (py - ay) - dy * (px - ax)
+                s = cr * cr
+                bound = t2 * seg2
+            if s > best_s:
+                best_s = s
+                best_j = j
+        if best_s > (t2 if seg2 == 0.0 else t2 * seg2):
+            keep.add(best_j)
+            dp(pts, a, best_j, keep, t2)
+            dp(pts, best_j, b, keep, t2)
+
+    def simp_ring(ring, closed):
+        pts = [(float(x), float(y)) for x, y in (ring[:-1] if closed else ring)]
+        n = len(pts)
+        if n <= 2:
+            return list(range(n))
+        t2 = tol * tol
+        if not closed:
+            keep = {0, n - 1}
+            dp(pts, 0, n - 1, keep, t2)
+            return sorted(keep)
+        # ring: 0/far anchors, two WRAPPED chains (matches the engine)
+        far = 0
+        fd = -1.0
+        for j in range(n):
+            d = (pts[j][0] - pts[0][0]) ** 2 + (pts[j][1] - pts[0][1]) ** 2
+            if d > fd:
+                fd = d
+                far = j
+        if far == 0:
+            return [0]
+        ka = {0, far}
+        dp(pts, 0, far, ka, t2)
+        wrapped = pts[far:] + [pts[0]]
+        kb = {0, len(wrapped) - 1}
+        dp(wrapped, 0, len(wrapped) - 1, kb, t2)
+        keep = set(k for k in ka) | set(
+            far + j for j in kb if far + j < n
+        )
+        return sorted(keep)
+
+    geoms = pq.read_table(os.path.join(fdir, "query_geoms.parquet"))
+    rows = []
+    for i in range(len(geoms)):
+        qid = geoms["query_id"][i].as_py()
+        g = _w.decode_geometry(geoms["geometry"][i].as_py())
+        t = g["type"]
+
+        def npts(gg):
+            if gg is None:
+                return 0
+            c = gg.get("coordinates", [])
+            tt = gg["type"]
+            if tt == "Point":
+                return 1
+            if tt in ("LineString", "MultiPoint"):
+                return len(c)
+            if tt == "Polygon":
+                return sum(len(r) for r in c)
+            return sum(len(r) for p in c for r in p)
+
+        if t in ("Point", "MultiPoint"):
+            s = g
+        elif t == "LineString":
+            idx = simp_ring(g["coordinates"], False)
+            s = {"type": "LineString",
+                 "coordinates": [g["coordinates"][j] for j in idx]}
+        elif t == "Polygon":
+            out_rings = []
+            collapsed = False
+            for ri, ring in enumerate(g["coordinates"]):
+                idx = simp_ring(ring, True)
+                if len(idx) < 3:
+                    if ri == 0:
+                        collapsed = True
+                        break
+                    continue
+                kept = [list(ring[j]) for j in idx]
+                out_rings.append(kept + [list(kept[0])])
+            s = None if collapsed or not out_rings else {
+                "type": "Polygon", "coordinates": out_rings}
+        else:
+            raise ValueError(t)
+        md5 = None if s is None else _hashlib.md5(_w.encode_geometry(s)).hexdigest()
+        rows.append((qid, npts(g), npts(s), md5))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.string()),
+            "pts_before": pa.array([r[1] for r in rows], pa.int64()),
+            "pts_after": pa.array([r[2] for r in rows], pa.int64()),
+            "wkb_md5": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
 def ensure_derived_fixtures(sf_dir: str) -> str:
     """Write (once, version-stamped) the expected-result fixtures derived
     from the sf tables; returns the fixture dir."""
@@ -2061,6 +2180,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_audio_chunks.parquet", _expected_audio_chunks(aud))
     write("expected_quality_lr.parquet", _expected_quality_lr(docs))
     write("expected_audio_resample.parquet", _expected_audio_resample(aud))
+    write("expected_simplified.parquet", _expected_simplified(fdir))
     vids = _videos_table(max(synth.tier_for(sf_dir)["images"] // 10, 50))
     write("videos.parquet", vids)
     write("expected_frame_stats.parquet", _expected_frame_stats(vids))
