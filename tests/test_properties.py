@@ -509,10 +509,11 @@ def test_sketch_bound_holds_under_random_split(values, nsplits):
     for q, est in zip([0.0, 0.5, 1.0], sk.quantiles([0.0, 0.5, 1.0])):
         lo = np.searchsorted(srt, est, "left")
         hi = np.searchsorted(srt, est, "right")
-        # measure against the nearest ACHIEVABLE (integer) rank — a
-        # fractional target like 0.5·(n−1) is unreachable by any exact
-        # answer at tiny n
-        target = round(q * (len(data) - 1))
+        # measure against the sketch's own achievable-rank convention
+        # (first cumulative weight exceeding q·(n−1) ⇒ floor for
+        # fractional targets) — a fractional target is unreachable by
+        # any exact answer at tiny n
+        target = int(np.floor(q * (len(data) - 1)))
         err = max(0.0, lo - target, target - (hi - 1)) / len(data)
         assert err <= sk.error_bound() + 1e-12
 
