@@ -588,11 +588,33 @@ def run_bench() -> dict:
             )
             t0 = time.perf_counter()
             w_lr = train_quality_lr(docs_b, epochs=6)
-            n_kept_lr = score_quality_lr(docs_b, w_lr).map_batches(
-                lambda d: d.loc[d["kept"]], batch_format="pandas"
-            ).count()
+
+            # agreement with the weak label (the synthetic token corpus
+            # is all label-0 prose-free text, so kept-count alone would
+            # read as a bug; agreement shows the model DID fit it)
+            from rustac_ray.stages.quality_lr import default_label, featurize
+
+            def agree_partial(d):
+                import pandas as _pd
+
+                x = featurize(d["text"])
+                y = default_label(x)
+                ww = w_lr
+                z = x[:, 0] * ww[0]
+                for j in range(1, len(ww)):
+                    z = z + x[:, j] * ww[j]
+                return _pd.DataFrame(
+                    [{"agree": int(((z >= 0.0) == (y > 0.5)).sum()),
+                      "n": len(d)}]
+                )
+
+            agg = rd.read_parquet(
+                docs_path, columns=["text"], override_num_blocks=n_blocks
+            ).map_batches(agree_partial, batch_format="pandas").to_pandas()
             timings["quality_lr_train_200k"] = time.perf_counter() - t0
-            result_extra["lr_kept_docs"] = n_kept_lr
+            result_extra["lr_label_agreement"] = round(
+                float(agg["agree"].sum() / max(int(agg["n"].sum()), 1)), 4
+            )
 
         except _BudgetExceeded:
             pass
