@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "29"
+DERIVED_VERSION = "30"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -2169,6 +2169,12 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write(
         "expected_caption_bpe.parquet",
         _expected_bpe(caps, id_col="image_id", text_col="caption"),
+    )
+    write(
+        "expected_caption_simhash.parquet",
+        _expected_simhash(
+            pa.table({"doc_id": caps["image_id"], "text": caps["caption"]})
+        ),
     )
     write("expected_random_crop.parquet", _expected_random_crop(fdir))
     write("expected_alignment.parquet", _expected_alignment(fdir))

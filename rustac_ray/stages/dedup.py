@@ -36,6 +36,7 @@ __all__ = [
     "connected_components",
     "MinHasher",
     "minhash_lsh_candidates",
+    "multimodal_near_dup",
     "ngram_jaccard_near_dup",
     "SimHasher",
     "phash_near_dup",
@@ -1373,3 +1374,89 @@ def paragraph_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
             return out.loc[out["n_kept"] > 0]
 
     return ds.map_batches(_Keep, batch_format="pandas", concurrency=2)
+
+
+def multimodal_near_dup(
+    ds,
+    *,
+    max_phash_hamming: int = 4,
+    max_caption_hamming: int = 12,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_bucket: int = 4096,
+):
+    """→ (id_a, id_b, phash_hamming, caption_hamming): JOINT multimodal
+    near-dup pairs — images that look alike (phash hamming ≤ t_img) AND
+    read alike (caption simhash hamming ≤ t_txt). The standard web-scale
+    image-dedup refinement: pixel-only matching merges distinct scenes
+    that share flat looks; requiring caption agreement keeps those apart.
+
+    Scale shape: the pixel side drives candidate generation
+    (``phash_near_dup`` band-LSH, provably exact for the phash bound);
+    caption simhashes are computed in ONE streaming SimHasher pass and
+    only the rows named by candidate pairs are fetched back (a single
+    ``is_in`` filter pass — bounded by pair count, the same candidate
+    economics as the n-gram Jaccard verifier). No all-pairs anywhere.
+    """
+    import pyarrow.compute as _pc
+    import ray as _ray
+    import ray.data as _rd  # noqa: F401
+
+    pairs = phash_near_dup(
+        ds, max_hamming=max_phash_hamming, id_col=id_col,
+        hash_col=phash_col, max_bucket=max_bucket,
+    ).to_pandas()
+    if len(pairs) == 0:
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "phash_hamming": pa.array([], pa.int64()),
+                    "caption_hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    need = np.unique(np.concatenate([pairs["id_a"].to_numpy(object),
+                                     pairs["id_b"].to_numpy(object)]))
+    need_ref = _ray.put(set(need.tolist()))
+
+    def sim_for_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = _ray.get(need_ref) if not isinstance(need_ref, set) else need_ref
+        sub = df.loc[df[id_col].isin(wanted)]
+        if len(sub) == 0:
+            return pd.DataFrame({"doc_id": [], "text": []}).assign(simhash=[])
+        return SimHasher()(
+            pd.DataFrame({"doc_id": sub[id_col].to_numpy(),
+                          "text": sub[caption_col].to_numpy()})
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(sim_for_candidates, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    sim = {}
+    for b in parts:
+        sim.update(zip(b["doc_id"], b["simhash"]))
+    sa = pairs["id_a"].map(sim).to_numpy(np.int64).view(np.uint64)
+    sb = pairs["id_b"].map(sim).to_numpy(np.int64).view(np.uint64)
+    ch = np.bitwise_count(sa ^ sb).astype(np.int64) if hasattr(np, "bitwise_count") else np.asarray(
+        [bin(int(x)).count("1") for x in (sa ^ sb)], np.int64
+    )
+    keep = ch <= max_caption_hamming
+    out = pairs.loc[keep].reset_index(drop=True)
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(out["id_a"].to_numpy(object), pa.string()),
+                "id_b": pa.array(out["id_b"].to_numpy(object), pa.string()),
+                "phash_hamming": pa.array(
+                    out["hamming"].to_numpy(np.int64), pa.int64()
+                ),
+                "caption_hamming": pa.array(ch[keep], pa.int64()),
+            }
+        )
+    )

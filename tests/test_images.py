@@ -133,3 +133,39 @@ def test_random_crop_matches_naive_and_is_layout_independent(fixtures_dir):
         .reset_index(drop=True)
     )
     assert (got3["crop_x"] != got["crop_x"]).any()
+
+
+def test_multimodal_near_dup_requires_both(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rustac_ray.stages.dedup import SimHasher, multimodal_near_dup
+
+    sh = SimHasher()
+    # two pixel-identical pairs: one with matching captions, one with
+    # completely different captions — only the first survives
+    t = pa.table(
+        {
+            "image_id": pa.array(["a1", "a2", "b1", "b2", "far"]),
+            "phash": pa.array([10, 10, 77, 77, 1 << 50], pa.int64()),
+            "caption": pa.array(
+                [
+                    "red barn near a lake",
+                    "red barn near a lake at dusk",
+                    "city skyline at night",
+                    "quarterly spreadsheet of turnip futures",
+                    "unrelated",
+                ]
+            ),
+        }
+    )
+    out = multimodal_near_dup(
+        rd.from_arrow(t), max_phash_hamming=2, max_caption_hamming=12
+    ).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert ("a1", "a2") in got
+    assert ("b1", "b2") not in got  # captions disagree
+    assert all("far" not in p for p in got)
+    # thresholds verifiable from the emitted hammings
+    row = out.set_index(["id_a", "id_b"]).loc[("a1", "a2")]
+    assert row["phash_hamming"] == 0 and row["caption_hamming"] <= 12
