@@ -316,3 +316,38 @@ def test_crash_resume_completes(tmp_path, full_fp):
     assert sum(r["rows"] for r in recs2) == len(full_fp)
     got = read_clustered(out, columns=["image_id"]).to_pandas()
     assert sorted(got["image_id"]) == sorted(full_fp["image_id"])
+
+
+def test_full_lifecycle_write_compact_merge(tmp_path, full_fp):
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import compact_clustered, merge_clustered
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    base = full_fp.sample(frac=0.7, random_state=3)
+    extra = full_fp.drop(base.index)
+    out = str(tmp_path / "cycle")
+    write_clustered(rd.from_pandas(base[cols]), out, footprints_derived=True,
+                    rows_per_file=40)
+    compact_clustered(out, target_rows=120)  # resequences partition ids
+    recs = merge_clustered(out, rd.from_pandas(extra[cols]),
+                           footprints_derived=True)
+    assert sum(r["rows"] for r in recs) == len(full_fp)
+    B = (-110.0, 35.0, -105.0, 40.0)
+    got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+
+
+def test_search_clustered_3d_bbox(tmp_path, fixtures_dir):
+    import ray.data as rd
+
+    from rustac_ray.query import QuerySpec, search
+    from rustac_ray.sources.clustered import search_clustered
+
+    items = rd.read_parquet(f"{fixtures_dir}/stac_items.parquet")
+    out = str(tmp_path / "store3d")
+    write_clustered(items, out, bbox_col="bbox", rows_per_file=64)
+    spec = QuerySpec(bbox=[-106.1, 40.5, 0.0, -106.0, 40.6, 100.0])
+    got = search_clustered(out, spec).to_pandas()
+    want = search(items, spec).to_pandas()
+    assert sorted(got["id"]) == sorted(want["id"]) and len(got) > 0
