@@ -51,6 +51,7 @@ __all__ = [
     "merge_clustered",
     "compact_clustered",
     "search_clustered",
+    "knn_clustered",
     "prune_plan",
     "StoreLockedError",
     "SpatialManifest",
@@ -726,3 +727,69 @@ def search_clustered(store_dir: str, spec, **read_kwargs):
     if drop:
         ds = ds.drop_columns(drop)
     return _search(ds, spec)
+
+
+def knn_clustered(
+    store_dir: str,
+    probes: dict[str, tuple[float, float]],
+    k: int,
+    *,
+    r0: float = 0.25,
+    max_rounds: int = 12,
+    max_candidates: int = 2_000_000,
+):
+    """→ pandas (query_id, image_id, dist): EXACT k nearest footprint
+    centers per probe, reading only the files an expanding bbox ring
+    intersects — the layout-accelerated interactive kNN (few probes,
+    huge corpus; the full-scan streaming variant is ``stages.knn.
+    knn_join``).
+
+    Exactness certificate: any center within Euclidean distance d of the
+    probe lies in the [±d] Chebyshev box, and a footprint box always
+    contains its center — so once a ring of radius r yields ≥ k
+    candidates with kth distance ≤ r, no unseen file can hold a closer
+    one. Rings double until the certificate holds (or the ring covers
+    the world). Per-probe work is bounded by the final ring's candidate
+    count (guarded by ``max_candidates``), NOT corpus size — at 100 TB a
+    probe touches a handful of files.
+
+    Ties break by (dist², image_id) — the same selector as the
+    ``knn_points`` SQL twin.
+    """
+    import pandas as pd
+
+    out_rows = []
+    for qid, (x, y) in probes.items():
+        r = float(r0)
+        for _ in range(max_rounds):
+            df = read_clustered(
+                store_dir,
+                bbox=(x - r, y - r, x + r, y + r),
+                columns=["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"],
+            ).to_pandas()
+            if len(df) > max_candidates:
+                raise ValueError(
+                    f"knn_clustered: ring r={r} holds {len(df)} candidates "
+                    f"(> {max_candidates}); corpus too dense for the "
+                    "interactive path — use stages.knn.knn_join"
+                )
+            world = r >= 360.0
+            if len(df) >= k or world:
+                cx = (df["fp_xmin"].to_numpy() + df["fp_xmax"].to_numpy()) * 0.5
+                cy = (df["fp_ymin"].to_numpy() + df["fp_ymax"].to_numpy()) * 0.5
+                d2 = (cx - x) ** 2 + (cy - y) ** 2
+                order = np.lexsort((df["image_id"].to_numpy(object), d2))
+                top = order[: min(k, len(order))]
+                kth = float(np.sqrt(d2[top[-1]])) if len(top) else np.inf
+                if world or (len(top) >= k and kth <= r):
+                    for i in top:
+                        out_rows.append(
+                            (qid, df["image_id"].iloc[i], float(np.sqrt(d2[i])))
+                        )
+                    break
+            r *= 2.0
+        else:
+            raise RuntimeError(
+                f"knn_clustered: probe {qid} unresolved after {max_rounds} rings"
+            )
+    return pd.DataFrame(out_rows, columns=["query_id", "image_id", "dist"])

@@ -351,3 +351,27 @@ def test_search_clustered_3d_bbox(tmp_path, fixtures_dir):
     got = search_clustered(out, spec).to_pandas()
     want = search(items, spec).to_pandas()
     assert sorted(got["id"]) == sorted(want["id"]) and len(got) > 0
+
+
+def test_knn_clustered_matches_bruteforce(store, full_fp):
+    from rustac_ray.sources.clustered import knn_clustered
+
+    out, _ = store
+    rng = np.random.default_rng(6)
+    probes = {
+        f"q{i}": (float(rng.uniform(-115, -65)), float(rng.uniform(25, 48)))
+        for i in range(12)
+    }
+    got = knn_clustered(out, probes, k=3)
+    cx = ((full_fp.fp_xmin + full_fp.fp_xmax) / 2).to_numpy()
+    cy = ((full_fp.fp_ymin + full_fp.fp_ymax) / 2).to_numpy()
+    ids = full_fp["image_id"].to_numpy(object)
+    for qid, (x, y) in probes.items():
+        d2 = (cx - x) ** 2 + (cy - y) ** 2
+        order = np.lexsort((ids, d2))[:3]
+        want = [ids[i] for i in order]
+        g = got[got.query_id == qid].sort_values("dist")
+        assert g["image_id"].tolist() == want, qid
+    # tiny r0 forces many ring expansions; still exact
+    got2 = knn_clustered(out, {"q0": probes["q0"]}, k=3, r0=1e-4, max_rounds=30)
+    assert got2["image_id"].tolist() == got[got.query_id == "q0"].sort_values("dist")["image_id"].tolist()
