@@ -94,7 +94,7 @@ def run_bench() -> dict:
     # a slow host window must never cost the whole JSON line. After each
     # section, if the wall budget is exhausted the remaining optional
     # sections are skipped (recorded in the JSON as "skipped").
-    bench_budget = float(os.environ.get("GRAFT_BENCH_BUDGET", "480"))
+    bench_budget = float(os.environ.get("GRAFT_BENCH_BUDGET", "900"))
     bench_t0 = time.perf_counter()
     skipped: list[str] = []
 
