@@ -412,6 +412,40 @@ def cmd_cluster(args):
     elif args.action == "merge":
         recs = merge_clustered(args.store, rd.read_parquet(args.input))
         print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
+    elif args.action == "info":
+        from .sources.clustered import SpatialManifest
+
+        recs = sorted(
+            SpatialManifest(args.store).completed().values(),
+            key=lambda r: r["partition_id"],
+        )
+        live = [r for r in recs if r.get("xmin") is not None]
+        print(
+            json.dumps(
+                {
+                    "files": len(recs),
+                    "rows": sum(r["rows"] for r in recs),
+                    "bbox": [
+                        min(r["xmin"] for r in live),
+                        min(r["ymin"] for r in live),
+                        max(r["xmax"] for r in live),
+                        max(r["ymax"] for r in live),
+                    ]
+                    if live
+                    else None,
+                    "rows_per_file_p50": sorted(r["rows"] for r in recs)[len(recs) // 2]
+                    if recs
+                    else 0,
+                }
+            )
+        )
+    elif args.action == "knn":
+        from .sources.clustered import knn_clustered
+
+        x, y = (float(v) for v in args.point.split(","))
+        df = knn_clustered(args.store, {"q": (x, y)}, args.k)
+        for rec in df.to_dict("records"):
+            print(json.dumps(rec))
     else:  # read
         bbox = (
             tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
@@ -432,7 +466,9 @@ def main(argv=None):
         "cluster",
         help="Morton-clustered store: write / merge / bbox-pruned read",
     )
-    cl.add_argument("action", choices=["write", "merge", "read", "compact"])
+    cl.add_argument("action", choices=["write", "merge", "read", "compact", "info", "knn"])
+    cl.add_argument("--point", help="x,y probe for knn")
+    cl.add_argument("--k", type=int, default=5)
     cl.add_argument("store", help="clustered store directory")
     cl.add_argument("--target-rows", type=int, default=16384,
                     help="compaction target rows per file")

@@ -178,6 +178,12 @@ def test_cli_cluster_roundtrip(fixtures_dir, tmp_path, capsys):
     main(["cluster", "read", store, "--bbox=-110,35,-105,40", "--plan-only"])
     plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < plan["kept_files"] <= plan["total_files"]
+    main(["cluster", "info", store])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 1000 and info["bbox"] is not None
+    main(["cluster", "knn", store, "--point=-106.0,40.5", "--k", "3"])
+    knn_out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(knn_out) == 3 and all(r["query_id"] == "q" for r in knn_out)
     main(["cluster", "compact", store, "--target-rows", "500"])
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert comp["rows"] == 1000
