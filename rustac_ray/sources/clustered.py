@@ -58,6 +58,83 @@ __all__ = [
 ]
 
 _MANIFEST_NAME = "_spatial_manifest.jsonl"
+_JOURNAL_NAME = "_publish_journal.json"
+
+
+def _write_journal(out_dir: str, steps: list, records: list[dict]) -> None:
+    """Durably record a publish plan BEFORE mutating any published file.
+
+    ``steps`` is an ordered list of ``["rename", src, dst]`` /
+    ``["delete", name]`` (store-relative names); ``records`` is the
+    complete post-publish manifest. Written atomically (tmp + fsync +
+    rename), so the store is always in one of two recoverable states:
+    no journal (consistent) or journal present (replay it to finish)."""
+    path = os.path.join(out_dir, _JOURNAL_NAME)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"steps": steps, "records": records}, f, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _apply_journal(out_dir: str) -> bool:
+    """Idempotently replay a publish journal: execute each step (skipping
+    ones already done — rename with missing src, delete of missing file),
+    atomically rewrite the manifest from the journaled records, remove the
+    journal. Safe to call concurrently (steps tolerate losing a race) and
+    repeatedly. Returns True if a journal was found and applied."""
+    jpath = os.path.join(out_dir, _JOURNAL_NAME)
+    if not os.path.exists(jpath):
+        return False
+    with open(jpath) as f:
+        plan = json.load(f)
+    for step in plan["steps"]:
+        if step[0] == "rename":
+            src = os.path.join(out_dir, step[1])
+            dst = os.path.join(out_dir, step[2])
+            try:
+                if os.path.exists(src):
+                    os.rename(src, dst)
+            except FileNotFoundError:
+                pass  # concurrent repairer won the rename
+        elif step[0] == "delete":
+            try:
+                os.remove(os.path.join(out_dir, step[1]))
+            except FileNotFoundError:
+                pass
+    man_tmp = os.path.join(out_dir, _MANIFEST_NAME + f".tmp.{os.getpid()}")
+    with open(man_tmp, "w") as f:
+        for r in plan["records"]:
+            f.write(json.dumps(r, default=str) + "\n")
+    os.rename(man_tmp, os.path.join(out_dir, _MANIFEST_NAME))
+    try:
+        os.remove(jpath)
+    except FileNotFoundError:
+        pass
+    return True
+
+
+def _repair_if_crashed(out_dir: str) -> bool:
+    """Finish an interrupted merge/compact publish, but only when no LIVE
+    mutator holds the lock (a journal next to a live lock is a publish in
+    flight — leave it to its owner; reads stay consistent with the
+    pre-publish manifest because every staged file is under a tmp name)."""
+    if not os.path.exists(os.path.join(out_dir, _JOURNAL_NAME)):
+        return False
+    lock = os.path.join(out_dir, "_mutation.lock")
+    if os.path.exists(lock):
+        try:
+            with open(lock) as f:
+                pid = int(f.read().strip() or 0)
+            if pid > 0:
+                os.kill(pid, 0)
+                return False  # live mutator owns the journal
+        except ProcessLookupError:
+            pass  # dead owner — repair below
+        except (OSError, ValueError):
+            return False
+    return _apply_journal(out_dir)
 
 
 def morton_key(cx: np.ndarray, cy: np.ndarray, *, bits: int = 16) -> np.ndarray:
@@ -165,13 +242,15 @@ def write_clustered(
 
     from ..stages.sketch import exact_quantiles
 
+    out_dir = os.path.abspath(out_dir)
     kw = {"derive": not footprints_derived, "bits": bits, "bbox_col": bbox_col}
     keyed = ds.map_batches(_zkey_stage, batch_format="pyarrow", fn_kwargs=kw)
 
     man = SpatialManifest(out_dir)
-    done = man.completed() if resume else {}
 
     with _StoreLock(out_dir):
+        _apply_journal(out_dir)  # finish a crashed merge/compact publish
+        done = man.completed() if resume else {}
         # partitioning parameters are part of the store's identity: a
         # resume with different bits/rows_per_file would compute different
         # boundaries and mis-skip — verify against the recorded descriptor
@@ -300,9 +379,12 @@ class _StoreLock:
         self.path = os.path.join(out_dir, "_mutation.lock")
 
     def __enter__(self):
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                pass
             try:
                 with open(self.path) as f:
                     pid = int(f.read().strip() or 0)
@@ -313,14 +395,28 @@ class _StoreLock:
                 try:
                     os.kill(pid, 0)
                     alive = True
-                except (ProcessLookupError, PermissionError):
+                except ProcessLookupError:
                     alive = False
+                except PermissionError:
+                    alive = True  # exists but owned elsewhere — treat as live
             if alive:
                 raise StoreLockedError(
                     f"store mutation in progress (pid {pid}): {self.path}"
                 ) from None
-            os.unlink(self.path)  # stale lock from a dead process
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # Reclaim by RENAMING the stale lock to a unique name first:
+            # two racers both see the dead pid, but only one rename wins
+            # (the loser's source is gone), so only one reclaims — the
+            # unlink-then-recreate scheme let the loser unlink the
+            # winner's fresh lock and admit two mutators.
+            stale = self.path + f".stale.{os.getpid()}"
+            try:
+                os.rename(self.path, stale)
+            except FileNotFoundError:
+                continue  # lost the race; loop and re-contend O_EXCL
+            try:
+                os.unlink(stale)
+            except FileNotFoundError:
+                pass
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
         return self
@@ -348,6 +444,8 @@ def prune_plan(
     """(kept file paths, total files) for a query bbox — the driver-side
     pruning decision, exposed separately so callers/metrics/tests can see
     the selectivity without running the read."""
+    out_dir = os.path.abspath(out_dir)
+    _repair_if_crashed(out_dir)  # replay an orphaned publish journal
     recs = sorted(SpatialManifest(out_dir).completed().values(), key=lambda r: r["partition_id"])
     total = len(recs)
     if bbox is None:
@@ -445,11 +543,14 @@ def merge_clustered(
     import pandas as pd
     import ray
 
+    out_dir = os.path.abspath(out_dir)
     man = SpatialManifest(out_dir)
     recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
     if not recs:
         raise FileNotFoundError(f"no clustered store at {out_dir}")
     with _StoreLock(out_dir):
+        if _apply_journal(out_dir):  # finish a crashed publish first
+            recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
         own = sorted(
             (r for r in recs if r["zmin"] is not None), key=lambda r: r["zmin"]
         )
@@ -469,24 +570,31 @@ def merge_clustered(
         by_rec = {r["partition_id"]: r for r in recs}
 
         def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+            # Stage the merged file under a tmp name — published files are
+            # NEVER touched until the journaled publish below, so a crash
+            # anywhere in here leaves the store exactly as it was (the r3
+            # in-place rename left manifest bbox/zkey stats stale for
+            # already-rewritten files, silently mis-pruning reads).
             pid = int(g["_target"].iloc[0])
-            fname = f"part-{pid:05d}.parquet"
-            final = os.path.join(out_dir, fname)
-            old = pq.read_table(final)
+            fname = by_rec[pid]["file"]  # actual name (may be gen-numbered)
+            old = pq.read_table(os.path.join(out_dir, fname))
             add = pa.Table.from_pandas(
                 g.drop(columns=["_target"]), preserve_index=False
             ).select(old.column_names).cast(old.schema)
             merged = pa.concat_tables([old, add])
             order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
             merged = merged.take(pa.array(order))
-            tmp = final + f".tmp.{os.getpid()}"
-            pq.write_table(merged, tmp, compression="zstd", row_group_size=16384)
-            os.rename(tmp, final)
+            tmp_name = f".merge.{os.getpid()}.{fname}"
+            pq.write_table(
+                merged, os.path.join(out_dir, tmp_name),
+                compression="zstd", row_group_size=16384,
+            )
             z = merged["_zkey"].to_numpy()
             return pd.DataFrame(
                 {
                     "partition_id": [pid],
                     "file": [fname],
+                    "staged": [tmp_name],
                     "rows": [merged.num_rows],
                     "xmin": [float(np.min(merged["fp_xmin"].to_numpy()))],
                     "ymin": [float(np.min(merged["fp_ymin"].to_numpy()))],
@@ -503,17 +611,19 @@ def merge_clustered(
             .map_groups(rewrite, batch_format="pandas")
             .to_pandas()
         )
+        steps = []
         for rec in updated.to_dict("records"):
+            staged = rec.pop("staged")
+            steps.append(["rename", staged, rec["file"]])
             by_rec[int(rec["partition_id"])] = {
                 k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
                 for k, v in rec.items()
             }
-        # atomic manifest rewrite (tmp + rename), preserving id order
-        tmp = man.path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            for k in sorted(by_rec):
-                f.write(json.dumps(by_rec[k], default=str) + "\n")
-        os.rename(tmp, man.path)
+        # journaled publish: the journal (renames + full new manifest) is
+        # durable before any published file moves, so a crash at any point
+        # is repaired by replay at the next mutation/read
+        _write_journal(out_dir, steps, [by_rec[k] for k in sorted(by_rec)])
+        _apply_journal(out_dir)
         return [by_rec[k] for k in sorted(by_rec)]
 
 
@@ -537,16 +647,34 @@ def compact_clustered(
     write was one global sort; merges only insert keys INSIDE a file's
     ownership range), so coalescing a run preserves global order — the
     rewrite re-sorts the concatenation anyway as a cheap invariant.
-    Partition ids are reassigned 0..n-1 in zkey order; the manifest is
-    rewritten atomically at the end.
+    Partition ids are reassigned 0..n-1 in zkey order.
+
+    Crash safety: output files carry a GENERATION number
+    (``part-g{gen:03d}-{pid:05d}.parquet``, gen = 1 + highest existing)
+    so every journaled step's source namespace (old gen + unique tmp
+    names) is disjoint from its destination namespace (new gen) — a
+    replayed step can always tell "already done" (source gone) from "to
+    do", making the journal idempotent under crash-at-any-point +
+    repair. The journal (full rename/delete plan + complete new
+    manifest) is durable before any published file moves.
     """
+    import re
+
     import ray
 
+    out_dir = os.path.abspath(out_dir)
     man = SpatialManifest(out_dir)
     recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
     if not recs:
         raise FileNotFoundError(f"no clustered store at {out_dir}")
     with _StoreLock(out_dir):
+        if _apply_journal(out_dir):  # finish a crashed publish first
+            recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+        gen = 1
+        for r in recs:
+            m = re.match(r"^part-g(\d+)-\d+\.parquet$", r["file"])
+            if m:
+                gen = max(gen, int(m.group(1)) + 1)
 
         # group planning on the tiny manifest: greedy run-coalesce + splits
         groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
@@ -597,10 +725,15 @@ def compact_clustered(
                 chunks = [merged]
             out = []
             for i, c in enumerate(chunks):
-                tmp = os.path.join(
-                    out_dir, f".compact.{os.getpid()}.{files[0]}.{i}"
+                # store-relative tmp name — staged entries are tagged by
+                # the journal step kind, never inferred from the path
+                # shape (the r3 isabs() inference broke for relative
+                # out_dir CLI invocations, stranding the store mid-publish)
+                tmp = f".compact.{os.getpid()}.{files[0]}.{i}"
+                pq.write_table(
+                    c, os.path.join(out_dir, tmp),
+                    compression="zstd", row_group_size=16384,
                 )
-                pq.write_table(c, tmp, compression="zstd", row_group_size=16384)
                 z = c["_zkey"].to_numpy()
                 out.append(
                     {
@@ -623,52 +756,35 @@ def compact_clustered(
                 g["fut"] = rework.remote(g["files"], g["action"])
                 futures.append(g["fut"])
 
-        # assemble the new sequence in zkey order
+        # assemble the new sequence in zkey order; every step's src (old
+        # gen name or unique tmp) is disjoint from every dst (new gen
+        # name), so the journaled plan replays idempotently
         new_recs: list[dict] = []
-        staged: list[tuple[str, str]] = []  # (src, final) renames
+        steps: list[list[str]] = []
         pid = 0
         for g in groups:
             if g["action"] == "keep":
                 r = dict(by_file[g["files"][0]])
                 old = r["file"]
                 r["partition_id"] = pid
-                r["file"] = f"part-{pid:05d}.parquet"
-                staged.append((old, r["file"]))
+                r["file"] = f"part-g{gen:03d}-{pid:05d}.parquet"
+                steps.append(["rename", old, r["file"]])
                 new_recs.append(r)
                 pid += 1
             else:
                 for piece in ray.get(g["fut"]):
                     rec = {
                         "partition_id": pid,
-                        "file": f"part-{pid:05d}.parquet",
+                        "file": f"part-g{gen:03d}-{pid:05d}.parquet",
                         **{k: v for k, v in piece.items() if k != "tmp"},
                     }
-                    staged.append((piece["tmp"], rec["file"]))
+                    steps.append(["rename", piece["tmp"], rec["file"]])
                     new_recs.append(rec)
                     pid += 1
-
-        # two-phase publish: move everything aside, then into place (handles
-        # id-sequence shifts where an old name is also a new name)
-        aside = []
-        for src, dst in staged:
-            if os.path.isabs(src):  # freshly written compaction chunk
-                aside.append((src, dst))
-            else:  # kept file: move aside so id-sequence shifts can't collide
-                hold = os.path.join(out_dir, f".hold.{os.getpid()}.{src}")
-                os.rename(os.path.join(out_dir, src), hold)
-                aside.append((hold, dst))
-        # drop stale parquet files not carried forward (their rows were
-        # rewritten into compacted chunks)
-        for f in os.listdir(out_dir):
-            if f.endswith(".parquet") and not f.startswith((".hold.", ".compact.")):
-                os.remove(os.path.join(out_dir, f))
-        for src, dst in aside:
-            os.rename(src, os.path.join(out_dir, dst))
-        tmp = man.path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            for r in new_recs:
-                f.write(json.dumps(r, default=str) + "\n")
-        os.rename(tmp, man.path)
+                # consumed inputs: their rows live in the chunks now
+                steps.extend(["delete", f] for f in g["files"])
+        _write_journal(out_dir, steps, new_recs)
+        _apply_journal(out_dir)
         return new_recs
 
 

@@ -761,8 +761,19 @@ def collection_summaries(
             sub = df[[group_col, p]].dropna().drop_duplicates()
             vals = sub[p]
             # ints must stringify without a float suffix even when pandas
-            # promoted a nullable int column to float
+            # promoted a nullable int column to float — but only when the
+            # values really are integral: blindly casting truncated
+            # genuinely fractional sets (0.5 and 0.9 both became "0"),
+            # silently merging distinct values
             if vals.dtype.kind == "f":
+                vn = vals.to_numpy()
+                if not np.all(vn == np.floor(vn)):
+                    raise ValueError(
+                        f"collection_summaries: set property {p!r} has "
+                        "non-integral float values — set summaries are "
+                        "defined for integer/string properties (use a "
+                        "range summary for continuous values)"
+                    )
                 vals = vals.astype(np.int64)
             part = pd.DataFrame(
                 {

@@ -43,9 +43,62 @@ from .decontam import BloomFilter
 __all__ = ["build_key_bloom", "bloom_semi_join"]
 
 
+_NA_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _key_hashes(s: pd.Series) -> np.ndarray:
-    """Deterministic uint64 hashes of a key column (same vectorized
-    siphash the repo's digest/dedup paths use)."""
+    """Deterministic uint64 hashes of a key column, canonicalized so
+    EQUAL KEYS HASH EQUALLY ACROSS SIDES regardless of storage dtype.
+
+    ``pd.util.hash_pandas_object`` is dtype-sensitive: int32 vs int64
+    negatives and float-promoted ints vs ints hash differently, so
+    mismatched left/right key dtypes (e.g. pandas promoting a nullable
+    int to float) would turn TRUE MEMBERS into bloom negatives — dropped
+    (semi) or kept as definite non-members (anti) before the exact
+    verify ever runs. Canonical rules:
+
+    - bools / integers of any width sign-extend to int64;
+    - float values that are exact integers (|v| < 2^53) hash as their
+      int64 value (per-element, so a mixed float column still matches an
+      int column on its integral keys);
+    - other floats hash as float64;
+    - nulls hash as a fixed sentinel (a null key never equals anything
+      in join semantics; the exact verify stage decides those rows);
+    - categoricals hash by value (not by code/category order).
+    """
+    dt = s.dtype
+    if isinstance(dt, pd.CategoricalDtype):
+        s = s.astype(object)
+        dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt) or pd.api.types.is_integer_dtype(dt):
+        na = s.isna().to_numpy()
+        fill = False if pd.api.types.is_bool_dtype(dt) else 0
+        vals = s.fillna(fill).astype("int64")
+        h = pd.util.hash_pandas_object(vals, index=False).to_numpy().astype(np.uint64)
+        if na.any():
+            h[na] = _NA_HASH
+        return h
+    if pd.api.types.is_float_dtype(dt):
+        vn = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        na = np.isnan(vn)
+        h = (
+            pd.util.hash_pandas_object(pd.Series(vn), index=False)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        with np.errstate(invalid="ignore"):
+            intlike = np.isfinite(vn) & (np.abs(vn) < 2.0**53) & (vn == np.floor(vn))
+        if intlike.any():
+            h[intlike] = (
+                pd.util.hash_pandas_object(
+                    pd.Series(vn[intlike].astype(np.int64)), index=False
+                )
+                .to_numpy()
+                .astype(np.uint64)
+            )
+        if na.any():
+            h[na] = _NA_HASH
+        return h
     return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
 
 

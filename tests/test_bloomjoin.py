@@ -79,3 +79,51 @@ def test_string_keys(ray_session):
         verify="broadcast",
     ).to_pandas()
     assert set(got["k"]) == {f"id-{i}" for i in range(50, 100)}
+
+
+def test_mismatched_key_dtypes_hash_equal():
+    """int32/int64/float-promoted/nullable-Int key storages of the SAME
+    values must produce identical hashes — a dtype mismatch between sides
+    turned true members into bloom negatives (silently wrong joins)."""
+    import pandas as pd
+
+    from rustac_ray.stages.bloomjoin import _key_hashes
+
+    vals = [-5, -1, 0, 3, 1 << 40]
+    base = _key_hashes(pd.Series(vals, dtype="int64"))
+    small = [v for v in vals if abs(v) < 2**31]
+    small_want = _key_hashes(pd.Series(small, dtype="int64"))
+    for dt in ("int32", "float64", "Int64", "Int32"):
+        use_small = dt in ("int32", "Int32")
+        series = pd.Series(small if use_small else vals, dtype=dt)
+        got = _key_hashes(series)
+        assert np.array_equal(got, small_want if use_small else base), dt
+    # mixed float column: integral values match the int side per-element
+    mixed = _key_hashes(pd.Series([3.0, 2.5, -1.0]))
+    assert mixed[0] == base[3] and mixed[2] == base[1]
+    # nullable NA hashes deterministically and not as a real key
+    na = _key_hashes(pd.Series([3, None], dtype="Int64"))
+    assert na[0] == base[3] and na[1] not in set(base.tolist())
+
+
+def test_semi_join_across_promoted_dtypes(ray_session):
+    """End-to-end: right keys stored float (pandas nullable-int promotion),
+    left int64 — semi/anti must still be exact."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(-1000, 1000, 400).astype("int64")})
+    members = left["k"].sample(n=60, random_state=2).unique()
+    right = pd.DataFrame({"rk": members.astype("float64")})
+    got = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk",
+        how="semi", verify="broadcast",
+    ).to_pandas()
+    want = left[left["k"].isin(members)]
+    assert sorted(got["k"]) == sorted(want["k"])
+    got_a = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk",
+        how="anti", verify="broadcast",
+    ).to_pandas()
+    want_a = left[~left["k"].isin(members)]
+    assert sorted(got_a["k"]) == sorted(want_a["k"])

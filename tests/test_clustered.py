@@ -375,3 +375,88 @@ def test_knn_clustered_matches_bruteforce(store, full_fp):
     # tiny r0 forces many ring expansions; still exact
     got2 = knn_clustered(out, {"q0": probes["q0"]}, k=3, r0=1e-4, max_rounds=30)
     assert got2["image_id"].tolist() == got[got.query_id == "q0"].sort_values("dist")["image_id"].tolist()
+
+
+def test_compact_relative_out_dir(tmp_path, full_fp, monkeypatch):
+    """CLI-shaped invocation: a RELATIVE store path must compact cleanly
+    (the r3 isabs() staging inference broke here, stranding the store)."""
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import compact_clustered
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    monkeypatch.chdir(tmp_path)
+    write_clustered(rd.from_pandas(full_fp[cols]), "relstore",
+                    footprints_derived=True, rows_per_file=50)
+    recs = compact_clustered("relstore", target_rows=250)
+    assert sum(r["rows"] for r in recs) == len(full_fp)
+    B = (-110.0, 35.0, -105.0, 40.0)
+    got = read_clustered("relstore", bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+    # read after a second compact (generation bump) still exact
+    compact_clustered("relstore", target_rows=100)
+    got = read_clustered("relstore", bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+
+
+def test_merge_crash_before_publish_repaired_on_read(tmp_path, full_fp, monkeypatch):
+    """Crash between staging and publish: journal + tmp files on disk,
+    published files and manifest untouched. The next READ replays the
+    journal and sees the merged union; no stale-stats mis-prune window."""
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    base = full_fp.sample(frac=0.8, random_state=7)
+    extra = full_fp.drop(base.index)
+    out = str(tmp_path / "crashmerge")
+    write_clustered(rd.from_pandas(base[cols]), out, footprints_derived=True,
+                    rows_per_file=64)
+    # simulate dying right after the journal is durable
+    monkeypatch.setattr(cl, "_apply_journal", lambda d: False)
+    cl.merge_clustered(out, rd.from_pandas(extra[cols]), footprints_derived=True)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(out, "_publish_journal.json"))
+    # pre-repair: published files still the OLD consistent store
+    B = (-110.0, 35.0, -105.0, 40.0)
+    got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)  # read repaired it
+    assert not os.path.exists(os.path.join(out, "_publish_journal.json"))
+    total = read_clustered(out, columns=["image_id"]).count()
+    assert total == len(full_fp)
+
+
+def test_compact_crash_before_publish_repaired_on_next_mutation(
+    tmp_path, full_fp, monkeypatch
+):
+    """Crash mid-compact (journal written, nothing published): the next
+    mutation replays it at entry, then proceeds — applied twice is a no-op
+    (idempotent steps: old-gen sources never reappear)."""
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+
+    cols = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    base = full_fp.sample(frac=0.7, random_state=9)
+    extra = full_fp.drop(base.index)
+    out = str(tmp_path / "crashcompact")
+    write_clustered(rd.from_pandas(base[cols]), out, footprints_derived=True,
+                    rows_per_file=40)
+    monkeypatch.setattr(cl, "_apply_journal", lambda d: False)
+    cl.compact_clustered(out, target_rows=120)
+    monkeypatch.undo()
+    jp = os.path.join(out, "_publish_journal.json")
+    assert os.path.exists(jp)
+    # replaying the journal twice must be a no-op the second time
+    assert cl._apply_journal(out) is True
+    assert not os.path.exists(jp)
+    recs = cl.merge_clustered(out, rd.from_pandas(extra[cols]),
+                              footprints_derived=True)
+    assert sum(r["rows"] for r in recs) == len(full_fp)
+    B = (-110.0, 35.0, -105.0, 40.0)
+    got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == _truth_ids(full_fp, B)
+    # no stray staged/tmp files remain anywhere in the lifecycle
+    assert not [f for f in os.listdir(out)
+                if f.startswith((".compact.", ".merge.", ".hold."))]

@@ -67,3 +67,19 @@ def test_block_level_overflow_poison(ray_session):
     assert d["b"]["tag"] == ["x", "y"]  # small set survives
     with pytest.raises(ValueError, match="max_distinct"):
         collection_summaries(ds, sets=("tag",), max_distinct=25, on_overflow="error")
+
+
+def test_set_summary_rejects_fractional_floats(ray_session):
+    """A float set column that is NOT promoted-ints must raise, not merge
+    distinct fractional values into one truncated entry."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rustac_ray.stages.aggregates import collection_summaries
+
+    df = pd.DataFrame({"collection": ["c1"] * 4, "score": [0.5, 0.9, 0.5, 0.1]})
+    with pytest.raises(Exception, match="non-integral"):
+        collection_summaries(
+            rd.from_pandas(df), sets=["score"], ranges=[]
+        ).to_pandas()
