@@ -811,3 +811,60 @@ def test_mutual_knn_matches_brute_force(sf_dir):
     want = {(min(a, b), max(a, b)) for (a, b) in directed
             if (b, a) in directed}
     assert got_set == want and len(got) == len(want)
+
+
+def _cc_labels(pairs, **kw):
+    out = dedup.connected_components(rd.from_pandas(pairs), **kw).to_pandas()
+    return dict(zip(out["node"], out["component"]))
+
+
+def _random_graph(seed=7, n=400, extra=250):
+    rng = np.random.default_rng(seed)
+    # union of random chains + random cross edges: multi-component, cycles
+    a = rng.integers(0, n, extra)
+    b = rng.integers(0, n, extra)
+    chain = np.arange(0, n - 1, 3)
+    return pd.DataFrame(
+        {"id_a": np.concatenate([chain, a]),
+         "id_b": np.concatenate([chain + 1, b])}
+    )
+
+
+def test_connected_components_sharded_matches_broadcast():
+    pairs = _random_graph()
+    want = _cc_labels(pairs, combine="broadcast")
+    got = _cc_labels(pairs, combine="sharded", shards=5)
+    assert got == want
+
+
+def test_connected_components_sharded_string_ids():
+    pairs = pd.DataFrame(
+        {"id_a": ["d01", "d02", "d10", "d05"],
+         "id_b": ["d02", "d03", "d11", "d03"]}
+    )
+    got = _cc_labels(pairs, combine="sharded", shards=3)
+    assert got == {"d01": "d01", "d02": "d01", "d03": "d01",
+                   "d05": "d01", "d10": "d10", "d11": "d10"}
+
+
+def test_connected_components_auto_switches_past_max_label_rows():
+    # label table (10 nodes) far exceeds the forced cap: auto must COMPLETE
+    # via the sharded path instead of raising (r03 verdict #1)
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 4, 20, 21, 22, 23],
+         "id_b": [2, 3, 4, 5, 21, 22, 23, 24]}
+    )
+    got = _cc_labels(pairs, combine="auto", max_label_rows=3)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+    with pytest.raises(ValueError, match="sharded"):
+        _cc_labels(pairs, combine="broadcast", max_label_rows=3)
+
+
+def test_connected_components_sharded_deep_chain():
+    n = 600
+    pairs = pd.DataFrame(
+        {"id_a": np.arange(n - 1), "id_b": np.arange(1, n)}
+    )
+    got = _cc_labels(pairs, combine="sharded", shards=4)
+    assert set(got.values()) == {0} and len(got) == n
