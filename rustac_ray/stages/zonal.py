@@ -748,6 +748,21 @@ class _CompositePartial:
         )
 
 
+def _with_merge_shard(partials, nshards: int):
+    """Append the bucket column: ``shard = siphash(tile_key) % nshards``.
+    Hashing (not range) spreads Morton-adjacent hot regions; nshards is
+    the merge parallelism knob — O(nshards) Ray group dispatches total,
+    independent of tile count (r03 verdict #2: per-tile ``map_groups``
+    was ~10ms/group of pure dispatch — hours at z=14's ~2.7e8 tiles)."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        k = batch["tile_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (pd.util.hash_array(k) % np.uint64(nshards)).astype(np.int64)
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
+
+    return partials.map_batches(add_shard, batch_format="pyarrow")
+
+
 def composite_tiles(
     images_ds,
     z: int = 8,
@@ -756,6 +771,7 @@ def composite_tiles(
     strict: bool = True,
     concurrency: int = 2,
     batch_size: int = DEFAULT_IMAGE_BATCH,
+    merge_shards: int = 64,
 ):
     """TRUE pixel-composited mosaic: → (tile_key, z, x, y, n_images,
     n_px_filled, img) where ``img`` is the rendered ``tile_px``²×3 uint8
@@ -767,11 +783,17 @@ def composite_tiles(
     (r02 verdict missing #5): per-batch partials are exactly-mergeable
     int64 accumulator blobs (counts + RGB sums, ~(8+24)·tile_px² bytes
     per tile per batch — bounded by the OUTPUT raster size, never by
-    source pixel count), combined with a ``groupby(tile_key)`` payload
-    exchange whose volume is tiles × blocks × blob — the source pixels
-    themselves never move. Rendering (sum // count) happens per tile
-    after the merge. Everything is int64/uint8 arithmetic: bit-exact,
-    order-independent, oracle-able.
+    source pixel count), combined with a ``groupby(shard)`` payload
+    exchange (shard = hash(tile_key) % ``merge_shards``) whose volume is
+    tiles × blocks × blob — the source pixels themselves never move.
+    Rendering (sum // count) happens after the merge, vectorized across
+    ALL of a shard's tiles in one numpy pass: Ray dispatches
+    O(merge_shards) merge groups total, NOT one per tile (r03 verdict
+    #2 — per-tile ``map_groups`` is ~10ms/group of pure dispatch, hours
+    at z=14's ~2.7e8 tiles). Everything is int64/uint8 arithmetic:
+    bit-exact, order-independent, oracle-able. Size ``merge_shards`` so
+    one shard's blobs (≈ tiles/shards × touching-blocks × 40·tile_px²
+    bytes worst case) fit a worker heap.
     """
     import ray.data as rd  # noqa: F401
 
@@ -785,35 +807,57 @@ def composite_tiles(
     )
 
     def merge_render(g: pd.DataFrame) -> pd.DataFrame:
-        key = int(g["tile_key"].iloc[0])
-        counts = np.zeros(tpx2, np.int64)
-        sums = np.zeros((tpx2, 3), np.int64)
-        for pb, cb, sb in zip(g["pos"], g["cnt"], g["sums"]):
-            p = np.frombuffer(pb, np.int32)
-            np.add.at(counts, p, np.frombuffer(cb, np.int32).astype(np.int64))
-            np.add.at(sums, p, np.frombuffer(sb, np.int32).astype(np.int64).reshape(-1, 3))
-        filled = counts > 0
-        img = np.zeros((tpx2, 3), np.uint8)
-        img[filled] = (
-            sums[filled] // counts[filled][:, None]
-        ).astype(np.uint8)
-        from ..geo import tiles as T
+        return _merge_mean_shard(g, tpx2)
 
-        zz, x, y = T.tile_unkey(np.array([key], np.uint64))
-        return pd.DataFrame(
-            {
-                "tile_key": [key],
-                "z": [int(zz[0])],
-                "x": [int(x[0])],
-                "y": [int(y[0])],
-                "n_images": [int(g["n_images"].sum())],
-                "n_px_filled": [int(filled.sum())],
-                "img": [img.tobytes()],
-            }
-        )
+    return _with_merge_shard(partials, merge_shards).groupby(
+        "shard"
+    ).map_groups(merge_render, batch_format="pandas")
 
-    return partials.groupby("tile_key").map_groups(
-        merge_render, batch_format="pandas"
+
+def _merge_mean_shard(g: pd.DataFrame, tpx2: int) -> pd.DataFrame:
+    """Merge + render every tile of one hash shard in ONE vectorized
+    pass: concat all sparse blobs, bin by (tile-index, cell), bincount.
+    float64 bincount weights are exact here: per-cell totals stay far
+    below 2^53 (asserted). Identical arithmetic to the former per-tile
+    merge (int64 sums, floor div) — rasters byte-identical."""
+    from ..geo import tiles as T
+
+    keys = g["tile_key"].to_numpy().astype(np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    pos = np.concatenate([np.frombuffer(b, np.int32) for b in g["pos"]])
+    cnt = np.concatenate([np.frombuffer(b, np.int32) for b in g["cnt"]])
+    sm = np.concatenate(
+        [np.frombuffer(b, np.int32) for b in g["sums"]]
+    ).reshape(-1, 3)
+    lens = np.fromiter((len(b) // 4 for b in g["pos"]), np.int64, len(g))
+    bins = np.repeat(inv.astype(np.int64), lens) * tpx2 + pos
+    nbins = len(uniq) * tpx2
+    counts = np.bincount(bins, weights=cnt, minlength=nbins)
+    assert counts.max(initial=0) < (1 << 52), "composite merge overflow"
+    counts = counts.astype(np.int64)
+    sums = np.stack(
+        [np.bincount(bins, weights=sm[:, c], minlength=nbins) for c in range(3)],
+        axis=1,
+    ).astype(np.int64)
+    n_images = np.bincount(
+        inv, weights=g["n_images"].to_numpy(np.int64), minlength=len(uniq)
+    ).astype(np.int64)
+    filled = counts > 0
+    img = np.zeros((nbins, 3), np.uint8)
+    img[filled] = (sums[filled] // counts[filled][:, None]).astype(np.uint8)
+    img = img.reshape(len(uniq), tpx2 * 3)
+    n_px = filled.reshape(len(uniq), tpx2).sum(axis=1).astype(np.int64)
+    zz, x, y = T.tile_unkey(uniq.astype(np.uint64))
+    return pd.DataFrame(
+        {
+            "tile_key": uniq,
+            "z": zz.astype(np.int64),
+            "x": x.astype(np.int64),
+            "y": y.astype(np.int64),
+            "n_images": n_images,
+            "n_px_filled": n_px,
+            "img": [img[t].tobytes() for t in range(len(uniq))],
+        }
     )
 
 
@@ -922,14 +966,16 @@ def composite_tiles_latest(
     strict: bool = True,
     concurrency: int = 2,
     batch_size: int = DEFAULT_IMAGE_BATCH,
+    merge_shards: int = 64,
 ):
     """Temporal composite: per output cell the NEWEST scene's pixel wins
     (ts desc, image_id asc on ties, first row-major source pixel within
     an image) — the standard Earth-observation 'latest pixel' mosaic.
     → (tile_key, z, x, y, n_px_filled, img) with ``img`` the rendered
     uint8 raster (empty cells 0). Same sparse-partial payload-groupby
-    shape as :func:`composite_tiles`; the winner rule is a total order,
-    so merging partials in any grouping is exact.
+    shape as :func:`composite_tiles` — hash-sharded merge, O(merge_shards)
+    Ray group dispatches independent of tile count; the winner rule is a
+    total order, so merging partials in any grouping is exact.
     """
     import ray.data as rd  # noqa: F401
 
@@ -943,37 +989,52 @@ def composite_tiles_latest(
     )
 
     def merge_render(g: pd.DataFrame) -> pd.DataFrame:
-        key = int(g["tile_key"].iloc[0])
-        pos = np.concatenate([np.frombuffer(b, np.int32) for b in g["pos"]])
-        ts = np.concatenate([np.frombuffer(b, np.int64) for b in g["ts"]])
-        rgb = np.concatenate(
-            [np.frombuffer(b, np.uint8).reshape(-1, 3) for b in g["rgb"]]
-        )
-        img_ids = np.asarray(
-            [i for lst in g["img"] for i in lst], dtype=object
-        )
-        order = np.lexsort((img_ids, -ts, pos))
-        op = pos[order]
-        keep = np.concatenate([[True], op[1:] != op[:-1]])
-        sel = order[keep]
-        raster = np.zeros((tpx2, 3), np.uint8)
-        raster[pos[sel]] = rgb[sel]
-        from ..geo import tiles as T
+        return _merge_latest_shard(g, tpx2)
 
-        zz, x, y = T.tile_unkey(np.array([key], np.uint64))
-        return pd.DataFrame(
-            {
-                "tile_key": [key],
-                "z": [int(zz[0])],
-                "x": [int(x[0])],
-                "y": [int(y[0])],
-                "n_px_filled": [int(keep.sum())],
-                "img": [raster.tobytes()],
-            }
-        )
+    return _with_merge_shard(partials, merge_shards).groupby(
+        "shard"
+    ).map_groups(merge_render, batch_format="pandas")
 
-    return partials.groupby("tile_key").map_groups(
-        merge_render, batch_format="pandas"
+
+def _merge_latest_shard(g: pd.DataFrame, tpx2: int) -> pd.DataFrame:
+    """Winner-take-newest merge for every tile of one hash shard in one
+    vectorized pass: the per-cell lexsort key gains a leading tile-index
+    term, which cannot change any within-cell winner — rasters
+    byte-identical to the former per-tile merge."""
+    from ..geo import tiles as T
+
+    keys = g["tile_key"].to_numpy().astype(np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    pos = np.concatenate([np.frombuffer(b, np.int32) for b in g["pos"]])
+    ts = np.concatenate([np.frombuffer(b, np.int64) for b in g["ts"]])
+    rgb = np.concatenate(
+        [np.frombuffer(b, np.uint8).reshape(-1, 3) for b in g["rgb"]]
+    )
+    img_ids = np.asarray(
+        [i for lst in g["img"] for i in lst], dtype=object
+    )
+    lens = np.fromiter((len(b) // 4 for b in g["pos"]), np.int64, len(g))
+    bins = np.repeat(inv.astype(np.int64), lens) * tpx2 + pos
+    order = np.lexsort((img_ids, -ts, bins))
+    ob = bins[order]
+    keep = np.concatenate([[True], ob[1:] != ob[:-1]])
+    sel = order[keep]
+    raster = np.zeros((len(uniq) * tpx2, 3), np.uint8)
+    raster[bins[sel]] = rgb[sel]
+    raster = raster.reshape(len(uniq), tpx2 * 3)
+    n_px = np.bincount(
+        bins[sel] // tpx2, minlength=len(uniq)
+    ).astype(np.int64)
+    zz, x, y = T.tile_unkey(uniq.astype(np.uint64))
+    return pd.DataFrame(
+        {
+            "tile_key": uniq,
+            "z": zz.astype(np.int64),
+            "x": x.astype(np.int64),
+            "y": y.astype(np.int64),
+            "n_px_filled": n_px,
+            "img": [raster[t].tobytes() for t in range(len(uniq))],
+        }
     )
 
 

@@ -512,3 +512,67 @@ def test_write_composite_pyramid_resume(fixtures_dir, tmp_path):
                                     reducer="latest")
     assert sum(r["rows"] for r in recs2) == total
     assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+
+def test_composite_tiles_many_tiles_dispatch_scales():
+    """Planted ≥50k-tile composite (r03 verdict #2): the sharded merge
+    dispatches O(merge_shards) Ray groups, not one per tile — the former
+    per-tile ``map_groups`` spent ~10ms/group (≥ 9 minutes of pure
+    dispatch at this tile count). Construction: 36 images of 40×40 px at
+    0.5°/px so every pixel center splats into its OWN z=10 tile
+    (self-verified below) — 57,600 tiles, each with exactly one filled
+    cell from exactly one image."""
+    import time
+
+    from rustac_ray.geo import tiles as T
+    from rustac_ray.imaging.codec import encode_image
+    from rustac_ray.stages.zonal import composite_tiles
+
+    z, tpx = 10, 4
+    n = 1 << z
+    res, w, h = 0.5, 40, 40
+    rng = np.random.default_rng(11)
+    rows = []
+    keys_all = []
+    for r in range(6):
+        for c in range(6):
+            lon0 = -170.0 + c * 28.0
+            lat0 = 62.0 - r * 24.0
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rows.append(
+                {
+                    "image_id": f"img-{r}-{c}",
+                    "bytes": encode_image(px, "raw"),
+                    "w": w,
+                    "h": h,
+                    "fmt": "raw",
+                    "transform": [res, 0.0, lon0, 0.0, -res, lat0],
+                }
+            )
+            cx = lon0 + res * (np.arange(w) + 0.5)
+            cy = lat0 - res * (np.arange(h) + 0.5)
+            gx, gy = np.meshgrid(cx, cy)
+            sx = (T._xfrac(gx.ravel()) * (n * tpx)).astype(np.int64)
+            sy = (T._yfrac(gy.ravel()) * (n * tpx)).astype(np.int64)
+            keys = T.tile_key(z, sx // tpx, sy // tpx).astype(np.int64)
+            cell = (sy % tpx) * tpx + (sx % tpx)
+            # pack on the morton part only (z lives at bit 58; a naive
+            # key*tpx² overflows int64 — same masking as the stage)
+            morton = keys & ((np.int64(1) << np.int64(58)) - 1)
+            keys_all.append((keys, morton * (tpx * tpx) + cell))
+    bins = np.concatenate([b for _, b in keys_all])
+    # self-verify the construction: every pixel in its own (tile, cell)
+    # AND its own tile
+    assert len(np.unique(bins)) == len(bins) == 36 * w * h
+    expected_tiles = np.unique(np.concatenate([k for k, _ in keys_all]))
+    assert len(expected_tiles) == 36 * w * h >= 50_000
+
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(6)
+    t0 = time.time()
+    out = composite_tiles(ds, z=z, tile_px=tpx, concurrency=2).to_pandas()
+    elapsed = time.time() - t0
+    assert len(out) == len(expected_tiles)
+    assert np.array_equal(np.sort(out["tile_key"].to_numpy()), expected_tiles)
+    assert (out["n_px_filled"] == 1).all() and (out["n_images"] == 1).all()
+    # dispatch bound: per-tile grouping alone would exceed this by >3×
+    assert elapsed < 180, f"57k-tile composite took {elapsed:.0f}s"
