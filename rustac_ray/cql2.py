@@ -563,8 +563,8 @@ class Cql2Predicate:
             return ~inner & notnull
         if op in ("s_contains", "s_within", "s_equals", "s_overlaps",
                   "s_touches", "s_crosses"):
-            return _rect_relate(op, batch[self.geometry_column].to_pylist(),
-                                args[1], n)
+            return _relate_column(op, batch[self.geometry_column].to_pylist(),
+                                  args[1], n)
         if op in _T_RELATIONS:
             # item interval = [coalesce(start_datetime, col), coalesce(end_datetime, col)]
             # vs the literal interval. t_intersects / t_during keep the
@@ -769,13 +769,76 @@ def _query_rect(qgeom: dict):
     return None
 
 
+def _relate_column(op: str, wkbs, qgeom: dict, n: int) -> np.ndarray:
+    """Column dispatch for the S_* relations: decode each stored geometry
+    once, take the vectorized interval fast path when EVERY stored
+    geometry is an axis-aligned rect AND the query literal is one the
+    rect evaluator supports; otherwise run the general boundary-
+    subdivision relate (geo/relate.py) on the bbox-plausible candidates
+    only — the bbox prefilter is a NECESSARY condition of each relation,
+    so pruned rows are exact Falses, and the per-row exact relate (the
+    inherent cost of DE-9IM over arbitrary polygons) touches just the
+    survivors."""
+    from .geo.relate import eval_relation
+    from .geo.wkb import _all_coords, decode_geometry
+
+    geoms: list = [None] * n
+    bbs = np.full((n, 4), np.nan)
+    valid = np.zeros(n, bool)
+    rect = np.zeros(n, bool)
+    for i, b in enumerate(wkbs):
+        if b is None:
+            continue
+        g = decode_geometry(bytes(b))
+        geoms[i] = g
+        valid[i] = True
+        c = _all_coords(g)
+        bbs[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+        if g["type"] == "Polygon" and len(g["coordinates"]) == 1:
+            r = np.asarray(g["coordinates"][0], dtype=np.float64)
+            xs, ys = np.unique(r[:, 0]), np.unique(r[:, 1])
+            rect[i] = len(xs) == 2 and len(ys) == 2
+    if rect[valid].all() if valid.any() else True:
+        try:
+            return _rect_relate_bbs(op, bbs, valid, qgeom, n)
+        except NotImplementedError:
+            pass  # query literal outside the rect evaluator → general
+    # ---- general path: bbox prefilter (necessary condition per op) ----
+    qc = _geom_coords_bbox(qgeom)
+    qx0, qy0, qx1, qy1 = qc
+    x0, y0, x1, y1 = bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3]
+    with np.errstate(invalid="ignore"):
+        if op == "s_contains":
+            cand = (x0 <= qx0) & (y0 <= qy0) & (x1 >= qx1) & (y1 >= qy1)
+        elif op == "s_within":
+            cand = (x0 >= qx0) & (y0 >= qy0) & (x1 <= qx1) & (y1 <= qy1)
+        elif op == "s_equals":
+            cand = (x0 == qx0) & (y0 == qy0) & (x1 == qx1) & (y1 == qy1)
+        else:  # overlaps / touches / crosses: closed bbox overlap
+            cand = (x0 <= qx1) & (x1 >= qx0) & (y0 <= qy1) & (y1 >= qy0)
+    cand &= valid
+    out = np.zeros(n, bool)
+    for i in np.flatnonzero(cand):
+        out[i] = eval_relation(op, geoms[i], qgeom)
+    return out
+
+
+def _geom_coords_bbox(geom: dict) -> tuple:
+    from .geo.wkb import _all_coords
+
+    c = _all_coords(geom)
+    return (
+        float(c[:, 0].min()), float(c[:, 1].min()),
+        float(c[:, 0].max()), float(c[:, 1].max()),
+    )
+
+
 def _stored_rects(wkbs, n: int):
     """Stored WKB column → ((n,4) bboxes, valid mask). Raises if any
-    non-null stored geometry is not an axis-aligned rectangle — the exact
-    DE-9IM relations below are only implemented for the engine's rect
-    footprints (reference items are footprint quads; arbitrary stored
-    geometries would need a full relate(); S_INTERSECTS / S_DISJOINT stay
-    fully general)."""
+    non-null stored geometry is not an axis-aligned rectangle — callers
+    route non-rect columns to the general relate via
+    :func:`_relate_column` (geo/relate.py); this strict variant remains
+    for the vectorized rect fast path."""
     from .geo.wkb import _all_coords, decode_geometry
 
     bbs = np.full((n, 4), np.nan)
@@ -841,6 +904,15 @@ def _rect_relate(op: str, wkbs, qgeom: dict, n: int) -> np.ndarray:
     these CQL2 ops to DuckDB spatial SQL (crates/duckdb/src/client.rs:
     386-394 ToDuckSQL); the engine evaluates them natively."""
     bbs, valid = _stored_rects(wkbs, n)
+    return _rect_relate_bbs(op, bbs, valid, qgeom, n)
+
+
+def _rect_relate_bbs(
+    op: str, bbs: np.ndarray, valid: np.ndarray, qgeom: dict, n: int
+) -> np.ndarray:
+    """Rect fast path over precomputed (n,4) bboxes + valid mask.
+    Raises NotImplementedError for query literals it cannot express —
+    callers fall through to the general relate."""
     x0, y0, x1, y1 = bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3]
     out = np.zeros(n, bool)
     t = qgeom["type"]
@@ -910,7 +982,24 @@ def _rect_relate(op: str, wkbs, qgeom: dict, n: int) -> np.ndarray:
                 return out
             res = open_ & ~covers_q & ~covered_by_q
         elif op == "s_touches":
-            res = closed & ~open_
+            if qx0 == qx1 or qy0 == qy1:
+                # degenerate (point / zero-width segment) literal: the
+                # interval logic collapses (ix or iy is 0 even when the
+                # literal passes through the INTERIOR, which open_ reads
+                # as non-overlapping) — touches ⟺ meets the closure but
+                # never the open interior
+                meets_int = (
+                    (np.minimum(x1, qx1) > np.maximum(x0, qx0))
+                    if qx0 != qx1
+                    else (x0 < qx0) & (qx0 < x1)
+                ) & (
+                    (np.minimum(y1, qy1) > np.maximum(y0, qy0))
+                    if qy0 != qy1
+                    else (y0 < qy0) & (qy0 < y1)
+                )
+                res = closed & ~meets_int
+            else:
+                res = closed & ~open_
         else:  # pragma: no cover
             raise ValueError(op)
     return res & valid

@@ -1,0 +1,320 @@
+"""Exact OGC-SFA boolean relations for ARBITRARY valid geometries —
+s_contains / s_within / s_equals / s_overlaps / s_touches / s_crosses
+between a stored areal geometry (Polygon with holes, MultiPolygon,
+concave rings) and a query literal (Point / LineString / MultiLineString
+/ Polygon / MultiPolygon).
+
+Method: boundary subdivision. Every boundary segment of each operand is
+split at its intersection points with the other operand's boundary;
+after splitting, a sub-segment lies entirely in the other geometry's
+interior, boundary, or exterior, so its MIDPOINT classifies the whole
+piece. Midpoint + vertex classifications, plus one interior
+representative point per areal part (for containment with no boundary
+contact, and for the hole-filling case where one boundary lies entirely
+on the other), decide the four primitive predicates — interiors
+intersect, A covers B, B covers A, closures intersect — from which every
+relation follows. Exact for valid simple-features geometries.
+
+The reference compiles these CQL2 ops to DuckDB spatial SQL
+(/root/reference/crates/duckdb/src/client.rs:386-394 ToDuckSQL;
+crates/core/src/api/filter.rs:11-70); this engine evaluates them
+natively (r03 verdict missing #1 — the rect-only evaluator raised on
+the first non-rect stored polygon).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["eval_relation", "area_predicates"]
+
+_EPS = 1e-9
+
+# classification codes
+_EXT, _BND, _INT = 0, 1, 2
+
+
+def _area_parts(geom: dict) -> list[list[np.ndarray]]:
+    """Areal geometry → list of parts, each a list of rings (outer
+    first), rings as (k,2) float arrays WITHOUT the closing vertex."""
+    t = geom["type"]
+    polys = (
+        [geom["coordinates"]] if t == "Polygon" else geom["coordinates"]
+    ) if t in ("Polygon", "MultiPolygon") else None
+    if polys is None:
+        raise ValueError(f"not an areal geometry: {t}")
+    parts = []
+    for poly in polys:
+        rings = []
+        for r in poly:
+            r = np.asarray(r, dtype=np.float64)[:, :2]
+            if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+            if len(r) < 3:
+                raise ValueError("degenerate ring")
+            rings.append(r)
+        parts.append(rings)
+    return parts
+
+
+def _area_segments(parts) -> tuple[np.ndarray, np.ndarray]:
+    """All boundary segments of an areal geometry: ((m,2) starts,
+    (m,2) ends), rings implicitly closed."""
+    a, b = [], []
+    for rings in parts:
+        for r in rings:
+            a.append(r)
+            b.append(np.roll(r, -1, axis=0))
+    return np.concatenate(a), np.concatenate(b)
+
+
+def _line_segments(geom: dict):
+    t = geom["type"]
+    lines = [geom["coordinates"]] if t == "LineString" else geom["coordinates"]
+    a, b, endpoints, verts = [], [], [], []
+    for line in lines:
+        r = np.asarray(line, dtype=np.float64)[:, :2]
+        a.append(r[:-1])
+        b.append(r[1:])
+        endpoints.extend([r[0], r[-1]])
+        verts.append(r)
+    return (
+        np.concatenate(a),
+        np.concatenate(b),
+        np.asarray(endpoints),
+        np.concatenate(verts),
+    )
+
+
+def _classify_points(px, py, seg_a, seg_b) -> np.ndarray:
+    """Points vs an areal geometry's boundary segments → int8 codes
+    (0 exterior, 1 boundary, 2 interior). Boundary: on any segment
+    (scaled-eps collinear + projection-in-range). Interior: even-odd ray
+    crossing over ALL rings of all parts (valid nesting makes even-odd
+    correct for holes and multi-parts)."""
+    px = np.atleast_1d(np.asarray(px, np.float64))
+    py = np.atleast_1d(np.asarray(py, np.float64))
+    n = len(px)
+    ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
+    bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
+    pxc, pyc = px[:, None], py[:, None]
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    cross = dx * (pyc - ay) - dy * (pxc - ax)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((pxc - ax) * dx + (pyc - ay) * dy) / seg_len2
+    scale = np.sqrt(seg_len2)
+    on_seg = (np.abs(cross) <= _EPS * np.maximum(scale, 1.0)) & (
+        t >= -_EPS
+    ) & (t <= 1.0 + _EPS)
+    boundary = on_seg.any(axis=1)
+    # even-odd: half-open rule on y avoids double counting at vertices
+    cond = (ay <= pyc) != (by <= pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = ax + (pyc - ay) / dy * dx
+    crossing = cond & (pxc < xin)
+    inside = (crossing.sum(axis=1) % 2).astype(bool)
+    out = np.zeros(n, np.int8)
+    out[inside] = _INT
+    out[boundary] = _BND
+    return out
+
+
+def _split_midpoints(seg_a, seg_b, other_a, other_b) -> np.ndarray:
+    """For each segment (seg_a[i], seg_b[i]), split it at every
+    intersection with the `other` segment set (transversal hits and
+    collinear-overlap endpoints) and return the midpoints of ALL
+    resulting sub-segments, (k,2)."""
+    mids = []
+    oa, ob = other_a, other_b
+    ex, ey = (ob - oa)[:, 0], (ob - oa)[:, 1]
+    for i in range(len(seg_a)):
+        a, b = seg_a[i], seg_b[i]
+        d = b - a
+        dl = max(float(np.hypot(d[0], d[1])), _EPS)
+        denom = d[0] * ey - d[1] * ex
+        wx, wy = oa[:, 0] - a[0], oa[:, 1] - a[1]
+        num_t = wx * ey - wy * ex
+        num_u = wx * d[1] - wy * d[0]
+        ts = [0.0, 1.0]
+        nz = np.abs(denom) > _EPS * dl * np.maximum(np.hypot(ex, ey), 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(nz, num_t / denom, np.nan)
+            u = np.where(nz, num_u / denom, np.nan)
+        ok = nz & (t > _EPS) & (t < 1 - _EPS) & (u >= -_EPS) & (u <= 1 + _EPS)
+        if ok.any():
+            ts.extend(t[ok].tolist())
+        # collinear overlaps: other segment parallel AND its start lies
+        # on this segment's line → project both endpoints
+        par = ~nz
+        if par.any():
+            coll = par & (
+                np.abs(num_t) <= _EPS * dl * np.maximum(np.hypot(wx, wy), 1.0)
+            )
+            if coll.any():
+                dd = d[0] * d[0] + d[1] * d[1]
+                t0 = (wx[coll] * d[0] + wy[coll] * d[1]) / dd
+                t1 = (
+                    (ob[coll, 0] - a[0]) * d[0] + (ob[coll, 1] - a[1]) * d[1]
+                ) / dd
+                for tv in np.concatenate([t0, t1]):
+                    if _EPS < tv < 1 - _EPS:
+                        ts.append(float(tv))
+        tt = np.unique(np.asarray(ts))
+        tm = (tt[:-1] + tt[1:]) / 2.0
+        mids.append(a[None, :] + tm[:, None] * d[None, :])
+    return np.concatenate(mids) if mids else np.empty((0, 2))
+
+
+def _rep_point(rings: list[np.ndarray], seg_a, seg_b) -> np.ndarray:
+    """An interior point of one polygon PART (outer ring + holes) by
+    exact scanline: sweep a horizontal line at a y strictly between two
+    adjacent distinct vertex-y levels of the part, intersect it with the
+    part's own ring segments, and take the midpoint of the first
+    even-odd interior interval. Robust for concave parts and
+    centered holes (where every centroid-style candidate fails)."""
+    pa_, pb_ = _area_segments([rings])
+    ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    levels = (ys[:-1] + ys[1:]) / 2.0 if len(ys) > 1 else ys
+    ax, ay = pa_[:, 0], pa_[:, 1]
+    bx, by = pb_[:, 0], pb_[:, 1]
+    for ymid in levels:
+        hit = (ay <= ymid) != (by <= ymid)
+        if not hit.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = ax[hit] + (ymid - ay[hit]) / (by[hit] - ay[hit]) * (
+                bx[hit] - ax[hit]
+            )
+        xs = np.sort(xs)
+        for j in range(0, len(xs) - 1, 2):
+            cand = np.array([(xs[j] + xs[j + 1]) / 2.0, ymid])
+            if xs[j + 1] - xs[j] > 4 * _EPS and (
+                _classify_points([cand[0]], [cand[1]], seg_a, seg_b)[0]
+                == _INT
+            ):
+                return cand
+    return None  # degenerate (zero-area) part: no interior exists
+
+
+def area_predicates(A: dict, B: dict) -> dict:
+    """The four primitive predicates between two AREAL geometries:
+    ``ii`` (interiors intersect), ``a_covers_b`` (B ⊆ closure A),
+    ``b_covers_a``, ``closures`` (closures intersect)."""
+    pa_ = _area_parts(A)
+    pb = _area_parts(B)
+    sa_a, sa_b = _area_segments(pa_)
+    sb_a, sb_b = _area_segments(pb)
+
+    mids_a = _split_midpoints(sa_a, sa_b, sb_a, sb_b)
+    mids_b = _split_midpoints(sb_a, sb_b, sa_a, sa_b)
+    pts_a = np.concatenate([mids_a, sa_a])  # A's boundary samples
+    pts_b = np.concatenate([mids_b, sb_a])
+    cls_a = _classify_points(pts_a[:, 0], pts_a[:, 1], sb_a, sb_b)  # vs B
+    cls_b = _classify_points(pts_b[:, 0], pts_b[:, 1], sa_a, sa_b)  # vs A
+
+    # one interior representative per part: containment with no boundary
+    # contact, and the boundary-coincident hole case, both hinge on these
+    # (degenerate zero-area parts yield None — they have no interior)
+    reps_a = [p for rings in pa_ if (p := _rep_point(rings, sa_a, sa_b)) is not None]
+    reps_b = [p for rings in pb if (p := _rep_point(rings, sb_a, sb_b)) is not None]
+    _e = np.empty(0, np.int8)
+    rep_a_in_b = _classify_points(
+        np.asarray(reps_a)[:, 0], np.asarray(reps_a)[:, 1], sb_a, sb_b
+    ) if reps_a else _e
+    rep_b_in_a = _classify_points(
+        np.asarray(reps_b)[:, 0], np.asarray(reps_b)[:, 1], sa_a, sa_b
+    ) if reps_b else _e
+
+    ii = bool(
+        (cls_a == _INT).any()
+        or (cls_b == _INT).any()
+        or (rep_a_in_b == _INT).any()
+        or (rep_b_in_a == _INT).any()
+    )
+    a_covers_b = bool(
+        (cls_b != _EXT).all()
+        and (cls_a != _INT).all()
+        and (rep_b_in_a != _EXT).all()
+    )
+    b_covers_a = bool(
+        (cls_a != _EXT).all()
+        and (cls_b != _INT).all()
+        and (rep_a_in_b != _EXT).all()
+    )
+    closures = bool(
+        ii or (cls_a == _BND).any() or (cls_b == _BND).any()
+    )
+    return {
+        "ii": ii,
+        "a_covers_b": a_covers_b,
+        "b_covers_a": b_covers_a,
+        "closures": closures,
+    }
+
+
+def _area_line(A: dict, L: dict) -> dict:
+    """Primitives of areal A vs linear L: whether interior(L) meets
+    interior/exterior of A, whether any contact exists, and whether L
+    lies in closure(A)."""
+    pa_ = _area_parts(A)
+    sa_a, sa_b = _area_segments(pa_)
+    la, lb, ends, verts = _line_segments(L)
+    mids = _split_midpoints(la, lb, sa_a, sa_b)
+    cls_m = _classify_points(mids[:, 0], mids[:, 1], sa_a, sa_b)
+    cls_v = _classify_points(verts[:, 0], verts[:, 1], sa_a, sa_b)
+    return {
+        "int_hits_int": bool((cls_m == _INT).any()),
+        "int_hits_ext": bool((cls_m == _EXT).any()),
+        "in_closure": bool((cls_m != _EXT).all() and (cls_v != _EXT).all()),
+        "contact": bool((cls_m != _EXT).any() or (cls_v != _EXT).any()),
+    }
+
+
+def eval_relation(op: str, stored: dict, query: dict) -> bool:
+    """Evaluate one CQL2 spatial relation between a STORED areal
+    geometry and a QUERY literal. Dimension rules follow OGC SFA:
+    within/overlaps/equals are False across dimensions; crosses is
+    defined only for mixed dimensions (area × line here)."""
+    st = stored["type"]
+    if st not in ("Polygon", "MultiPolygon"):
+        raise NotImplementedError(
+            f"S_* relate: stored geometry {st} is not areal"
+        )
+    qt = query["type"]
+    if qt == "Point":
+        x, y = query["coordinates"][:2]
+        sa_a, sa_b = _area_segments(_area_parts(stored))
+        c = int(_classify_points([x], [y], sa_a, sa_b)[0])
+        if op == "s_contains":
+            return c == _INT
+        if op == "s_touches":
+            return c == _BND
+        return False  # within/equals/overlaps/crosses vs a point
+    if qt in ("LineString", "MultiLineString"):
+        p = _area_line(stored, query)
+        if op == "s_crosses":
+            return p["int_hits_int"] and p["int_hits_ext"]
+        if op == "s_contains":
+            return p["in_closure"] and p["int_hits_int"]
+        if op == "s_touches":
+            return p["contact"] and not p["int_hits_int"]
+        return False  # within/equals/overlaps vs a line
+    if qt in ("Polygon", "MultiPolygon"):
+        p = area_predicates(stored, query)
+        if op == "s_contains":
+            return p["a_covers_b"] and p["ii"]
+        if op == "s_within":
+            return p["b_covers_a"] and p["ii"]
+        if op == "s_equals":
+            return p["a_covers_b"] and p["b_covers_a"]
+        if op == "s_overlaps":
+            return p["ii"] and not p["a_covers_b"] and not p["b_covers_a"]
+        if op == "s_touches":
+            return p["closures"] and not p["ii"]
+        if op == "s_crosses":
+            return False  # area × area: crosses undefined ⇒ False
+        raise ValueError(op)
+    raise NotImplementedError(
+        f"S_* relate: query geometry {qt} unsupported for {op}"
+    )

@@ -40,7 +40,7 @@ from . import schema as sch
 SEED = 42
 FIXTURE_ROOT = "/tmp/rustac_fixtures"
 # bump when generation logic changes — stale cached fixtures regenerate
-FIXTURE_VERSION = "7"
+FIXTURE_VERSION = "8"
 
 _TIERS = {
     "sf0.001": dict(images=1_000, items=100, queries=20),
@@ -151,6 +151,48 @@ def build_images_table(n: int, seed: int = SEED) -> pa.Table:
 
 PROBE_POINT = (-106.0, 40.5)
 PROBE_BBOX = (-106.1, 40.5, -106.0, 40.6)
+
+
+def build_diamond_items_table(n: int, seed: int = SEED) -> pa.Table:
+    """NON-RECT footprints for the general S_* relate queries (r03
+    verdict missing #1): L1-ball ("diamond") polygons whose relations to
+    point/bbox/line literals are exact closed-form predicates over the
+    (cx, cy, r) scalar columns — so plain-SQL DuckDB oracles can verify
+    the general boundary-subdivision relate (geo/relate.py) value-for-
+    value. Row 0 is pinned (s_equals / s_touches anchors)."""
+    rng = np.random.default_rng(seed + 9)
+    ids = np.array([f"dia-{k:05d}" for k in range(n)], dtype=object)
+    cx = rng.uniform(-106.5, -105.5, n)
+    cy = rng.uniform(40.0, 41.0, n)
+    r = rng.uniform(0.02, 0.30, n)
+    # pinned anchor row for the equality / boundary-touch literals
+    cx[0], cy[0], r[0] = -106.0, 40.5, 0.25
+    wkbs = [
+        encode_geometry(
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [cx[k], cy[k] - r[k]],
+                        [cx[k] + r[k], cy[k]],
+                        [cx[k], cy[k] + r[k]],
+                        [cx[k] - r[k], cy[k]],
+                        [cx[k], cy[k] - r[k]],
+                    ]
+                ],
+            }
+        )
+        for k in range(n)
+    ]
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.string()),
+            "geometry": pa.array(wkbs, pa.binary()),
+            "cx": pa.array(cx, pa.float64()),
+            "cy": pa.array(cy, pa.float64()),
+            "r": pa.array(r, pa.float64()),
+        }
+    )
 
 
 def build_stac_items_table(n: int, seed: int = SEED) -> pa.Table:
@@ -549,6 +591,11 @@ def ensure_fixtures(sf_dir: str) -> str:
     pq.write_table(
         build_stac_items_table(tier["items"]),
         os.path.join(tmp, "stac_items.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        build_diamond_items_table(tier["items"]),
+        os.path.join(tmp, "diamond_items.parquet"),
         compression="zstd",
     )
     geoms, boxes = build_query_tables(tier["queries"])

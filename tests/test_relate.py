@@ -1,0 +1,185 @@
+"""General-geometry S_* relate (geo/relate.py): hand topologies
+(holes, concave, multipolygon, lines, points), a randomized
+differential against the vectorized rect fast path, and the rect
+path's degenerate-literal fixes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rustac_ray.cql2 import Cql2Predicate, _rect_relate
+from rustac_ray.geo.relate import eval_relation
+from rustac_ray.geo.wkb import encode_geometry
+
+OPS = ["s_contains", "s_within", "s_equals", "s_overlaps", "s_touches",
+       "s_crosses"]
+
+
+def rect(x0, y0, x1, y1):
+    return {
+        "type": "Polygon",
+        "coordinates": [
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        ],
+    }
+
+
+A = rect(0, 0, 4, 4)
+AH = {  # square with a CENTERED hole (defeats centroid rep-points)
+    "type": "Polygon",
+    "coordinates": [A["coordinates"][0],
+                    [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]],
+}
+L_SHAPE = {
+    "type": "Polygon",
+    "coordinates": [[[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4],
+                     [0, 0]]],
+}
+MP = {
+    "type": "MultiPolygon",
+    "coordinates": [rect(0, 0, 1, 1)["coordinates"],
+                    rect(5, 5, 6, 6)["coordinates"]],
+}
+DIAMOND = {
+    "type": "Polygon",
+    "coordinates": [[[2, 0], [4, 2], [2, 4], [0, 2], [2, 0]]],
+}
+
+
+@pytest.mark.parametrize(
+    "op,stored,query,want",
+    [
+        # a square exactly filling the hole: touches, never contained
+        ("s_contains", AH, rect(1, 1, 3, 3), False),
+        ("s_touches", AH, rect(1, 1, 3, 3), True),
+        ("s_contains", A, rect(1, 1, 3, 3), True),
+        ("s_equals", A, rect(0, 0, 4, 4), True),
+        ("s_overlaps", rect(0, 0, 2, 1), rect(1, 0, 3, 1), True),
+        ("s_touches", rect(0, 0, 1, 1), rect(1, 0, 2, 1), True),
+        ("s_touches", rect(0, 0, 1, 1), rect(1, 1, 2, 2), True),
+        ("s_overlaps", rect(0, 0, 1, 1), rect(5, 5, 6, 6), False),
+        # the notch of an L is EXTERIOR even though it's inside the bbox
+        ("s_contains", L_SHAPE, rect(2.5, 2.5, 3.5, 3.5), False),
+        ("s_touches", L_SHAPE, rect(2.5, 2.5, 3.5, 3.5), False),
+        ("s_contains", L_SHAPE, rect(0.5, 0.5, 1.5, 1.5), True),
+        ("s_overlaps", L_SHAPE, rect(1.5, 1.5, 2.5, 2.5), True),
+        ("s_touches", L_SHAPE, rect(2, 2, 3, 3), True),
+        ("s_within", MP, rect(-1, -1, 7, 7), True),
+        ("s_within", MP, rect(-1, -1, 2, 2), False),
+        ("s_crosses", A,
+         {"type": "LineString", "coordinates": [[-1, -1], [5, 5]]}, True),
+        ("s_contains", A,
+         {"type": "LineString", "coordinates": [[1, 1], [2, 2]]}, True),
+        # a line ALONG the boundary touches but is not contained
+        ("s_touches", A,
+         {"type": "LineString", "coordinates": [[0, 0], [4, 0]]}, True),
+        ("s_contains", A,
+         {"type": "LineString", "coordinates": [[0, 0], [4, 0]]}, False),
+        ("s_contains", A, {"type": "Point", "coordinates": [2, 2]}, True),
+        ("s_touches", A, {"type": "Point", "coordinates": [0, 2]}, True),
+        ("s_contains", DIAMOND, {"type": "Point", "coordinates": [2, 2]},
+         True),
+        ("s_touches", DIAMOND, {"type": "Point", "coordinates": [2, 0]},
+         True),
+        ("s_within", DIAMOND, rect(0, 0, 4, 4), True),
+        ("s_equals", DIAMOND, rect(0, 0, 4, 4), False),
+        ("s_overlaps", DIAMOND, rect(2, 2, 5, 5), True),
+        ("s_contains", rect(0, 0, 4, 4), DIAMOND, True),
+        # dimension rules
+        ("s_within", A, {"type": "Point", "coordinates": [2, 2]}, False),
+        ("s_crosses", A, rect(1, 1, 5, 5), False),
+        ("s_overlaps", A,
+         {"type": "LineString", "coordinates": [[1, 1], [2, 2]]}, False),
+    ],
+)
+def test_relate_hand_topologies(op, stored, query, want):
+    assert eval_relation(op, stored, query) is want
+
+
+def test_relate_differential_vs_rect_fast_path():
+    """On rect stored geometries the general relate must agree with the
+    vectorized interval fast path for every op × literal kind."""
+    rng = np.random.default_rng(3)
+
+    def rrect():
+        x0, y0 = rng.uniform(-2, 2, 2)
+        w, h = rng.uniform(0.5, 2, 2)
+        return float(x0), float(y0), float(x0 + w), float(y0 + h)
+
+    def girect():  # grid-aligned → touching/equality cases occur
+        x0, y0 = rng.integers(-2, 2, 2)
+        w, h = rng.integers(1, 3, 2)
+        return float(x0), float(y0), float(x0 + w), float(y0 + h)
+
+    total = 0
+    for trial in range(120):
+        stored = [girect() if trial % 2 else rrect() for _ in range(8)]
+        wkbs = [encode_geometry(rect(*s)) for s in stored]
+        kind = trial % 3
+        if kind == 0:
+            q = {"type": "Point",
+                 "coordinates": [float(rng.integers(-2, 4)),
+                                 float(rng.integers(-2, 4))]}
+        elif kind == 1:
+            q = rect(*girect())
+        else:
+            y = float(rng.integers(-2, 4))
+            a, b = sorted(rng.integers(-3, 5, 2).tolist())
+            q = {"type": "LineString",
+                 "coordinates": [[float(a), y], [float(b) + 1.0, y]]}
+        for op in OPS:
+            try:
+                fast = _rect_relate(op, wkbs, q, len(wkbs))
+            except NotImplementedError:
+                continue
+            gen = np.array([eval_relation(op, rect(*s), q) for s in stored])
+            assert np.array_equal(fast, gen), (op, q, stored)
+            total += 1
+    assert total > 300
+
+
+def test_rect_touches_point_inside_is_false():
+    """Regression: the interval fast path read a point strictly INSIDE a
+    rect as touching (degenerate interval ⇒ open_ false)."""
+    wkbs = [encode_geometry(rect(0, 0, 2, 2))]
+    inside = {"type": "Point", "coordinates": [1.0, 1.0]}
+    edge = {"type": "Point", "coordinates": [0.0, 1.0]}
+    assert not _rect_relate("s_touches", wkbs, inside, 1)[0]
+    assert _rect_relate("s_touches", wkbs, edge, 1)[0]
+    # zero-width BBOX (a vertical segment): the rect fast path refuses
+    # the degenerate literal and the COLUMN dispatch answers via the
+    # general relate — through interior ⇒ not touches; along edge ⇒ does
+    import pyarrow as pa
+
+    tbl = pa.table({"geometry": pa.array(wkbs, pa.binary())})
+    through = Cql2Predicate("S_TOUCHES(geometry, BBOX(1.0, -1.0, 1.0, 3.0))")
+    graze = Cql2Predicate("S_TOUCHES(geometry, BBOX(0.0, -1.0, 0.0, 3.0))")
+    assert not through.mask(tbl)[0]
+    assert graze.mask(tbl)[0]
+
+
+def test_cql2_predicate_routes_nonrect_to_general():
+    """A non-rect stored polygon no longer raises; the predicate answers
+    exactly via the general path (mixed rect + diamond column)."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "geometry": pa.array(
+                [encode_geometry(DIAMOND), encode_geometry(rect(0, 0, 4, 4)),
+                 None],
+                pa.binary(),
+            )
+        }
+    )
+    pred = Cql2Predicate("S_CONTAINS(geometry, POINT(2.0 2.0))")
+    assert pred.mask(tbl).tolist() == [True, True, False]
+    pred = Cql2Predicate(
+        "S_TOUCHES(geometry, POINT(2.0 0.0))"
+    )
+    assert pred.mask(tbl).tolist() == [True, True, False]
+    pred = Cql2Predicate(
+        "S_WITHIN(geometry, BBOX(-1.0, -1.0, 5.0, 5.0))"
+    )
+    assert pred.mask(tbl).tolist() == [True, True, False]
