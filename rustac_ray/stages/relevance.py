@@ -51,12 +51,28 @@ def _tokenize(batch: pa.Table, col: str):
 _META = ""  # empty string can never be a token (empties are dropped)
 
 
-def corpus_stats(ds, col: str = "text", *, tokens=None, combine: str = "driver"):
+def corpus_stats(
+    ds,
+    col: str = "text",
+    *,
+    tokens=None,
+    combine: str = "auto",
+    max_partial_rows: int = 5_000_000,
+):
     """Fold (document frequency per token, n_docs, total_tokens) over a
     text column. Returns ``(df: pd.DataFrame[token, df], n_docs: int,
     n_tokens: int)``. ``tokens``: restrict the df fold to this token list
     (the BM25 case — the partial stream then carries ≤ len(tokens) + 1
-    rows per block no matter the vocabulary)."""
+    rows per block no matter the vocabulary).
+
+    ``combine="auto"`` (default, the exact_dedup rule applied to the last
+    assumption-bounded driver merge — r03 verdict #5): materialize the
+    per-block partial stream once (it lives in the object store, not the
+    driver), count its rows (metadata-only), and take the driver concat
+    only when the raw stream is under ``max_partial_rows``; above it —
+    URL/hash-like token spaces where "vocabulary-bounded" stops meaning
+    "small" — the distinct-token reduction runs as a distributed
+    ``groupby(token)`` instead, with no recompute on the switch."""
     token_filter = None if tokens is None else pa.array(sorted(set(tokens)))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -85,6 +101,11 @@ def corpus_stats(ds, col: str = "text", *, tokens=None, combine: str = "driver")
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if combine == "auto":
+        partials = partials.materialize()
+        combine = (
+            "shuffle" if partials.count() > max_partial_rows else "driver"
+        )
     if combine == "shuffle":
         from ray.data.aggregate import Sum
 
@@ -118,7 +139,7 @@ def corpus_stats(ds, col: str = "text", *, tokens=None, combine: str = "driver")
 
 
 def tfidf_top_terms(
-    ds, col: str = "text", id_col: str = "doc_id", m: int = 3, *, combine: str = "driver"
+    ds, col: str = "text", id_col: str = "doc_id", m: int = 3, *, combine: str = "auto"
 ):
     """Per-document top-``m`` TF-IDF terms: score = tf * ln(N / df), ties
     broken by token ascending. Returns (id_col, token, tf, score) rows.

@@ -136,3 +136,40 @@ def test_vocab_overlap_brute_force():
     assert got == expect
     # zebra (source c) overlaps nothing -> absent from pair rows
     assert not ((out.source_a == "c") | (out.source_b == "c")).any()
+
+
+def test_corpus_stats_auto_switches_on_unbounded_vocab():
+    """URL-like token spaces (every token distinct) defeat the
+    "vocabulary-bounded" driver-merge assumption: combine='auto' must
+    take the shuffle path past max_partial_rows and produce the same
+    stats (r03 verdict #5)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(40)],
+            "text": [
+                " ".join(f"http://host/{i}/{j}" for j in range(25))
+                for i in range(40)
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(8)
+    want_df, want_n, want_t = corpus_stats(ds, combine="driver")
+    # 1000 distinct tokens >> cap of 64: auto must COMPLETE via shuffle
+    got_df, got_n, got_t = corpus_stats(
+        ds, combine="auto", max_partial_rows=64
+    )
+    assert (got_n, got_t) == (want_n, want_t) == (40, 1000)
+    a = want_df.sort_values("token").reset_index(drop=True)
+    b = got_df.sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # small vocab stays on the driver merge (same results either way)
+    small = rd.from_pandas(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["x y", "y z"]})
+    )
+    d1, n1, t1 = corpus_stats(small, combine="auto")
+    d2, n2, t2 = corpus_stats(small, combine="shuffle")
+    pd.testing.assert_frame_equal(
+        d1.sort_values("token").reset_index(drop=True),
+        d2.sort_values("token").reset_index(drop=True),
+    )
+    assert (n1, t1) == (n2, t2) == (2, 4)
