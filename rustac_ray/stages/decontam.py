@@ -199,21 +199,36 @@ class BloomFilter:
         return BloomFilter(self.m_bits, self.k, self.bits | other.bits)
 
 
-def build_bloom(ds, col: str = "text", n: int = 3, *, m_bits: int = 1 << 23, k: int = 7) -> BloomFilter:
-    """Distributed Bloom build: per-batch partial filters OR-merged.
+def build_bloom(
+    ds, col: str = "text", n: int = 3, *, m_bits: int = 1 << 23, k: int = 7,
+    fanin: int = 32,
+) -> BloomFilter:
+    """Distributed Bloom build: per-batch partial filters OR-merged
+    through distributed fan-in rounds (stages/fold.py) — the driver ORs
+    only the final ≤ ``fanin`` blobs, so merge cost is O(fanin × m_bits)
+    no matter how many blocks produced partials (r03 verdict #8: the
+    serial take_all OR-loop was O(blocks × m_bits/8) through one
+    thread)."""
+    import pyarrow as pa
 
-    Each task emits its ``m_bits/8``-byte partial; the driver ORs them
-    (at real scale: a tree-reduce of fixed-size byte strings — cost is
-    partitions × filter size, independent of corpus size).
-    """
+    from .fold import tree_fold
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(m_bits, k)
         bf.add(_ngram_frame(batch[col], n)["h"].to_numpy())
         return pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
+    def or_block(t: "pa.Table") -> "pa.Table":
+        acc = np.zeros(m_bits // 64, np.uint64)
+        for raw in t["bits"]:
+            acc |= np.frombuffer(raw.as_py(), np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    folded = tree_fold(
+        ds.map_batches(partial, batch_format="pandas"), or_block, fanin=fanin
+    )
     out = BloomFilter(m_bits, k)
-    for row in ds.map_batches(partial, batch_format="pandas").take_all():
+    for row in folded.take_all():
         out.bits |= np.frombuffer(row["bits"], np.uint64)
     return out
 

@@ -48,13 +48,23 @@ def train_char_lm(ds, *, text_col: str = "text", sample_mod: int | None = None,
                 np.add.at(grid, (b[:-1], b[1:]), 1)
         return pd.DataFrame({"grid": [grid.tobytes()]})
 
-    # one 512-KiB grid per BATCH ships to the driver — explicit batch_size
-    # keeps that to dozens of grids instead of thousands
+    # one 512-KiB grid per BATCH; distributed fan-in rounds (fold.py) sum
+    # them down to ≤32 grids before the driver touches anything, so the
+    # driver merge is constant-size at any block count (r03 verdict #8)
+    import pyarrow as pa
+
+    from .fold import tree_fold
+
+    def sum_block(t: "pa.Table") -> "pa.Table":
+        acc = np.zeros(256 * 256, np.int64)
+        for raw in t["grid"]:
+            acc += np.frombuffer(raw.as_py(), np.int64)
+        return pa.table({"grid": pa.array([acc.tobytes()], pa.binary())})
+
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
     total = np.zeros((256, 256), np.int64)
-    for b in partials.iter_batches(batch_format="pandas"):
-        for raw in b["grid"]:
-            total += np.frombuffer(raw, np.int64).reshape(256, 256)
+    for row in tree_fold(partials, sum_block).take_all():
+        total += np.frombuffer(row["grid"], np.int64).reshape(256, 256)
     return total
 
 
