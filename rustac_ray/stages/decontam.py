@@ -50,6 +50,22 @@ _EMPTY_NGRAMS = pd.DataFrame(
 )
 
 
+def _token_rows(text: pd.Series) -> tuple[np.ndarray, "pa.Array"]:
+    """(row_pos:int32[], token:StringArray) for every nonempty whitespace
+    token of every row, in document order — the shared tokenizer under
+    ``_token_hash_rows`` and the span-rewrite pass of
+    ``dedup.remove_dup_spans`` (both sides MUST tokenize identically)."""
+    arr = pa.Array.from_pandas(text.astype(str))
+    toks = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(toks)
+    row = pc.list_parent_indices(toks).to_numpy().astype(np.int32, copy=False)
+    # Arrow emits empty tokens at leading/trailing whitespace; drop them
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat, row = flat.filter(pa.array(nonempty)), row[nonempty]
+    return row, flat
+
+
 def _token_hash_rows(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(row_pos:int32[], token_hash:uint64[]) for every nonempty
     whitespace token of every row, in document order.
@@ -59,14 +75,7 @@ def _token_hash_rows(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     encode → hash only the per-batch VOCABULARY (pandas siphash, stable
     across machines) → gather per-token hashes. Token-boundary semantics
     match the SQL oracles' single-space ``string_split``."""
-    arr = pa.Array.from_pandas(text.astype(str))
-    toks = pc.utf8_split_whitespace(arr)
-    flat = pc.list_flatten(toks)
-    row = pc.list_parent_indices(toks).to_numpy().astype(np.int32, copy=False)
-    # Arrow emits empty tokens at leading/trailing whitespace; drop them
-    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-    if not nonempty.all():
-        flat, row = flat.filter(pa.array(nonempty)), row[nonempty]
+    row, flat = _token_rows(text)
     if len(flat) == 0:
         return row[:0], np.array([], np.uint64)
     d = pc.dictionary_encode(flat)

@@ -31,6 +31,7 @@ __all__ = [
     "exact_dedup",
     "incremental_dedup",
     "dup_ngram_spans",
+    "remove_dup_spans",
     "near_dup_filter",
     "simhash_near_dup",
     "connected_components",
@@ -185,7 +186,9 @@ def dup_ngram_spans(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         _, _, h = ngram_occurrences(batch[col], n)
-        uniq, cnt = np.unique(h, return_counts=True)
+        # int64 view for transport: uint64 columns above int64-max break
+        # Arrow block concat in multi-block shuffles (cf. _hash_text_column)
+        uniq, cnt = np.unique(h.view(np.int64), return_counts=True)
         return pd.DataFrame({"h": uniq, "cnt": cnt.astype(np.int64)})
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -200,7 +203,7 @@ def dup_ngram_spans(
             ).iter_batches(batch_format="pyarrow")
             if len(b)
         ]
-        dup = np.sort(np.concatenate(dup_parts)) if dup_parts else np.array([], np.uint64)
+        dup = np.sort(np.concatenate(dup_parts)) if dup_parts else np.array([], np.int64)
     else:
         parts = [
             b.to_pandas()
@@ -215,14 +218,15 @@ def dup_ngram_spans(
             )
             dup = np.sort(
                 merged.loc[merged["cnt"] >= min_count, "h"].to_numpy()
-            ).astype(np.uint64)
+            ).astype(np.int64)
         else:
-            dup = np.array([], np.uint64)
+            dup = np.array([], np.int64)
     dup_ref = ray.put(dup)
 
     def coverage(batch: pd.DataFrame) -> pd.DataFrame:
         dset = ray.get(dup_ref)
         row, pos, h = ngram_occurrences(batch[col], n)
+        h = h.view(np.int64)  # transport convention (see partial)
         ids = batch[id_col].to_numpy()
         # per-row token counts (rows with no tokens stay 0)
         from rustac_ray.stages.decontam import _token_hash_rows
@@ -255,6 +259,178 @@ def dup_ngram_spans(
         )
 
     return ds.map_batches(coverage, batch_format="pandas")
+
+
+def remove_dup_spans(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    *,
+    min_count: int = 2,
+    mode: str = "all",
+    combine: str = "driver",
+):
+    """SUBSTRING-level dedup as a corpus TRANSFORM (the rewrite half of
+    Lee et al. 2022 — ``dup_ngram_spans`` measures the duplicated spans,
+    this op removes them): every token covered by a word-n-gram whose
+    global occurrence count ≥ ``min_count`` is dropped, and the survivors
+    are rejoined with single spaces (C4-style whitespace normalization —
+    the synthetic corpus and the SQL twin are single-space already, so
+    the join is lossless there).
+
+    ``mode="all"`` removes EVERY duplicated occurrence (the masking
+    variant). ``mode="keep_first"`` preserves the canonical copy: for
+    each duplicated n-gram, its globally-first occurrence (minimal
+    ``(id, token_start)``, native id ordering) stays; only the other
+    occurrences' spans are dropped. A token survives iff no NON-canonical
+    duplicated occurrence covers it.
+
+    Same two-pass broadcast shape as ``dup_ngram_spans``: pass 1 folds
+    per-hash (count, min-occurrence) partials — driver merge bounded by
+    DISTINCT n-grams, or ``combine="shuffle"`` for unbounded token
+    spaces (count + composite-key Min aggregate, only the ≥min_count
+    survivors return to the driver). Pass 2 broadcasts the dup table via
+    ``ray.put``; each block rewrites its own rows fully vectorized
+    (Arrow tokenizer → flat covered mask → ``pc.binary_join`` rebuild —
+    no per-row Python strings).
+
+    Returns (id_col, text, n_tokens, n_removed_tokens) per document.
+    """
+    import ray
+
+    from rustac_ray.stages.decontam import _token_rows, ngram_occurrences
+
+    if mode not in ("all", "keep_first"):
+        raise ValueError(f"mode must be 'all' or 'keep_first', got {mode!r}")
+    if combine not in ("driver", "shuffle"):
+        raise ValueError(f"combine must be 'driver' or 'shuffle', got {combine!r}")
+
+    def _occ_key(ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        """Composite sort key encoding (id, pos) so that lexicographic
+        string order == (native id order, pos order). Int ids zero-pad to
+        20 digits (int64 max is 19); string ids must not contain NUL."""
+        if np.issubdtype(ids.dtype, np.integer):
+            if (ids < 0).any():
+                raise ValueError("remove_dup_spans: negative integer ids unsupported")
+            id_part = np.char.zfill(ids.astype("U20"), 20)
+        else:
+            id_part = ids.astype("U")
+        return np.char.add(
+            np.char.add(id_part, "\x00"),
+            np.char.zfill(pos.astype("U12"), 12),
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row, pos, h = ngram_occurrences(batch[col], n)
+        if len(h) == 0:
+            return pd.DataFrame(
+                {"h": np.array([], np.int64), "cnt": np.array([], np.int64),
+                 "k": np.array([], "U1")}
+            )
+        # int64 VIEW for transport: a uint64 column above int64-max breaks
+        # Arrow block concat in the shuffle/iter paths (same convention as
+        # _hash_text_column); ordering differs but is consistent both sides
+        df = pd.DataFrame({"h": h.view(np.int64)})
+        if mode == "keep_first":
+            ids = batch[id_col].to_numpy()[row]
+            df["k"] = _occ_key(ids, pos)
+            g = df.groupby("h", sort=False)["k"]
+            out = g.agg(["size", "min"]).reset_index()
+            out.columns = ["h", "cnt", "k"]
+            out["cnt"] = out["cnt"].astype(np.int64)
+            return out
+        out = df.groupby("h", sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["k"] = ""
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if combine == "shuffle":
+        from ray.data.aggregate import Min, Sum
+
+        grouped = partials.groupby("h").aggregate(
+            Sum("cnt", alias_name="cnt"), Min("k", alias_name="k")
+        )
+        parts = [
+            b.to_pandas()
+            for b in grouped.filter(expr=f"cnt >= {int(min_count)}").iter_batches(
+                batch_format="pyarrow"
+            )
+            if len(b)
+        ]
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"h": np.array([], np.int64), "k": np.array([], "U1")})
+        )
+    else:
+        parts = [
+            b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow") if len(b)
+        ]
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            agg = allp.groupby("h", sort=False).agg(
+                cnt=("cnt", "sum"), k=("k", "min")
+            ).reset_index()
+            merged = agg.loc[agg["cnt"] >= min_count, ["h", "k"]]
+        else:
+            merged = pd.DataFrame({"h": np.array([], np.int64), "k": np.array([], "U1")})
+
+    merged = merged.sort_values("h")
+    dup_h = merged["h"].to_numpy().astype(np.int64)
+    canon_k = merged["k"].to_numpy().astype("U") if mode == "keep_first" else None
+    dup_ref = ray.put((dup_h, canon_k))
+
+    def rewrite(batch: pd.DataFrame) -> pa.Table:
+        dset, canon = ray.get(dup_ref)
+        trow, flat = _token_rows(batch[col])
+        nb = len(batch)
+        ntok = np.bincount(trow, minlength=nb).astype(np.int64)
+        prow, ppos, h = ngram_occurrences(batch[col], n)
+        h = h.view(np.int64)  # transport convention (see partial)
+        cover = np.zeros(len(flat), bool)
+        if len(h) and len(dset):
+            idx = np.searchsorted(dset, h)
+            idx[idx == len(dset)] = len(dset) - 1
+            is_dup = dset[idx] == h
+            if mode == "keep_first" and is_dup.any():
+                ids = batch[id_col].to_numpy()[prow]
+                occ_k = _occ_key(ids, ppos)
+                is_dup &= occ_k != canon[idx]
+            srow, spos = prow[is_dup], ppos[is_dup]
+            if len(srow):
+                # absolute flat index of each dup n-gram start: first
+                # token of the row (trow is sorted) + in-row position
+                first = np.searchsorted(trow, srow, side="left")
+                starts = first + spos
+                for j in range(n):
+                    cover[starts + j] = True
+        kept = ~cover
+        kept_row = trow[kept]
+        kept_flat = flat.filter(pa.array(kept)) if not kept.all() else flat
+        import pyarrow.compute as pc
+
+        counts = np.bincount(kept_row, minlength=nb).astype(np.int64)
+        offsets = np.zeros(nb + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        vals = (
+            kept_flat.combine_chunks()
+            if isinstance(kept_flat, pa.ChunkedArray)
+            else kept_flat
+        )
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
+        joined = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: pa.Array.from_pandas(batch[id_col]),
+                col: joined,
+                "n_tokens": pa.array(ntok),
+                "n_removed_tokens": pa.array(ntok - counts),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")
 
 
 class MinHasher:
