@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["parse_cql2", "Cql2Predicate", "UnknownPropertyError"]
+__all__ = ["parse_cql2", "Cql2Predicate", "UnknownPropertyError", "to_arrow_filter"]
 
 
 class UnknownPropertyError(KeyError):
@@ -1003,3 +1003,132 @@ def _rect_relate_bbs(
         else:  # pragma: no cover
             raise ValueError(op)
     return res & valid
+
+
+# --------------------------------------------- scan-level filter pushdown --
+
+
+def _arrow_scalar_ok(v, field_type: "pa.DataType | None") -> bool:
+    """May literal ``v`` be compared against a column of ``field_type``
+    in a dataset expression without a runtime cast error? With no schema
+    the answer is optimistic for plain scalars."""
+    if not isinstance(v, (int, float, str, bool)):
+        return False
+    if field_type is None:
+        return True
+    if isinstance(v, bool):
+        return pa.types.is_boolean(field_type)
+    if isinstance(v, (int, float)):
+        return (
+            pa.types.is_integer(field_type)
+            or pa.types.is_floating(field_type)
+            or pa.types.is_decimal(field_type)
+        )
+    return pa.types.is_string(field_type) or pa.types.is_large_string(field_type)
+
+
+def to_arrow_filter(filter_expr: "str | dict", schema: "pa.Schema | None" = None):
+    """Compile the SARGABLE part of a CQL2 filter into a pyarrow dataset
+    expression usable as ``read_parquet(filter=...)`` — the scan-level half
+    of the reference's full-SQL pushdown (crates/duckdb/src/client.rs:386-394
+    compiles the entire filter to DuckDB; here parquet row-group statistics
+    do the pruning and the FULL predicate re-runs post-read).
+
+    CONSERVATIVE-PREFILTER CONTRACT: the returned expression is IMPLIED by
+    the engine's predicate — it never drops a row ``Cql2Predicate.mask``
+    would keep — so callers may apply it at the scan and re-apply the full
+    filter unchanged. Returns None when nothing sargable compiles. Null
+    semantics line up because the engine's comparisons are
+    ``fill_null(False)`` (cql2.py ``_eval`` tail), matching the scan's
+    null-drops; NOT is therefore never compiled (engine ``NOT(null→False)``
+    KEEPS null rows) except for ``NOT(IS NULL)`` → ``is_valid``.
+
+    Compiled: property-vs-scalar comparisons (= <> < <= > >=, either
+    side), IN over scalar literals, BETWEEN with scalar bounds, IS [NOT]
+    NULL, AND (any compilable subset), OR (only when EVERY arm compiles).
+    Skipped (evaluated post-read as always): LIKE, CASEI/ACCENTI,
+    arithmetic, arrays, spatial S_*, temporal T_*.
+    """
+    import pyarrow.dataset  # noqa: F401  (registers expression kernels)
+
+    ast = parse_cql2(filter_expr)
+
+    def ftype(name: str):
+        if schema is None:
+            return None
+        idx = schema.get_field_index(name)
+        return schema.field(idx).type if idx != -1 else None
+
+    def prop_name(node):
+        return node["property"] if isinstance(node, dict) and set(node) == {"property"} else None
+
+    def compile_node(node):
+        if not isinstance(node, dict):
+            return None
+        op = node.get("op")
+        args = node.get("args", [])
+        if op == "and":
+            parts = [e for e in (compile_node(a) for a in args) if e is not None]
+            if not parts:
+                return None
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = expr & p
+            return expr
+        if op == "or":
+            parts = [compile_node(a) for a in args]
+            if any(p is None for p in parts):
+                return None
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = expr | p
+            return expr
+        if op == "not":
+            inner = args[0]
+            if isinstance(inner, dict) and inner.get("op") == "isNull":
+                p = prop_name(inner["args"][0])
+                if p is not None and (schema is None or ftype(p) is not None):
+                    return pc.field(p).is_valid()
+            return None
+        if op == "isNull":
+            p = prop_name(args[0])
+            if p is not None and (schema is None or ftype(p) is not None):
+                return pc.field(p).is_null()
+            return None
+        if op == "in":
+            p = prop_name(args[0])
+            vals = args[1]
+            if p is None or (schema is not None and ftype(p) is None):
+                return None
+            if not all(_arrow_scalar_ok(v, ftype(p)) for v in vals):
+                return None
+            return pc.field(p).isin(vals)
+        if op == "between":
+            p = prop_name(args[0])
+            lo, hi = args[1], args[2]
+            if p is None or (schema is not None and ftype(p) is None):
+                return None
+            if not (_arrow_scalar_ok(lo, ftype(p)) and _arrow_scalar_ok(hi, ftype(p))):
+                return None
+            return (pc.field(p) >= lo) & (pc.field(p) <= hi)
+        if op in ("=", "<>", "<", "<=", ">", ">="):
+            a, b = args
+            pa_, pb = prop_name(a), prop_name(b)
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "<>": "<>"}
+            if pa_ is None and pb is not None:  # literal OP property → flip
+                a, b, pa_ = b, a, pb
+                op = flip[op]
+            if pa_ is None or isinstance(b, dict):
+                return None
+            if schema is not None and ftype(pa_) is None:
+                return None
+            if not _arrow_scalar_ok(b, ftype(pa_)):
+                return None
+            f = pc.field(pa_)
+            return {
+                "=": f == b, "<>": f != b, "<": f < b,
+                "<=": f <= b, ">": f > b, ">=": f >= b,
+            }[op]
+        return None
+
+    return compile_node(ast)

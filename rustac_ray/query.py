@@ -28,6 +28,7 @@ reference semantics:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -40,7 +41,7 @@ from .cql2 import Cql2Predicate, UnknownPropertyError
 from .geo.pip import PreparedGeometry
 from .geo.wkb import decode_bboxes
 
-__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn", "search_page", "queryables"]
+__all__ = ["QuerySpec", "normalize_datetime", "search", "LegacyQueryError", "parse_sortby", "parse_fields", "sorted_topn", "search_page", "queryables", "search_parquet", "spec_arrow_prefilter"]
 
 
 class LegacyQueryError(ValueError):
@@ -277,6 +278,97 @@ def search(ds: "ray.data.Dataset", spec: QuerySpec) -> "ray.data.Dataset":
 
     out = ds.map_batches(apply, batch_format="pyarrow")
     return _postprocess(out, spec)
+
+
+def spec_arrow_prefilter(spec: QuerySpec, schema: "pa.Schema") -> "object | None":
+    """Compile the QuerySpec's SARGABLE constraints to ONE pyarrow dataset
+    expression for ``read_parquet(filter=...)`` — the scan half of the
+    reference's DuckDB pushdown (client.rs:224-316 builds WHERE clauses for
+    ids/collections/datetime/filter; here parquet row-group stats prune).
+
+    Conservative-prefilter contract (see cql2.to_arrow_filter): never drops
+    a row ``search()`` would keep, so the caller re-runs the full predicate
+    chain over the survivors unchanged.
+
+    - ids / collections → ``isin``
+    - bbox → closed-interval overlap on the ``bbox`` struct stat fields
+      (implied: the struct IS the stored geometry's bbox)
+    - datetime → the item-interval rule (start_datetime|datetime,
+      end_datetime|datetime — query.py:16) with coalesce expanded through
+      ``is_null`` so mixed-null rows are never over-pruned
+    - filter → ``cql2.to_arrow_filter`` (sargable subset)
+    """
+    import pyarrow.compute as pc
+
+    from .cql2 import to_arrow_filter
+
+    names = set(schema.names)
+    parts = []
+    if spec.ids and "id" in names:
+        parts.append(pc.field("id").isin(list(spec.ids)))
+    if spec.collections and "collection" in names:
+        parts.append(pc.field("collection").isin(list(spec.collections)))
+    if spec.bbox is not None and "bbox" in names:
+        b = list(spec.bbox)
+        if len(b) == 6:
+            b = [b[0], b[1], b[3], b[4]]
+        xmin, ymin, xmax, ymax = b
+        if xmin <= xmax:  # antimeridian split handled by the exact phase
+            parts.append(
+                (pc.field("bbox", "xmin") <= xmax)
+                & (pc.field("bbox", "xmax") >= xmin)
+                & (pc.field("bbox", "ymin") <= ymax)
+                & (pc.field("bbox", "ymax") >= ymin)
+            )
+    if spec.datetime is not None and "datetime" in names:
+        qs, qe = normalize_datetime(spec.datetime)
+        d = pc.field("datetime")
+        has_range = "start_datetime" in names and "end_datetime" in names
+        if has_range:
+            s, e = pc.field("start_datetime"), pc.field("end_datetime")
+            if qe is not None:
+                lo = (s <= qe.item()) | (s.is_null() & (d <= qe.item()))
+                parts.append(lo)
+            if qs is not None:
+                hi = (e >= qs.item()) | (e.is_null() & (d >= qs.item()))
+                parts.append(hi)
+        else:
+            if qe is not None:
+                parts.append(d <= qe.item())
+            if qs is not None:
+                parts.append(d >= qs.item())
+    if spec.filter is not None:
+        expr = to_arrow_filter(spec.filter, schema)
+        if expr is not None:
+            parts.append(expr)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+def search_parquet(path: str, spec: QuerySpec, **read_kwargs) -> "ray.data.Dataset":
+    """``read_parquet`` + ``search`` with the spec's sargable constraints
+    PUSHED INTO THE SCAN: only row groups whose parquet min/max stats can
+    satisfy ids/collections/bbox/datetime/sargable-CQL2 are read; the full
+    predicate chain then runs over the survivors with identical semantics
+    to a full scan (the prefilter is implied, so re-application is a no-op
+    on correctness and the win is pure IO/decode pruning)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = path
+    if os.path.isdir(path):
+        names = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if names:
+            first = os.path.join(path, names[0])
+    schema = pq.read_schema(first)
+    expr = spec_arrow_prefilter(spec, schema)
+    if expr is not None:
+        read_kwargs.setdefault("filter", expr)
+    return search(rd.read_parquet(path, **read_kwargs), spec)
 
 
 def sorted_topn(ds: "ray.data.Dataset", keys: list[tuple[str, bool]], n: int):

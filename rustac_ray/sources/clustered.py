@@ -494,7 +494,7 @@ def read_clustered(
         if columns:
             empty = empty.select(columns)
         return rd.from_arrow(empty)
-    expr = None
+    expr = read_kwargs.pop("filter", None)  # caller prefilter ANDs with ours
     if bbox is not None:
         parts = []
         for qx0, qy0, qx1, qy1 in _query_boxes(tuple(bbox)):
@@ -504,9 +504,10 @@ def read_clustered(
                 & (pc.field("fp_ymin") <= pc.scalar(qy1))
                 & (pc.field("fp_ymax") >= pc.scalar(qy0))
             )
-        expr = parts[0]
+        bexpr = parts[0]
         for p in parts[1:]:
-            expr = expr | p
+            bexpr = bexpr | p
+        expr = bexpr if expr is None else (expr & bexpr)
     # the filter needs the fp_* columns during the scan; re-project after
     # if the caller asked for a narrower set
     scan_columns = columns
@@ -834,6 +835,21 @@ def search_clustered(store_dir: str, spec, **read_kwargs):
             bbox = (b[0], b[1], b[2], b[3])
     elif getattr(spec, "intersects", None) is not None:
         bbox = _geojson_bounds(spec.intersects)
+    if "filter" not in read_kwargs:
+        # sargable attribute pushdown (ids/collections/datetime/CQL2 subset)
+        # rides the same scan the spatial prune drives — see
+        # query.spec_arrow_prefilter for the implied-prefilter contract
+        from ..query import spec_arrow_prefilter
+
+        recs = sorted(
+            SpatialManifest(store_dir).completed().values(),
+            key=lambda r: r["partition_id"],
+        )
+        if recs:
+            schema = pq.read_schema(os.path.join(store_dir, recs[0]["file"]))
+            expr = spec_arrow_prefilter(spec, schema)
+            if expr is not None:
+                read_kwargs["filter"] = expr
     ds = read_clustered(store_dir, bbox=bbox, **read_kwargs)
     drop = [
         c
