@@ -1045,9 +1045,11 @@ def to_arrow_filter(filter_expr: "str | dict", schema: "pa.Schema | None" = None
 
     Compiled: property-vs-scalar comparisons (= <> < <= > >=, either
     side), IN over scalar literals, BETWEEN with scalar bounds, IS [NOT]
-    NULL, AND (any compilable subset), OR (only when EVERY arm compiles).
-    Skipped (evaluated post-read as always): LIKE, CASEI/ACCENTI,
-    arithmetic, arrays, spatial S_*, temporal T_*.
+    NULL, LIKE over string columns (same pc.match_like kernel the engine
+    uses — no stat pruning but rows drop inside the scan), AND (any
+    compilable subset), OR (only when EVERY arm compiles). Skipped
+    (evaluated post-read as always): CASEI/ACCENTI, arithmetic, arrays,
+    spatial S_*, temporal T_*.
     """
     import pyarrow.dataset  # noqa: F401  (registers expression kernels)
 
@@ -1111,6 +1113,23 @@ def to_arrow_filter(filter_expr: "str | dict", schema: "pa.Schema | None" = None
             if not (_arrow_scalar_ok(lo, ftype(p)) and _arrow_scalar_ok(hi, ftype(p))):
                 return None
             return (pc.field(p) >= lo) & (pc.field(p) <= hi)
+        if op == "like":
+            # engine LIKE uses pc.match_like with fill_null(False) — the
+            # identical kernel as a scan expression drops null rows, so
+            # semantics match exactly (no row-group stat pruning for LIKE,
+            # but rows drop during the scan, before entering Ray blocks)
+            p = prop_name(args[0])
+            pat = args[1]
+            if p is None or not isinstance(pat, str) or not hasattr(pc, "match_like"):
+                return None
+            t = ftype(p)
+            if schema is not None and t is None:
+                return None
+            if t is not None and not (
+                pa.types.is_string(t) or pa.types.is_large_string(t)
+            ):
+                return None
+            return pc.match_like(pc.field(p), pat)
         if op in ("=", "<>", "<", "<=", ">", ">="):
             a, b = args
             pa_, pb = prop_name(a), prop_name(b)

@@ -53,6 +53,7 @@ __all__ = [
     "search_clustered",
     "knn_clustered",
     "prune_plan",
+    "count_clustered",
     "StoreLockedError",
     "SpatialManifest",
 ]
@@ -460,6 +461,74 @@ def prune_plan(
                 kept.append(os.path.join(out_dir, r["file"]))
                 break
     return kept, total
+
+
+def count_clustered(
+    out_dir: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    *,
+    detail: bool = False,
+):
+    """COUNT(*) over a bbox without reading matching files: the
+    metadata-first aggregate (the lakehouse COUNT pushdown).
+
+    - ``bbox=None`` → sum of manifest row counts, zero data IO.
+    - A file whose manifest envelope is CONTAINED in the query box
+      contributes its full manifest count with zero IO — containment is
+      sufficient because every row's footprint stats lie inside the
+      envelope: fp_xmin ≤ env.xmax ≤ qx1 and fp_xmax ≥ env.xmin ≥ qx0
+      (same for y), which is exactly the row-match test.
+    - Only boundary files (envelope overlaps but isn't contained) are
+      scanned, and only their 4 fp_* stat columns, via a local pyarrow
+      ``count_rows`` with the row filter — parquet row groups prune on
+      stats first. At any store size the scanned set is the query
+      PERIMETER, not its area.
+
+    ``detail=True`` returns (count, n_full_files, n_partial_files).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    out_dir = os.path.abspath(out_dir)
+    _repair_if_crashed(out_dir)
+    recs = sorted(
+        SpatialManifest(out_dir).completed().values(), key=lambda r: r["partition_id"]
+    )
+    if bbox is None:
+        total = sum(r["rows"] for r in recs)
+        return (total, len(recs), 0) if detail else total
+    boxes = _query_boxes(tuple(bbox))
+    full, partial = [], []
+    for r in recs:
+        if r["rows"] == 0 or r["xmin"] is None:
+            continue
+        contained = overlaps = False
+        for qx0, qy0, qx1, qy1 in boxes:
+            if r["xmin"] <= qx1 and r["xmax"] >= qx0 and r["ymin"] <= qy1 and r["ymax"] >= qy0:
+                overlaps = True
+                if qx0 <= r["xmin"] and r["xmax"] <= qx1 and qy0 <= r["ymin"] and r["ymax"] <= qy1:
+                    contained = True
+                    break
+        if contained:
+            full.append(r)
+        elif overlaps:
+            partial.append(r)
+    count = sum(r["rows"] for r in full)
+    if partial:
+        parts = []
+        for qx0, qy0, qx1, qy1 in boxes:
+            parts.append(
+                (pc.field("fp_xmin") <= pc.scalar(qx1))
+                & (pc.field("fp_xmax") >= pc.scalar(qx0))
+                & (pc.field("fp_ymin") <= pc.scalar(qy1))
+                & (pc.field("fp_ymax") >= pc.scalar(qy0))
+            )
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = expr | p
+        dset = pads.dataset([os.path.join(out_dir, r["file"]) for r in partial])
+        count += dset.count_rows(filter=expr)
+    return (count, len(full), len(partial)) if detail else count
 
 
 def read_clustered(

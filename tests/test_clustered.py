@@ -460,3 +460,42 @@ def test_compact_crash_before_publish_repaired_on_next_mutation(
     # no stray staged/tmp files remain anywhere in the lifecycle
     assert not [f for f in os.listdir(out)
                 if f.startswith((".compact.", ".merge.", ".hold."))]
+
+
+def test_count_clustered_matches_read(ray_session, tmp_path):
+    """count_clustered = metadata-first COUNT: manifest rows for contained
+    files + a stat-pruned local scan of boundary files only."""
+    import numpy as np
+    import ray.data as rd
+
+    from rustac_ray import synth
+    from rustac_ray.sources.clustered import (
+        count_clustered,
+        read_clustered,
+        write_clustered,
+    )
+
+    fdir = synth.ensure_fixtures("/root/testdata/sf0.001")
+    imgs = rd.read_parquet(
+        f"{fdir}/images.parquet", columns=["image_id", "w", "h", "transform"]
+    )
+    store = str(tmp_path / "cstore")
+    write_clustered(imgs, store, rows_per_file=64)
+
+    # whole-store count: zero data IO
+    total, nfull, npart = count_clustered(store, detail=True)
+    assert total == imgs.count() and npart == 0
+
+    rng = np.random.default_rng(23)
+    any_full = False
+    for _ in range(8):
+        x0 = rng.uniform(-120, -70)
+        y0 = rng.uniform(20, 45)
+        box = (x0, y0, x0 + rng.uniform(2, 30), y0 + rng.uniform(2, 15))
+        got, nf, npz = count_clustered(store, box, detail=True)
+        want = read_clustered(store, bbox=box, columns=["image_id"]).count()
+        assert got == want, box
+        any_full = any_full or nf > 0
+    # a store-envelope-sized box must hit the all-contained fast path
+    got, nf, npz = count_clustered(store, (-180, -90, 180, 90), detail=True)
+    assert got == total and npz == 0 and nf > 0

@@ -48,9 +48,9 @@ def test_refuses_unsafe_shapes():
     assert (
         to_arrow_filter("collection = 'a' OR casei(id) = 'x'", SCHEMA) is None
     )
-    # LIKE / arithmetic / arrays stay post-read
-    assert to_arrow_filter("id LIKE 'item%'", SCHEMA) is None
+    # arithmetic / arrays stay post-read; LIKE on a non-string column too
     assert to_arrow_filter('"eo:cloud_cover" + 1 < 10', SCHEMA) is None
+    assert to_arrow_filter('"eo:cloud_cover" LIKE \'1%\'', SCHEMA) is None
     # dtype-mismatched literal with a schema → refuse rather than risk a
     # runtime cast error at scan time
     assert to_arrow_filter("collection = 5", SCHEMA) is None
@@ -93,6 +93,8 @@ FILTERS = [
     "collection IS NOT NULL AND \"eo:cloud_cover\" <= 50",
     "10 > \"eo:cloud_cover\"",  # flipped literal-first comparison
     "\"sat:relative_orbit\" IN (5, 10, 15) OR \"eo:cloud_cover\" = 1.0",
+    "id LIKE 'i00%'",
+    "id LIKE 'i_0_1' AND collection = 'a'",
 ]
 
 
