@@ -322,6 +322,7 @@ def write_clustered(
                 "ymax": float(np.max(t["fp_ymax"].to_numpy())),
                 "zmin": int(z.min()),
                 "zmax": int(z.max()),
+                **_temporal_stats(t),
             }
             prev = (
                 ray.get(prev_ref) if isinstance(prev_ref, ray.ObjectRef) else prev_ref
@@ -355,7 +356,7 @@ def write_clustered(
             for rec in b.to_dict("records"):
                 if not rec.pop("skipped", False):
                     rec = {
-                        k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
+                        k: _norm_stat(k, v)
                         for k, v in rec.items()
                     }
                     man.append(rec)
@@ -439,22 +440,111 @@ def _query_boxes(bbox: tuple[float, float, float, float]):
     return [(xmin, ymin, xmax, ymax)]
 
 
+def _norm_stat(k, v):
+    """Normalize a manifest stat crossing a pandas/arrow boundary: int
+    fields back to Python int, NaN (pandas' null for optional tmin/tmax)
+    back to None."""
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    if k in ("partition_id", "rows", "zmin", "zmax", "tmin", "tmax") and v is not None:
+        return int(v)
+    return v
+
+
+_TEMPORAL_COLS = ("datetime", "start_datetime", "end_datetime")
+
+
+def _temporal_stats(t: pa.Table) -> dict:
+    """Per-file temporal stats (epoch-ms ints) for manifest pruning:
+    ``tmin`` = min over present (start_datetime, datetime) mins, ``tmax``
+    = max over present (end_datetime, datetime) maxs. With the STAC
+    item-interval rule (istart = start_datetime|datetime, iend =
+    end_datetime|datetime) these bound every row's interval, so a file
+    with tmin > query_end or tmax < query_start provably has no match —
+    null-interval rows never match a bounded query (fill_null(False)
+    comparisons), so they can't be over-pruned. {} when the table has no
+    temporal columns (older stores prune spatially only)."""
+    import pyarrow.compute as pc
+
+    names = set(t.column_names)
+    if not (names & set(_TEMPORAL_COLS)):
+        return {}
+
+    def _ms(col, agg):
+        if col not in names:
+            return None
+        c = t[col]
+        if c.null_count == len(c):
+            return None
+        v = pc.min(c) if agg == "min" else pc.max(c)
+        v = v.cast(pa.timestamp("ms")).value
+        return int(v) if v is not None else None
+
+    lows = [v for v in (_ms("start_datetime", "min"), _ms("datetime", "min")) if v is not None]
+    highs = [v for v in (_ms("end_datetime", "max"), _ms("datetime", "max")) if v is not None]
+    return {
+        "tmin": min(lows) if lows else None,
+        "tmax": max(highs) if highs else None,
+    }
+
+
+def _temporal_prune_keep(rec: dict, trange) -> bool:
+    """Keep this file for query interval ``trange=(qs_ms|None, qe_ms|None)``?
+    Conservative: missing stats → keep."""
+    if trange is None:
+        return True
+    qs, qe = trange
+    tmin, tmax = rec.get("tmin"), rec.get("tmax")
+    if qe is not None and tmin is not None and tmin > qe:
+        return False
+    if qs is not None and tmax is not None and tmax < qs:
+        return False
+    return True
+
+
+def _parse_trange(datetime) -> "tuple[int | None, int | None] | None":
+    """STAC datetime string or (lo, hi) pair → (epoch_ms|None, epoch_ms|None)."""
+    if datetime is None:
+        return None
+    if isinstance(datetime, str):
+        from ..query import normalize_datetime
+
+        qs, qe = normalize_datetime(datetime)
+    else:
+        qs, qe = datetime
+    to_ms = lambda v: None if v is None else int(np.datetime64(v, "ms").astype("int64"))  # noqa: E731
+    return (to_ms(qs), to_ms(qe))
+
+
 def prune_plan(
-    out_dir: str, bbox: tuple[float, float, float, float] | None
+    out_dir: str,
+    bbox: tuple[float, float, float, float] | None,
+    datetime=None,
 ) -> tuple[list[str], int]:
-    """(kept file paths, total files) for a query bbox — the driver-side
-    pruning decision, exposed separately so callers/metrics/tests can see
-    the selectivity without running the read."""
+    """(kept file paths, total files) for a query bbox and/or datetime
+    interval (STAC string or (start, end) pair) — the driver-side pruning
+    decision, exposed separately so callers/metrics/tests can see the
+    selectivity without running the read. Temporal pruning uses the
+    per-file tmin/tmax manifest stats (see ``_temporal_stats``); files
+    written before those stats existed are conservatively kept."""
     out_dir = os.path.abspath(out_dir)
     _repair_if_crashed(out_dir)  # replay an orphaned publish journal
     recs = sorted(SpatialManifest(out_dir).completed().values(), key=lambda r: r["partition_id"])
     total = len(recs)
-    if bbox is None:
+    trange = _parse_trange(datetime)
+    if bbox is None and trange is None:
         return [os.path.join(out_dir, r["file"]) for r in recs], total
     kept = []
-    boxes = _query_boxes(tuple(bbox))
+    boxes = _query_boxes(tuple(bbox)) if bbox is not None else None
     for r in recs:
-        if r["rows"] == 0 or r["xmin"] is None:
+        if r["rows"] == 0:
+            continue
+        if not _temporal_prune_keep(r, trange):
+            continue
+        if boxes is None:
+            kept.append(os.path.join(out_dir, r["file"]))
+            continue
+        if r["xmin"] is None:
             continue
         for qx0, qy0, qx1, qy1 in boxes:
             if r["xmin"] <= qx1 and r["xmax"] >= qx0 and r["ymin"] <= qy1 and r["ymax"] >= qy0:
@@ -535,22 +625,27 @@ def read_clustered(
     out_dir: str,
     *,
     bbox: tuple[float, float, float, float] | None = None,
+    datetime=None,
     columns: list[str] | None = None,
     **read_kwargs,
 ):
-    """Bbox-pruned streaming read of a clustered store.
+    """Bbox- and datetime-pruned streaming read of a clustered store.
 
-    File level: only manifest-intersecting files enter the read plan.
+    File level: only manifest-intersecting files enter the read plan
+    (spatial envelope + tmin/tmax temporal stats).
     Row-group + row level: the same box test is pushed down as a pyarrow
     filter expression on the ``fp_*`` stat columns (parquet min/max stats
     skip whole row groups; surviving rows are exact box matches, closed
     intervals on both sides — identical semantics to the manifest test).
+    ``datetime`` (STAC string or (start, end)) prunes FILES only — the
+    exact row-level interval rule stays with ``search()`` / a caller
+    ``filter=`` (read_clustered composes with both).
     Returns an empty Dataset (schema-correct) when nothing intersects.
     """
     import pyarrow.compute as pc
     import ray.data as rd
 
-    paths, _total = prune_plan(out_dir, bbox)
+    paths, _total = prune_plan(out_dir, bbox, datetime=datetime)
     if not paths:
         recs = sorted(
             SpatialManifest(out_dir).completed().values(),
@@ -660,6 +755,7 @@ def merge_clustered(
                 compression="zstd", row_group_size=16384,
             )
             z = merged["_zkey"].to_numpy()
+            ts = _temporal_stats(merged)
             return pd.DataFrame(
                 {
                     "partition_id": [pid],
@@ -672,6 +768,7 @@ def merge_clustered(
                     "ymax": [float(np.max(merged["fp_ymax"].to_numpy()))],
                     "zmin": [int(z.min())],
                     "zmax": [int(z.max())],
+                    **{k: [v] for k, v in ts.items()},
                 }
             )
 
@@ -686,7 +783,7 @@ def merge_clustered(
             staged = rec.pop("staged")
             steps.append(["rename", staged, rec["file"]])
             by_rec[int(rec["partition_id"])] = {
-                k: (int(v) if k in ("partition_id", "rows", "zmin", "zmax") else v)
+                k: _norm_stat(k, v)
                 for k, v in rec.items()
             }
         # journaled publish: the journal (renames + full new manifest) is
@@ -815,6 +912,7 @@ def compact_clustered(
                         "ymax": float(np.max(c["fp_ymax"].to_numpy())),
                         "zmin": int(z.min()),
                         "zmax": int(z.max()),
+                        **_temporal_stats(c),
                     }
                 )
             return out
@@ -919,7 +1017,9 @@ def search_clustered(store_dir: str, spec, **read_kwargs):
             expr = spec_arrow_prefilter(spec, schema)
             if expr is not None:
                 read_kwargs["filter"] = expr
-    ds = read_clustered(store_dir, bbox=bbox, **read_kwargs)
+    ds = read_clustered(
+        store_dir, bbox=bbox, datetime=getattr(spec, "datetime", None), **read_kwargs
+    )
     drop = [
         c
         for c in ("fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", "_zkey")

@@ -499,3 +499,143 @@ def test_count_clustered_matches_read(ray_session, tmp_path):
     # a store-envelope-sized box must hit the all-contained fast path
     got, nf, npz = count_clustered(store, (-180, -90, 180, 90), detail=True)
     assert got == total and npz == 0 and nf > 0
+
+
+def test_temporal_manifest_pruning(ray_session, tmp_path):
+    """Per-file tmin/tmax stats prune files by datetime; results identical
+    to the unpruned read + search, including rows matching only via the
+    start/end range (the conservative interval rule)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rustac_ray import synth
+    from rustac_ray.query import QuerySpec, search
+    from rustac_ray.sources.clustered import (
+        prune_plan,
+        read_clustered,
+        search_clustered,
+        write_clustered,
+    )
+
+    fdir = synth.ensure_fixtures("/root/testdata/sf0.001")
+    items = rd.read_parquet(f"{fdir}/stac_items.parquet")
+    store = str(tmp_path / "tstore")
+    write_clustered(items, store, bbox_col="bbox", rows_per_file=16)
+
+    # manifest carries temporal stats
+    import json, os
+    recs = [json.loads(l) for l in open(os.path.join(store, "_spatial_manifest.jsonl")) if l.strip()]
+    assert all("tmin" in r and "tmax" in r for r in recs)
+
+    # identical search results through the temporally-pruned path (the
+    # fixture's time does NOT correlate with space, so spatially-clustered
+    # files each span most of the time range — pruning here is legitimately
+    # ~0; the prune-EFFECT case is the swath test below)
+    win = "2024-11-01/2024-11-10"
+    sp = QuerySpec(datetime=win)
+    got = search_clustered(store, sp).to_pandas()
+    base = search(items, sp).to_pandas()
+    assert sorted(got["id"]) == sorted(base["id"]) and len(got) > 0
+
+    # time-correlated-with-space corpus (a progressing orbit swath): Morton
+    # files become time-local and a narrow window prunes most files
+    import ray.data as _rd
+
+    n = 2000
+    lon = np.linspace(-119, -61, n)
+    day = (np.arange(n) * 30 // n).astype(int)  # 30 days west→east
+    swath = pa.table(
+        {
+            "id": [f"s{i}" for i in range(n)],
+            "bbox": pa.array(
+                [
+                    {"xmin": float(x), "ymin": 30.0, "xmax": float(x) + 0.5, "ymax": 30.5}
+                    for x in lon
+                ],
+                pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                           ("xmax", pa.float64()), ("ymax", pa.float64())]),
+            ),
+            "datetime": pa.array(
+                [np.datetime64("2024-06-01", "ms") + np.timedelta64(int(d), "D") for d in day],
+                pa.timestamp("ms"),
+            ),
+        }
+    )
+    sstore = str(tmp_path / "swath")
+    write_clustered(_rd.from_arrow(swath), sstore, bbox_col="bbox", rows_per_file=128)
+    kept, total = prune_plan(sstore, None, datetime="2024-06-03/2024-06-06")
+    assert 0 < len(kept) < total // 2, (len(kept), total)
+    got_n = read_clustered(sstore, datetime="2024-06-03/2024-06-06", columns=["id", "datetime"]).count()
+    # file-level prune is conservative — rows still need the interval rule;
+    # compare against the brute filter
+    d = swath["datetime"].to_pandas()
+    assert got_n >= ((d >= pd.Timestamp("2024-06-03")) & (d <= pd.Timestamp("2024-06-06"))).sum()
+
+    # out-of-range window: everything prunes, empty (schema-correct) result
+    kept2, _ = prune_plan(store, None, datetime="2030/2031")
+    assert kept2 == []
+    assert search_clustered(store, QuerySpec(datetime="2030/2031")).count() == 0
+
+    # combined spatial+temporal prune keeps correctness
+    sp3 = QuerySpec(bbox=[-115, 25, -95, 45], datetime="../2024-11-20")
+    got3 = search_clustered(store, sp3).to_pandas()
+    base3 = search(items, sp3).to_pandas()
+    assert sorted(got3["id"]) == sorted(base3["id"])
+
+
+def test_temporal_pruning_range_only_rows(ray_session, tmp_path):
+    """A file whose only match is via (start_datetime, end_datetime) with
+    null datetime must NOT be pruned (tmin/tmax fold range columns in)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rustac_ray.query import QuerySpec
+    from rustac_ray.sources.clustered import prune_plan, search_clustered, write_clustered
+    import ray.data as rd
+
+    def ts(s):
+        return np.datetime64(s, "ms")
+
+    # 3 range-only rows (null datetime) in one spatial cluster; 12 old rows
+    # far away (low zkeys first for the range cluster) — with zkey-ordered
+    # equi-depth files, at least the top file is pure-far (tmax=2020) and
+    # must prune; the range-only rows must survive via start/end stats
+    n_far = 12
+    ids = [f"range-only-{i}" for i in range(3)] + [f"far-{i}" for i in range(n_far)]
+    boxes = [
+        {"xmin": -100.0 + i, "ymin": 30.0, "xmax": -99.5 + i, "ymax": 30.5}
+        for i in range(3)
+    ] + [
+        {"xmin": 10.0 + i * 0.7, "ymin": 10.0, "xmax": 10.5 + i * 0.7, "ymax": 10.5}
+        for i in range(n_far)
+    ]
+    t = pa.table(
+        {
+            "id": ids,
+            "bbox": pa.array(
+                boxes,
+                pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                           ("xmax", pa.float64()), ("ymax", pa.float64())]),
+            ),
+            "geometry": pa.array([None] * (3 + n_far), pa.binary()),
+            "datetime": pa.array(
+                [None] * 3 + [ts("2020-01-01")] * n_far, pa.timestamp("ms")
+            ),
+            "start_datetime": pa.array(
+                [ts("2024-06-01")] * 3 + [None] * n_far, pa.timestamp("ms")
+            ),
+            "end_datetime": pa.array(
+                [ts("2024-07-01")] * 3 + [None] * n_far, pa.timestamp("ms")
+            ),
+            "collection": ["c1"] * (3 + n_far),
+        }
+    )
+    store = str(tmp_path / "rstore")
+    write_clustered(rd.from_arrow(t), store, bbox_col="bbox", rows_per_file=5)
+    kept, total = prune_plan(store, None, datetime="2024-06-10/2024-06-20")
+    assert total >= 3 and len(kept) < total, (len(kept), total)
+    got = search_clustered(store, QuerySpec(datetime="2024-06-10/2024-06-20")).to_pandas()
+    assert sorted(got["id"]) == [f"range-only-{i}" for i in range(3)]
