@@ -349,6 +349,20 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             exact_dedup(bench_docs(), col="text", id_col="doc_id").count()
             timings["exact_dedup_200k"] = time.perf_counter() - t0
+            _ck("remove_dup_spans_200k")
+
+            # substring-span dedup rewrite (Lee et al. shape): global
+            # 5-gram count fold -> broadcast dup set -> vectorized
+            # covered-mask rewrite (pc.binary_join reassembly)
+            from rustac_ray.stages.dedup import remove_dup_spans
+
+            t0 = time.perf_counter()
+            rds_out = remove_dup_spans(bench_docs(), n=5, mode="all")
+            n_rewritten = rds_out.map_batches(
+                lambda b: b.select(["n_removed_tokens"]), batch_format="pyarrow"
+            ).sum("n_removed_tokens")
+            timings["remove_dup_spans_200k"] = time.perf_counter() - t0
+            result_extra["dup_span_tokens_removed"] = int(n_rewritten or 0)
             _ck("curated_shards_200k")
 
             # end-to-end curation: dedup -> decontaminate -> shard order

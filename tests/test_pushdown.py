@@ -212,3 +212,59 @@ def test_search_clustered_with_cql2_pushdown(ray_session, tmp_path):
     base = search(items, sp).to_pandas()
     assert sorted(got["id"]) == sorted(base["id"])
     assert len(got) > 0
+
+
+# ---------------------------------------------------- property-based contract
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_num_col = st.sampled_from(['"eo:cloud_cover"', '"sat:relative_orbit"'])
+_str_lit = st.sampled_from(["'a'", "'b'", "'zz'"])
+_num_lit = st.integers(min_value=-5, max_value=120).map(str)
+
+
+@st.composite
+def _cql2_exprs(draw, depth=0):
+    if depth >= 2:
+        choice = draw(st.integers(0, 5))
+    else:
+        choice = draw(st.integers(0, 7))
+    if choice == 0:
+        return f"collection = {draw(_str_lit)}"
+    if choice == 1:
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+        return f"{draw(_num_col)} {op} {draw(_num_lit)}"
+    if choice == 2:
+        lo = draw(st.integers(-5, 60))
+        return f"{draw(_num_col)} BETWEEN {lo} AND {lo + draw(st.integers(0, 60))}"
+    if choice == 3:
+        return f"collection IN ({draw(_str_lit)}, {draw(_str_lit)})"
+    if choice == 4:
+        return draw(st.sampled_from(["collection IS NULL", "collection IS NOT NULL"]))
+    if choice == 5:
+        return f"{draw(_num_lit)} {draw(st.sampled_from(['<', '>=']))} {draw(_num_col)}"
+    a = draw(_cql2_exprs(depth + 1))
+    b = draw(_cql2_exprs(depth + 1))
+    return f"({a}) {draw(st.sampled_from(['AND', 'OR']))} ({b})"
+
+
+@settings(max_examples=60, deadline=None)
+@given(fx=_cql2_exprs(), seed=st.integers(0, 2**31 - 1))
+def test_pushdown_contract_property(fx, seed):
+    """For ANY generated sargable filter over null-heavy data: the compiled
+    scan expression keeps a superset of the engine's matches, and
+    re-applying the engine mask over the scan survivors is exact."""
+    rng = np.random.default_rng(seed)
+    t = _random_table(rng, n=120)
+    expr = to_arrow_filter(fx, t.schema)
+    assert expr is not None, fx
+    engine_ids = set(
+        np.asarray(t["id"].to_pylist(), dtype=object)[Cql2Predicate(fx).mask(t)]
+    )
+    scan = t.filter(expr)
+    assert engine_ids <= set(scan["id"].to_pylist()), fx
+    re_ids = set(
+        np.asarray(scan["id"].to_pylist(), dtype=object)[Cql2Predicate(fx).mask(scan)]
+    )
+    assert re_ids == engine_ids, fx
