@@ -269,7 +269,8 @@ def remove_dup_spans(
     *,
     min_count: int = 2,
     mode: str = "all",
-    combine: str = "driver",
+    combine: str = "auto",
+    driver_max_partial_rows: int = 4_000_000,
 ):
     """SUBSTRING-level dedup as a corpus TRANSFORM (the rewrite half of
     Lee et al. 2022 — ``dup_ngram_spans`` measures the duplicated spans,
@@ -287,13 +288,18 @@ def remove_dup_spans(
     duplicated occurrence covers it.
 
     Same two-pass broadcast shape as ``dup_ngram_spans``: pass 1 folds
-    per-hash (count, min-occurrence) partials — driver merge bounded by
-    DISTINCT n-grams, or ``combine="shuffle"`` for unbounded token
-    spaces (count + composite-key Min aggregate, only the ≥min_count
-    survivors return to the driver). Pass 2 broadcasts the dup table via
-    ``ray.put``; each block rewrites its own rows fully vectorized
-    (Arrow tokenizer → flat covered mask → ``pc.binary_join`` rebuild —
-    no per-row Python strings).
+    per-hash (count, min-occurrence) partials. The partial stream is
+    materialized once (16-24 bytes/row) and counted (the exact_dedup
+    ``combine="auto"`` rule): under ``driver_max_partial_rows`` the
+    merge happens on the driver (cython-only sum; keep_first recovers
+    canonical occurrences by one vectorized sort + drop_duplicates —
+    a per-group object ``min`` was measured 50µs/group, 60s at 1.2M
+    groups); above it, a distributed ``groupby(h)`` aggregates and
+    ONLY the ≥min_count survivors (true dup n-grams, the broadcast
+    table pass 2 needs anyway) return to the driver. Pass 2 broadcasts
+    the dup table via ``ray.put``; each block rewrites its own rows
+    fully vectorized (Arrow tokenizer → flat covered mask →
+    ``pc.binary_join`` rebuild — no per-row Python strings).
 
     Returns (id_col, text, n_tokens, n_removed_tokens) per document.
     """
@@ -303,8 +309,10 @@ def remove_dup_spans(
 
     if mode not in ("all", "keep_first"):
         raise ValueError(f"mode must be 'all' or 'keep_first', got {mode!r}")
-    if combine not in ("driver", "shuffle"):
-        raise ValueError(f"combine must be 'driver' or 'shuffle', got {combine!r}")
+    if combine not in ("auto", "driver", "shuffle"):
+        raise ValueError(
+            f"combine must be 'auto', 'driver' or 'shuffle', got {combine!r}"
+        )
 
     def _occ_key(ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
         """Composite sort key encoding (id, pos) so that lexicographic
@@ -321,48 +329,75 @@ def remove_dup_spans(
             np.char.zfill(pos.astype("U12"), 12),
         )
 
+    keep_first = mode == "keep_first"
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         row, pos, h = ngram_occurrences(batch[col], n)
         if len(h) == 0:
-            return pd.DataFrame(
-                {"h": np.array([], np.int64), "cnt": np.array([], np.int64),
-                 "k": np.array([], "U1")}
+            out = pd.DataFrame(
+                {"h": np.array([], np.int64), "cnt": np.array([], np.int64)}
             )
+            if keep_first:
+                out["k"] = np.array([], "U1")
+            return out
         # int64 VIEW for transport: a uint64 column above int64-max breaks
         # Arrow block concat in the shuffle/iter paths (same convention as
         # _hash_text_column); ordering differs but is consistent both sides
         df = pd.DataFrame({"h": h.view(np.int64)})
-        if mode == "keep_first":
+        if keep_first:
             ids = batch[id_col].to_numpy()[row]
             df["k"] = _occ_key(ids, pos)
-            g = df.groupby("h", sort=False)["k"]
-            out = g.agg(["size", "min"]).reset_index()
-            out.columns = ["h", "cnt", "k"]
-            out["cnt"] = out["cnt"].astype(np.int64)
-            return out
+            # size via cython; first occurrence via ONE sort +
+            # drop_duplicates (a per-group object min is python-level)
+            cnt = df.groupby("h", sort=False).size()
+            firsts = df.sort_values(["h", "k"]).drop_duplicates("h")
+            out = firsts.assign(cnt=cnt.loc[firsts["h"]].to_numpy().astype(np.int64))
+            return out[["h", "cnt", "k"]]
         out = df.groupby("h", sort=False).size().reset_index(name="cnt")
         out["cnt"] = out["cnt"].astype(np.int64)
-        out["k"] = ""
         return out
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    if combine == "shuffle":
-        from ray.data.aggregate import Min, Sum
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    use_driver = combine == "driver" or (
+        combine == "auto" and partials.count() <= driver_max_partial_rows
+    )
+    empty_cols = {"h": np.array([], np.int64), "k": np.array([], "U1")}
+    if not use_driver:
+        # Distributed combine WITHOUT a per-key Ray aggregate: 10M+
+        # distinct n-gram keys make groupby(h).aggregate() pathological
+        # (measured: >7min at 11.8M keys where this path takes seconds),
+        # so shuffle on h % P (P Ray groups total, the minhash bucket
+        # pattern) and let each bucket merge its own keys in pandas —
+        # only the ≥min_count survivors (the broadcast dup table pass 2
+        # needs anyway) ever leave the buckets.
+        P = 64
 
-        grouped = partials.groupby("h").aggregate(
-            Sum("cnt", alias_name="cnt"), Min("k", alias_name="k")
+        def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["_b"] = (batch["h"].to_numpy().view(np.uint64) % P).astype(np.int64)
+            return batch
+
+        def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = g.groupby("h", sort=False)["cnt"].sum()
+            out = cnt[cnt >= min_count].reset_index()
+            if keep_first:
+                firsts = (
+                    g.sort_values(["h", "k"]).drop_duplicates("h").set_index("h")["k"]
+                )
+                out["k"] = firsts.loc[out["h"]].to_numpy()
+            return out.drop(columns=["cnt"])
+
+        surv = (
+            partials.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(bucket_merge, batch_format="pandas")
         )
         parts = [
-            b.to_pandas()
-            for b in grouped.filter(expr=f"cnt >= {int(min_count)}").iter_batches(
-                batch_format="pyarrow"
-            )
-            if len(b)
+            b.to_pandas() for b in surv.iter_batches(batch_format="pyarrow") if len(b)
         ]
         merged = (
             pd.concat(parts, ignore_index=True)
             if parts
-            else pd.DataFrame({"h": np.array([], np.int64), "k": np.array([], "U1")})
+            else pd.DataFrame(empty_cols)
         )
     else:
         parts = [
@@ -370,16 +405,22 @@ def remove_dup_spans(
         ]
         if parts:
             allp = pd.concat(parts, ignore_index=True)
-            agg = allp.groupby("h", sort=False).agg(
-                cnt=("cnt", "sum"), k=("k", "min")
-            ).reset_index()
-            merged = agg.loc[agg["cnt"] >= min_count, ["h", "k"]]
+            cnt = allp.groupby("h", sort=False)["cnt"].sum()
+            agg = cnt[cnt >= min_count].reset_index()
+            if keep_first:
+                firsts = (
+                    allp.sort_values(["h", "k"])
+                    .drop_duplicates("h")
+                    .set_index("h")["k"]
+                )
+                agg["k"] = firsts.loc[agg["h"]].to_numpy()
+            merged = agg
         else:
-            merged = pd.DataFrame({"h": np.array([], np.int64), "k": np.array([], "U1")})
+            merged = pd.DataFrame(empty_cols)
 
     merged = merged.sort_values("h")
     dup_h = merged["h"].to_numpy().astype(np.int64)
-    canon_k = merged["k"].to_numpy().astype("U") if mode == "keep_first" else None
+    canon_k = merged["k"].to_numpy().astype("U") if keep_first else None
     dup_ref = ray.put((dup_h, canon_k))
 
     def rewrite(batch: pd.DataFrame) -> pa.Table:

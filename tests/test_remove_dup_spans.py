@@ -164,3 +164,23 @@ def test_multiblock_layout_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_auto_switches_to_distributed_combine(ray_session):
+    # combine="auto" past driver_max_partial_rows must take the bucketed
+    # distributed merge and still match the scalar truth exactly
+    rng = np.random.default_rng(11)
+    vocab = list("abcdefghijklmnop")
+    texts = [" ".join(rng.choice(vocab, 40).tolist()) for _ in range(300)]
+    ids = list(range(len(texts)))
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    for mode in ("all", "keep_first"):
+        got = (
+            dedup.remove_dup_spans(
+                rd.from_pandas(df).repartition(8), n=3, mode=mode,
+                combine="auto", driver_max_partial_rows=10,  # force the switch
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = _brute_remove(texts, ids, n=3, mode=mode)
+        assert list(got["text"]) == [w[1] for w in want], mode
