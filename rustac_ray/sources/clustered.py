@@ -50,6 +50,8 @@ __all__ = [
     "read_clustered",
     "merge_clustered",
     "compact_clustered",
+    "delete_clustered",
+    "upsert_clustered",
     "search_clustered",
     "knn_clustered",
     "prune_plan",
@@ -690,6 +692,7 @@ def merge_clustered(
     *,
     footprints_derived: bool = False,
     bits: int = 16,
+    bbox_col: str | None = None,
 ) -> list[dict]:
     """Incremental ingest into an existing clustered store (the lakehouse
     MERGE): each new row routes to the file owning its zkey range, and
@@ -726,7 +729,9 @@ def merge_clustered(
         bounds_ref = ray.put((bounds, pids))
 
         def route(batch: pa.Table) -> pa.Table:
-            b = _zkey_stage(batch, derive=not footprints_derived, bits=bits)
+            b = _zkey_stage(
+                batch, derive=not footprints_derived, bits=bits, bbox_col=bbox_col
+            )
             bnds, ps = ray.get(bounds_ref) if isinstance(bounds_ref, ray.ObjectRef) else bounds_ref
             z = b["_zkey"].to_numpy()
             slot = np.maximum(np.searchsorted(bnds, z, side="right") - 1, 0)
@@ -954,6 +959,285 @@ def compact_clustered(
         _write_journal(out_dir, steps, new_recs)
         _apply_journal(out_dir)
         return new_recs
+
+
+def delete_clustered(
+    out_dir: str,
+    *,
+    bbox: "tuple[float, float, float, float] | None" = None,
+    datetime=None,
+    ids=None,
+    id_col: str = "id",
+    predicate=None,
+    _candidate_pids: "set[int] | None" = None,
+) -> dict:
+    """Delete rows from a clustered store (the lakehouse DELETE): rows
+    matching ALL provided conditions are removed, touched files are
+    rewritten (or dropped when emptied), untouched files stay
+    byte-identical, and the change publishes through the same durable
+    journal as merge/compact (crash at any point leaves either the old
+    or the new store, never a mix).
+
+    Conditions (ANDed; at least one required):
+
+    - ``bbox`` — rows whose footprint stats intersect the box (closed
+      intervals, the exact test ``read_clustered`` pushes down; an
+      antimeridian-crossing box splits into its two halves). Candidate
+      files come from the manifest prune, so the delete is
+      O(intersecting files) regardless of store size.
+    - ``datetime`` — STAC datetime string or (start, end) pair; rows
+      match by the item-interval rule (istart = start_datetime|datetime,
+      iend = end_datetime|datetime, inclusive ends; null interval never
+      matches — query.py:16). File candidates prune on tmin/tmax.
+    - ``ids`` — iterable of ``id_col`` values. With no bbox/datetime the
+      candidate set is EVERY file, but each task reads only the id
+      column first and touches the payload bytes only on a hit — the
+      scan cost is one string column, not the store. (Per-file id
+      indexes were considered and rejected: a useful bloom is ~KBs/file,
+      which breaks the tiny-manifest contract; delete-by-AOI/date — the
+      geospatial reprocessing pattern — is the fully-pruned path.)
+    - ``predicate`` — callable ``(pa.Table) -> np.ndarray[bool]`` of
+      rows to delete, for conditions the stat columns can't express.
+      Candidate set is every file unless bbox/datetime also given.
+
+    Returns ``{"rows_deleted", "files_rewritten", "files_dropped",
+    "files_scanned", "files_total"}``.
+    """
+    import ray
+
+    if bbox is None and datetime is None and ids is None and predicate is None:
+        raise ValueError(
+            "delete_clustered: refusing an unconditional delete — pass "
+            "bbox/datetime/ids/predicate (to truncate, delete the directory)"
+        )
+    out_dir = os.path.abspath(out_dir)
+    man = SpatialManifest(out_dir)
+    with _StoreLock(out_dir):
+        _apply_journal(out_dir)  # finish a crashed publish first
+        recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+        if not recs:
+            raise FileNotFoundError(f"no clustered store at {out_dir}")
+        trange = _parse_trange(datetime)
+        if bbox is not None or trange is not None:
+            kept_paths, _ = prune_plan(out_dir, bbox, datetime=datetime)
+            cand_files = {os.path.basename(p) for p in kept_paths}
+            cands = [r for r in recs if r["file"] in cand_files]
+        else:
+            cands = [r for r in recs if r["rows"] > 0]
+        if _candidate_pids is not None:
+            cands = [r for r in cands if r["partition_id"] in _candidate_pids]
+
+        ids_ref = ray.put(None if ids is None else pa.array(list(ids)))
+        boxes = _query_boxes(tuple(bbox)) if bbox is not None else None
+
+        @ray.remote
+        def _rework(rec: dict) -> dict:
+            import pyarrow.compute as pc
+
+            path = os.path.join(out_dir, rec["file"])
+            idv = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+            if idv is not None and bbox is None and trange is None and predicate is None:
+                # id-only delete: probe the id column before paying for
+                # the payload bytes (most files have no victim rows)
+                probe = pq.read_table(path, columns=[id_col])
+                if not pc.any(pc.is_in(probe[id_col], value_set=idv)).as_py():
+                    return {"action": "noop", "file": rec["file"], "deleted": 0}
+            t = pq.read_table(path)
+            n = t.num_rows
+            dmask = np.ones(n, bool)
+            if boxes is not None:
+                x0 = t["fp_xmin"].to_numpy()
+                y0 = t["fp_ymin"].to_numpy()
+                x1 = t["fp_xmax"].to_numpy()
+                y1 = t["fp_ymax"].to_numpy()
+                hit = np.zeros(n, bool)
+                for qx0, qy0, qx1, qy1 in boxes:
+                    hit |= (x0 <= qx1) & (x1 >= qx0) & (y0 <= qy1) & (y1 >= qy0)
+                dmask &= hit
+            if trange is not None:
+                qs, qe = trange
+                names = set(t.column_names)
+                nat = np.full(n, np.datetime64("NaT", "ms"))
+                as_np = lambda c: (  # noqa: E731
+                    t[c].cast(pa.timestamp("ms")).to_numpy(zero_copy_only=False)
+                    if c in names else nat
+                )
+                dt = as_np("datetime")
+                istart = np.where(np.isnat(sdt := as_np("start_datetime")), dt, sdt)
+                iend = np.where(np.isnat(edt := as_np("end_datetime")), dt, edt)
+                # identical NaT semantics to search() (query.py:241-248):
+                # datetime64-space comparisons, NaT → False
+                ok = ~np.isnat(istart) | ~np.isnat(iend)
+                if qs is not None:
+                    ok &= iend >= np.datetime64(qs, "ms")
+                if qe is not None:
+                    ok &= istart <= np.datetime64(qe, "ms")
+                dmask &= ok
+            if idv is not None:
+                dmask &= pc.is_in(t[id_col], value_set=idv).to_numpy(
+                    zero_copy_only=False
+                )
+            if predicate is not None:
+                dmask &= np.asarray(predicate(t), bool)
+            ndel = int(dmask.sum())
+            if ndel == 0:
+                return {"action": "noop", "file": rec["file"], "deleted": 0}
+            keep = t.filter(pa.array(~dmask))
+            if keep.num_rows == 0:
+                return {"action": "drop", "file": rec["file"], "deleted": ndel}
+            tmp = f".delete.{os.getpid()}.{rec['file']}"
+            pq.write_table(
+                keep, os.path.join(out_dir, tmp),
+                compression="zstd", row_group_size=16384,
+            )
+            z = keep["_zkey"].to_numpy()
+            return {
+                "action": "rewrite",
+                "file": rec["file"],
+                "deleted": ndel,
+                "tmp": tmp,
+                "stats": {
+                    "partition_id": rec["partition_id"],
+                    "file": rec["file"],
+                    "rows": keep.num_rows,
+                    "xmin": float(np.min(keep["fp_xmin"].to_numpy())),
+                    "ymin": float(np.min(keep["fp_ymin"].to_numpy())),
+                    "xmax": float(np.max(keep["fp_xmax"].to_numpy())),
+                    "ymax": float(np.max(keep["fp_ymax"].to_numpy())),
+                    "zmin": int(z.min()),
+                    "zmax": int(z.max()),
+                    **_temporal_stats(keep),
+                },
+            }
+
+        results = ray.get([_rework.remote(r) for r in cands])
+        by_rec = {r["partition_id"]: r for r in recs}
+        by_file = {r["file"]: r for r in recs}
+        steps: list[list[str]] = []
+        deleted = rewrote = dropped = 0
+        for res in results:
+            deleted += res["deleted"]
+            if res["action"] == "rewrite":
+                steps.append(["rename", res["tmp"], res["file"]])
+                by_rec[by_file[res["file"]]["partition_id"]] = res["stats"]
+                rewrote += 1
+            elif res["action"] == "drop":
+                steps.append(["delete", res["file"]])
+                del by_rec[by_file[res["file"]]["partition_id"]]
+                dropped += 1
+        if steps:
+            _write_journal(out_dir, steps, [by_rec[k] for k in sorted(by_rec)])
+            _apply_journal(out_dir)
+        return {
+            "rows_deleted": deleted,
+            "files_rewritten": rewrote,
+            "files_dropped": dropped,
+            "files_scanned": len(cands),
+            "files_total": len(recs),
+        }
+
+
+def upsert_clustered(
+    out_dir: str,
+    new_ds,
+    *,
+    id_col: str = "id",
+    locate: str = "footprint",
+    footprints_derived: bool = False,
+    bits: int = 16,
+    bbox_col: str | None = None,
+    max_ids: int = 5_000_000,
+) -> dict:
+    """Replace-by-id into a clustered store (the lakehouse UPSERT):
+    delete every existing row whose ``id_col`` appears in ``new_ds``,
+    then ``merge_clustered`` the new rows into their zkey-owning files.
+
+    ``locate`` bounds the delete's candidate set:
+
+    - ``"footprint"`` (default) — CONTRACT: a replaced row's footprint
+      center is unchanged (metadata refresh, new asset bytes, quality
+      re-score — the common re-ingest). Old rows then live exactly in
+      the file owning their zkey (write routed by exact boundaries;
+      merge preserves ownership; compact preserves contiguity), so the
+      delete touches only the files the merge is about to rewrite
+      anyway — O(new rows + touched files). A moved footprint under
+      this mode silently leaves the stale row behind: use ``"scan"``.
+    - ``"scan"`` — no location assumption; the delete probes every
+      file's id column (one-column scan, payload read only on hit).
+
+    The new ids (and zkeys under ``"footprint"``) materialize on the
+    driver — upsert batches are incremental by nature; above ``max_ids``
+    this raises (shard ``new_ds`` and loop, each shard is independently
+    atomic). The operation is TWO journaled mutations (delete-publish,
+    merge-publish): a crash between them loses no old data beyond the
+    requested replacement and a re-run converges (the delete finds
+    nothing, the merge's publish is atomic).
+
+    Returns the delete summary + ``{"rows_upserted": n}``.
+    """
+    out_dir = os.path.abspath(out_dir)
+    if locate not in ("footprint", "scan"):
+        raise ValueError(f"unknown locate mode {locate!r}")
+    man = SpatialManifest(out_dir)
+    recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+    if not recs:
+        raise FileNotFoundError(f"no clustered store at {out_dir}")
+
+    n_new = new_ds.count()
+    if n_new > max_ids:
+        raise ValueError(
+            f"upsert_clustered: {n_new} new rows > max_ids={max_ids} — "
+            "shard new_ds and upsert per shard (each shard is atomic)"
+        )
+    cand_pids: "set[int] | None" = None
+    if locate == "footprint":
+        names = new_ds.schema().names
+        need = [id_col] + (
+            [bbox_col]
+            if bbox_col is not None
+            else [
+                c
+                for c in ("fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", "w", "h", "transform")
+                if c in names
+            ]
+        )
+        keyed = (
+            new_ds.select_columns(need)
+            .map_batches(
+                _zkey_stage, batch_format="pyarrow",
+                fn_kwargs={
+                    "derive": not footprints_derived,
+                    "bits": bits,
+                    "bbox_col": bbox_col,
+                },
+            )
+            .select_columns([id_col, "_zkey"])
+            .to_pandas()
+        )
+        ids = keyed[id_col].tolist()
+        own = sorted((r for r in recs if r["zmin"] is not None), key=lambda r: r["zmin"])
+        bounds = np.asarray([r["zmin"] for r in own], np.int64)
+        pids = np.asarray([r["partition_id"] for r in own], np.int64)
+        slot = np.maximum(
+            np.searchsorted(bounds, keyed["_zkey"].to_numpy(), side="right") - 1, 0
+        )
+        cand_pids = set(int(p) for p in np.unique(pids[slot]))
+    else:
+        ids = [
+            r[id_col]
+            for b in new_ds.select_columns([id_col]).iter_batches(batch_format="pandas")
+            for r in b.to_dict("records")
+        ]
+
+    summary = delete_clustered(
+        out_dir, ids=ids, id_col=id_col, _candidate_pids=cand_pids
+    )
+    merge_clustered(
+        out_dir, new_ds,
+        footprints_derived=footprints_derived, bits=bits, bbox_col=bbox_col,
+    )
+    summary["rows_upserted"] = n_new
+    return summary
 
 
 def _geojson_bounds(geom: dict) -> tuple[float, float, float, float]:

@@ -639,3 +639,196 @@ def test_temporal_pruning_range_only_rows(ray_session, tmp_path):
     assert total >= 3 and len(kept) < total, (len(kept), total)
     got = search_clustered(store, QuerySpec(datetime="2024-06-10/2024-06-20")).to_pandas()
     assert sorted(got["id"]) == [f"range-only-{i}" for i in range(3)]
+
+
+# ---------------------------------------------------------------- delete/upsert
+
+
+def _store_df(out):
+    """Full store contents + per-file manifest-vs-recomputed stat check."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    recs = sorted(
+        SpatialManifest(out).completed().values(), key=lambda r: r["partition_id"]
+    )
+    frames = []
+    for r in recs:
+        t = _pq.read_table(os.path.join(out, r["file"]))
+        assert t.num_rows == r["rows"]
+        assert float(t["fp_xmin"].to_numpy().min()) == r["xmin"]
+        assert float(t["fp_xmax"].to_numpy().max()) == r["xmax"]
+        z = t["_zkey"].to_numpy()
+        assert (int(z.min()), int(z.max())) == (r["zmin"], r["zmax"])
+        frames.append(t.to_pandas())
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+@pytest.fixture()
+def mut_store(tmp_path, full_fp):
+    """Fresh (function-scoped) store for mutation tests."""
+    import ray.data as rd
+
+    out = str(tmp_path / "mutable")
+    write_clustered(
+        rd.from_pandas(full_fp), out, footprints_derived=True, rows_per_file=32
+    )
+    return out
+
+
+def test_delete_bbox_matches_flat_filter(mut_store, full_fp):
+    from rustac_ray.sources.clustered import delete_clustered
+
+    B = (-110.0, 35.0, -105.0, 40.0)
+    victims = _truth_ids(full_fp, B)
+    assert victims
+    s = delete_clustered(mut_store, bbox=B)
+    assert s["rows_deleted"] == len(victims)
+    # pruned candidate set: files not intersecting B were never scanned
+    assert s["files_scanned"] < s["files_total"]
+    left = _store_df(mut_store)
+    assert set(left["image_id"]) == set(full_fp["image_id"]) - victims
+    # idempotent: same delete again is a no-op
+    s2 = delete_clustered(mut_store, bbox=B)
+    assert s2["rows_deleted"] == 0 and s2["files_rewritten"] == 0
+
+
+def test_delete_by_ids_scan_path(mut_store, full_fp):
+    from rustac_ray.sources.clustered import delete_clustered
+
+    ids = sorted(full_fp["image_id"])[7:21]
+    s = delete_clustered(mut_store, ids=ids, id_col="image_id")
+    assert s["rows_deleted"] == len(ids)
+    assert s["files_scanned"] == s["files_total"]  # no stats to prune on
+    left = _store_df(mut_store)
+    assert set(left["image_id"]) == set(full_fp["image_id"]) - set(ids)
+
+
+def test_delete_datetime_interval(mut_store, full_fp):
+    from rustac_ray.sources.clustered import delete_clustered
+
+    lo = full_fp["datetime"].quantile(0.3)
+    hi = full_fp["datetime"].quantile(0.6)
+    victims = set(
+        full_fp.loc[
+            (full_fp["datetime"] >= lo) & (full_fp["datetime"] <= hi), "image_id"
+        ]
+    )
+    s = delete_clustered(
+        mut_store, datetime=(np.datetime64(lo, "ms"), np.datetime64(hi, "ms"))
+    )
+    assert s["rows_deleted"] == len(victims)
+    left = _store_df(mut_store)
+    assert set(left["image_id"]) == set(full_fp["image_id"]) - victims
+
+
+def test_delete_refuses_unconditional(mut_store):
+    from rustac_ray.sources.clustered import delete_clustered
+
+    with pytest.raises(ValueError, match="unconditional"):
+        delete_clustered(mut_store)
+
+
+def test_delete_drops_emptied_files(mut_store, full_fp):
+    from rustac_ray.sources.clustered import delete_clustered
+
+    # world box empties every file → all dropped, store empty but valid
+    s = delete_clustered(mut_store, bbox=(-180.0, -90.0, 180.0, 90.0))
+    assert s["rows_deleted"] == len(full_fp)
+    assert s["files_dropped"] == s["files_total"]
+    assert _store_df(mut_store).empty
+    # dropped files are gone from disk too
+    assert not [f for f in os.listdir(mut_store) if f.endswith(".parquet")]
+
+
+def test_delete_predicate(mut_store, full_fp):
+    from rustac_ray.sources.clustered import delete_clustered
+
+    def pred(t):
+        return np.asarray(
+            [c == "landsat-c2" for c in t["collection"].to_pylist()], bool
+        )
+
+    victims = set(full_fp.loc[full_fp["collection"] == "landsat-c2", "image_id"])
+    assert victims
+    s = delete_clustered(mut_store, predicate=pred)
+    assert s["rows_deleted"] == len(victims)
+    left = _store_df(mut_store)
+    assert set(left["image_id"]) == set(full_fp["image_id"]) - victims
+
+
+def test_delete_crash_before_publish_repaired(tmp_path, full_fp, monkeypatch):
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+
+    out = str(tmp_path / "crashdel")
+    write_clustered(
+        rd.from_pandas(full_fp), out, footprints_derived=True, rows_per_file=32
+    )
+    B = (-110.0, 35.0, -105.0, 40.0)
+    monkeypatch.setattr(cl, "_apply_journal", lambda d: False)
+    cl.delete_clustered(out, bbox=B)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(out, "_publish_journal.json"))
+    # next read repairs: sees the post-delete store
+    got = read_clustered(out, columns=["image_id"]).to_pandas()
+    assert set(got["image_id"]) == set(full_fp["image_id"]) - _truth_ids(full_fp, B)
+    assert not os.path.exists(os.path.join(out, "_publish_journal.json"))
+
+
+def test_upsert_footprint_replaces_in_place(mut_store, full_fp):
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import delete_clustered, upsert_clustered
+
+    mod = full_fp.sample(n=20, random_state=3).copy()
+    mod["collection"] = "REPLACED"
+    s = upsert_clustered(
+        mut_store,
+        rd.from_pandas(mod),
+        id_col="image_id",
+        locate="footprint",
+        footprints_derived=True,
+    )
+    assert s["rows_deleted"] == 20 and s["rows_upserted"] == 20
+    # footprint mode scans only the zkey-owning files, never the store
+    assert s["files_scanned"] < s["files_total"]
+    left = _store_df(mut_store)
+    assert len(left) == len(full_fp)  # replaced, not appended
+    assert left["image_id"].is_unique
+    assert set(left.loc[left["collection"] == "REPLACED", "image_id"]) == set(
+        mod["image_id"]
+    )
+    # rerunning the same upsert converges to the same store
+    upsert_clustered(
+        mut_store, rd.from_pandas(mod), id_col="image_id",
+        locate="footprint", footprints_derived=True,
+    )
+    again = _store_df(mut_store)
+    assert len(again) == len(full_fp) and again["image_id"].is_unique
+    delete_clustered(mut_store, ids=["no-such-id"], id_col="image_id")  # still valid
+
+
+def test_upsert_scan_handles_moved_footprints(mut_store, full_fp):
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import upsert_clustered
+
+    moved = full_fp.sample(n=10, random_state=5).copy()
+    for c in ("fp_xmin", "fp_xmax"):
+        moved[c] = np.clip(moved[c] + 40.0, -180.0, 180.0)
+    s = upsert_clustered(
+        mut_store,
+        rd.from_pandas(moved),
+        id_col="image_id",
+        locate="scan",
+        footprints_derived=True,
+    )
+    assert s["rows_deleted"] == 10
+    left = _store_df(mut_store)
+    assert len(left) == len(full_fp) and left["image_id"].is_unique
+    got = left.set_index("image_id").loc[list(moved["image_id"]), "fp_xmin"]
+    assert np.allclose(
+        got.to_numpy(), moved.set_index("image_id")["fp_xmin"].reindex(got.index)
+    )
