@@ -446,16 +446,29 @@ def cmd_cluster(args):
         df = knn_clustered(args.store, {"q": (x, y)}, args.k)
         for rec in df.to_dict("records"):
             print(json.dumps(rec))
+    elif args.action == "versions":
+        from .sources.clustered import store_versions
+
+        for rec in store_versions(args.store):
+            print(json.dumps(rec))
+    elif args.action == "vacuum":
+        from .sources.clustered import vacuum_clustered
+
+        print(json.dumps(vacuum_clustered(args.store, keep_versions=args.keep)))
     else:  # read
         bbox = (
             tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
         )
+        version = args.version
         if args.plan_only:
-            kept, total = prune_plan(args.store, bbox)
+            kept, total = prune_plan(args.store, bbox, version=version)
             print(json.dumps({"kept_files": len(kept), "total_files": total}))
             return
         cols = args.columns.split(",") if args.columns else None
-        _emit(read_clustered(args.store, bbox=bbox, columns=cols), args.output)
+        _emit(
+            read_clustered(args.store, bbox=bbox, columns=cols, version=version),
+            args.output,
+        )
 
 
 def main(argv=None):
@@ -466,8 +479,22 @@ def main(argv=None):
         "cluster",
         help="Morton-clustered store: write / merge / bbox-pruned read",
     )
-    cl.add_argument("action", choices=["write", "merge", "read", "compact", "info", "knn"])
+    cl.add_argument(
+        "action",
+        choices=[
+            "write", "merge", "read", "compact", "info", "knn",
+            "versions", "vacuum",
+        ],
+    )
     cl.add_argument("--point", help="x,y probe for knn")
+    cl.add_argument(
+        "--version", type=int, default=None,
+        help="time-travel: read an archived store version",
+    )
+    cl.add_argument(
+        "--keep", type=int, default=1,
+        help="vacuum: number of versions to retain (current included)",
+    )
     cl.add_argument("--k", type=int, default=5)
     cl.add_argument("store", help="clustered store directory")
     cl.add_argument("--target-rows", type=int, default=16384,

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -56,22 +58,128 @@ __all__ = [
     "knn_clustered",
     "prune_plan",
     "count_clustered",
+    "store_version",
+    "store_versions",
+    "vacuum_clustered",
     "StoreLockedError",
     "SpatialManifest",
 ]
 
 _MANIFEST_NAME = "_spatial_manifest.jsonl"
 _JOURNAL_NAME = "_publish_journal.json"
+_HISTORY_DIR = "_history"
+_CURVER_NAME = "_current_version"
+_GEN_RE = re.compile(r"^part-g(\d+)-\d+\.parquet$")
+
+
+def _history_versions(out_dir: str) -> list[int]:
+    """Sorted archived manifest versions present under ``_history/``."""
+    hdir = os.path.join(out_dir, _HISTORY_DIR)
+    if not os.path.isdir(hdir):
+        return []
+    vs = []
+    for name in os.listdir(hdir):
+        m = re.match(r"^manifest\.v(\d+)\.jsonl$", name)
+        if m:
+            vs.append(int(m.group(1)))
+    return sorted(vs)
+
+
+def store_version(out_dir: str) -> int:
+    """Current manifest version: 0 for a freshly written store, +1 per
+    published mutation (merge/compact/delete; upsert = 2). Persisted in
+    a ``_current_version`` marker (so the counter survives a vacuum that
+    drops ALL archived history); archive filenames are the fallback for
+    stores written before the marker existed."""
+    out_dir = os.path.abspath(out_dir)
+    marker = 0
+    try:
+        with open(os.path.join(out_dir, _CURVER_NAME)) as f:
+            marker = int(f.read().strip() or 0)
+    except (FileNotFoundError, ValueError):
+        pass
+    vs = _history_versions(out_dir)
+    return max(marker, (vs[-1] + 1) if vs else 0)
+
+
+def _bump_version_marker(out_dir: str, new_version: int) -> None:
+    path = os.path.join(out_dir, _CURVER_NAME)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _archive_current(out_dir: str) -> None:
+    """Snapshot the CURRENT manifest into ``_history/manifest.v{N}.jsonl``
+    before a publish replaces it — the time-travel retention record.
+    Durable (tmp + fsync + rename) BEFORE the publish journal is written,
+    so a crash anywhere in the publish can never lose the old version.
+    Idempotent: a crash between archive and journal-write leaves the
+    newest archive byte-identical to the live manifest; the retry detects
+    that and reuses the version number instead of minting a hole."""
+    cur = os.path.join(out_dir, _MANIFEST_NAME)
+    if not os.path.exists(cur):
+        return
+    hdir = os.path.join(out_dir, _HISTORY_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    vs = _history_versions(out_dir)
+    with open(cur, "rb") as f:
+        cur_bytes = f.read()
+    if vs:
+        last = os.path.join(hdir, f"manifest.v{vs[-1]:06d}.jsonl")
+        try:
+            with open(last, "rb") as f:
+                if f.read() == cur_bytes:
+                    # crashed-between-archive-and-marker retry: reuse the
+                    # version, but make sure the marker reflects it
+                    _bump_version_marker(out_dir, vs[-1] + 1)
+                    return
+        except FileNotFoundError:
+            pass
+    v = store_version(out_dir)  # marker-aware (survives dropped history)
+    dst = os.path.join(hdir, f"manifest.v{v:06d}.jsonl")
+    tmp = dst + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(cur_bytes)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, dst)
+    _bump_version_marker(out_dir, v + 1)
+
+
+def _next_gen(out_dir: str, recs: list[dict]) -> int:
+    """Next free generation number for rewritten file names. Scans BOTH
+    the live manifest and the directory (history-retained files of older
+    versions stay on disk until vacuum), so a new publish can never
+    collide with a name any retained snapshot still references."""
+    gen = 1
+    names = [r["file"] for r in recs]
+    try:
+        names += os.listdir(out_dir)
+    except FileNotFoundError:
+        pass
+    for name in names:
+        m = _GEN_RE.match(name)
+        if m:
+            gen = max(gen, int(m.group(1)) + 1)
+    return gen
 
 
 def _write_journal(out_dir: str, steps: list, records: list[dict]) -> None:
     """Durably record a publish plan BEFORE mutating any published file.
 
     ``steps`` is an ordered list of ``["rename", src, dst]`` /
-    ``["delete", name]`` (store-relative names); ``records`` is the
-    complete post-publish manifest. Written atomically (tmp + fsync +
-    rename), so the store is always in one of two recoverable states:
-    no journal (consistent) or journal present (replay it to finish)."""
+    ``["link", src, dst]`` / ``["delete", name]`` (store-relative names);
+    ``records`` is the complete post-publish manifest. Written atomically
+    (tmp + fsync + rename), so the store is always in one of two
+    recoverable states: no journal (consistent) or journal present
+    (replay it to finish). The outgoing manifest is archived to
+    ``_history/`` first — every publish is a new VERSION and the old one
+    stays readable (``read_clustered(version=N)``) until vacuumed."""
+    _archive_current(out_dir)
     path = os.path.join(out_dir, _JOURNAL_NAME)
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -101,6 +209,18 @@ def _apply_journal(out_dir: str) -> bool:
                     os.rename(src, dst)
             except FileNotFoundError:
                 pass  # concurrent repairer won the rename
+        elif step[0] == "link":
+            # hard-link a kept file into its new name: the OLD name stays
+            # valid for retained history versions, the bytes are shared
+            # (no copy IO), and vacuum reclaims whichever name drops out
+            # of retention. Idempotent: dst present → already done.
+            src = os.path.join(out_dir, step[1])
+            dst = os.path.join(out_dir, step[2])
+            try:
+                if not os.path.exists(dst) and os.path.exists(src):
+                    os.link(src, dst)
+            except FileExistsError:
+                pass  # concurrent repairer won the link
         elif step[0] == "delete":
             try:
                 os.remove(os.path.join(out_dir, step[1]))
@@ -150,12 +270,29 @@ def morton_key(cx: np.ndarray, cy: np.ndarray, *, bits: int = 16) -> np.ndarray:
 
 
 class SpatialManifest:
-    """Sidecar of per-file spatial stats (bbox + zkey range + lineage)."""
+    """Sidecar of per-file spatial stats (bbox + zkey range + lineage).
 
-    def __init__(self, out_dir: str):
+    ``version=N`` opens an archived snapshot (``_history/manifest.v{N}``)
+    for time-travel reads; ``None`` (and N == current) is the live
+    manifest. Mutations always operate on the live manifest."""
+
+    def __init__(self, out_dir: str, version: int | None = None):
         self.out_dir = out_dir
-        self.path = os.path.join(out_dir, _MANIFEST_NAME)
+        self.version = version
         os.makedirs(out_dir, exist_ok=True)
+        cur = store_version(out_dir)
+        if version is None or version == cur:
+            self.path = os.path.join(out_dir, _MANIFEST_NAME)
+        else:
+            self.path = os.path.join(
+                out_dir, _HISTORY_DIR, f"manifest.v{version:06d}.jsonl"
+            )
+            if not os.path.exists(self.path):
+                avail = _history_versions(out_dir) + [cur]
+                raise ValueError(
+                    f"{out_dir}: store version {version} is not readable "
+                    f"(vacuumed or never existed); available: {avail}"
+                )
 
     def completed(self) -> dict[int, dict]:
         done: dict[int, dict] = {}
@@ -522,6 +659,8 @@ def prune_plan(
     out_dir: str,
     bbox: tuple[float, float, float, float] | None,
     datetime=None,
+    *,
+    version: int | None = None,
 ) -> tuple[list[str], int]:
     """(kept file paths, total files) for a query bbox and/or datetime
     interval (STAC string or (start, end) pair) — the driver-side pruning
@@ -531,7 +670,10 @@ def prune_plan(
     written before those stats existed are conservatively kept."""
     out_dir = os.path.abspath(out_dir)
     _repair_if_crashed(out_dir)  # replay an orphaned publish journal
-    recs = sorted(SpatialManifest(out_dir).completed().values(), key=lambda r: r["partition_id"])
+    recs = sorted(
+        SpatialManifest(out_dir, version=version).completed().values(),
+        key=lambda r: r["partition_id"],
+    )
     total = len(recs)
     trange = _parse_trange(datetime)
     if bbox is None and trange is None:
@@ -560,6 +702,7 @@ def count_clustered(
     bbox: tuple[float, float, float, float] | None = None,
     *,
     detail: bool = False,
+    version: int | None = None,
 ):
     """COUNT(*) over a bbox without reading matching files: the
     metadata-first aggregate (the lakehouse COUNT pushdown).
@@ -584,7 +727,8 @@ def count_clustered(
     out_dir = os.path.abspath(out_dir)
     _repair_if_crashed(out_dir)
     recs = sorted(
-        SpatialManifest(out_dir).completed().values(), key=lambda r: r["partition_id"]
+        SpatialManifest(out_dir, version=version).completed().values(),
+        key=lambda r: r["partition_id"],
     )
     if bbox is None:
         total = sum(r["rows"] for r in recs)
@@ -629,9 +773,16 @@ def read_clustered(
     bbox: tuple[float, float, float, float] | None = None,
     datetime=None,
     columns: list[str] | None = None,
+    version: int | None = None,
     **read_kwargs,
 ):
     """Bbox- and datetime-pruned streaming read of a clustered store.
+
+    ``version=N`` time-travels: the read plans against the archived
+    manifest snapshot N (0 = the initial write; each published mutation
+    is +1) — retained data files of that version are still on disk until
+    ``vacuum_clustered`` reclaims them, so the read is exactly the store
+    as of that version.
 
     File level: only manifest-intersecting files enter the read plan
     (spatial envelope + tmin/tmax temporal stats).
@@ -647,10 +798,10 @@ def read_clustered(
     import pyarrow.compute as pc
     import ray.data as rd
 
-    paths, _total = prune_plan(out_dir, bbox, datetime=datetime)
+    paths, _total = prune_plan(out_dir, bbox, datetime=datetime, version=version)
     if not paths:
         recs = sorted(
-            SpatialManifest(out_dir).completed().values(),
+            SpatialManifest(out_dir, version=version).completed().values(),
             key=lambda r: r["partition_id"],
         )
         if not recs:
@@ -783,11 +934,17 @@ def merge_clustered(
             .map_groups(rewrite, batch_format="pandas")
             .to_pandas()
         )
+        # rewritten files publish under NEW generation names (never onto
+        # the old name): the pre-merge version's files stay intact on
+        # disk, referenced by the archived manifest, until vacuum
+        gen = _next_gen(out_dir, recs)
         steps = []
         for rec in updated.to_dict("records"):
             staged = rec.pop("staged")
+            pid = int(rec["partition_id"])
+            rec["file"] = f"part-g{gen:03d}-{pid:05d}.parquet"
             steps.append(["rename", staged, rec["file"]])
-            by_rec[int(rec["partition_id"])] = {
+            by_rec[pid] = {
                 k: _norm_stat(k, v)
                 for k, v in rec.items()
             }
@@ -830,8 +987,6 @@ def compact_clustered(
     repair. The journal (full rename/delete plan + complete new
     manifest) is durable before any published file moves.
     """
-    import re
-
     import ray
 
     out_dir = os.path.abspath(out_dir)
@@ -842,11 +997,7 @@ def compact_clustered(
     with _StoreLock(out_dir):
         if _apply_journal(out_dir):  # finish a crashed publish first
             recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
-        gen = 1
-        for r in recs:
-            m = re.match(r"^part-g(\d+)-\d+\.parquet$", r["file"])
-            if m:
-                gen = max(gen, int(m.group(1)) + 1)
+        gen = _next_gen(out_dir, recs)
 
         # group planning on the tiny manifest: greedy run-coalesce + splits
         groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
@@ -941,7 +1092,9 @@ def compact_clustered(
                 old = r["file"]
                 r["partition_id"] = pid
                 r["file"] = f"part-g{gen:03d}-{pid:05d}.parquet"
-                steps.append(["rename", old, r["file"]])
+                # hard-link (not rename): the old name stays valid for
+                # the archived pre-compact version; bytes are shared
+                steps.append(["link", old, r["file"]])
                 new_recs.append(r)
                 pid += 1
             else:
@@ -954,8 +1107,9 @@ def compact_clustered(
                     steps.append(["rename", piece["tmp"], rec["file"]])
                     new_recs.append(rec)
                     pid += 1
-                # consumed inputs: their rows live in the chunks now
-                steps.extend(["delete", f] for f in g["files"])
+                # consumed inputs are NOT deleted: the pre-compact
+                # version still references them; vacuum reclaims them
+                # once that version drops out of retention
         _write_journal(out_dir, steps, new_recs)
         _apply_journal(out_dir)
         return new_recs
@@ -1113,19 +1267,26 @@ def delete_clustered(
         results = ray.get([_rework.remote(r) for r in cands])
         by_rec = {r["partition_id"]: r for r in recs}
         by_file = {r["file"]: r for r in recs}
+        gen = _next_gen(out_dir, recs)
         steps: list[list[str]] = []
         deleted = rewrote = dropped = 0
         for res in results:
             deleted += res["deleted"]
+            pid = by_file[res["file"]]["partition_id"]
             if res["action"] == "rewrite":
-                steps.append(["rename", res["tmp"], res["file"]])
-                by_rec[by_file[res["file"]]["partition_id"]] = res["stats"]
+                # publish under a NEW generation name — the pre-delete
+                # version's file stays intact for time travel
+                stats = dict(res["stats"])
+                stats["file"] = f"part-g{gen:03d}-{int(pid):05d}.parquet"
+                steps.append(["rename", res["tmp"], stats["file"]])
+                by_rec[pid] = stats
                 rewrote += 1
             elif res["action"] == "drop":
-                steps.append(["delete", res["file"]])
-                del by_rec[by_file[res["file"]]["partition_id"]]
+                # retired, not deleted: drops out of the new manifest,
+                # bytes reclaimed by vacuum once out of retention
+                del by_rec[pid]
                 dropped += 1
-        if steps:
+        if rewrote or dropped:
             _write_journal(out_dir, steps, [by_rec[k] for k in sorted(by_rec)])
             _apply_journal(out_dir)
         return {
@@ -1134,6 +1295,83 @@ def delete_clustered(
             "files_dropped": dropped,
             "files_scanned": len(cands),
             "files_total": len(recs),
+        }
+
+
+def store_versions(out_dir: str) -> list[dict]:
+    """Readable snapshot listing (the time-travel catalog): one row per
+    retained version with its file and row counts, newest (= current)
+    last. Driver-trivial — manifests are one JSON line per file."""
+    out_dir = os.path.abspath(out_dir)
+    _repair_if_crashed(out_dir)
+    out = []
+    cur = store_version(out_dir)
+    for v in _history_versions(out_dir) + [cur]:
+        recs = SpatialManifest(out_dir, version=v).completed().values()
+        out.append(
+            {
+                "version": v,
+                "files": len(recs),
+                "rows": sum(r["rows"] for r in recs),
+                "current": v == cur,
+            }
+        )
+    return out
+
+
+def vacuum_clustered(out_dir: str, *, keep_versions: int = 1) -> dict:
+    """Reclaim storage from versions outside the retention window (the
+    lakehouse VACUUM): keeps the current version plus the
+    ``keep_versions - 1`` most recent archived snapshots readable,
+    deletes every data file referenced by NO retained manifest, drops
+    the expired archive manifests, and sweeps orphaned staging temps
+    from crashed publishes. Runs under the store mutation lock; cost is
+    O(retained manifest lines + directory listing) — never reads data
+    bytes. Returns ``{"files_deleted", "bytes_freed",
+    "versions_dropped", "tmp_swept"}``."""
+    if keep_versions < 1:
+        raise ValueError("vacuum_clustered: keep_versions must be >= 1")
+    out_dir = os.path.abspath(out_dir)
+    with _StoreLock(out_dir):
+        _apply_journal(out_dir)  # finish a crashed publish first
+        if not os.path.exists(os.path.join(out_dir, _MANIFEST_NAME)):
+            raise FileNotFoundError(f"no clustered store at {out_dir}")
+        cur_recs = SpatialManifest(out_dir).completed().values()
+        vs = _history_versions(out_dir)
+        keep_hist = vs[max(0, len(vs) - (keep_versions - 1)):]
+        referenced = {r["file"] for r in cur_recs}
+        for v in keep_hist:
+            for r in SpatialManifest(out_dir, version=v).completed().values():
+                referenced.add(r["file"])
+        files_deleted = bytes_freed = tmp_swept = 0
+        for name in os.listdir(out_dir):
+            path = os.path.join(out_dir, name)
+            if not os.path.isfile(path):
+                continue
+            is_data = name.endswith(".parquet") and name.startswith("part-")
+            # orphaned staging temps: no journal exists (applied above,
+            # under the lock), so any leftover stage is crash debris
+            is_tmp = name.startswith((".merge.", ".compact.", ".delete."))
+            if is_data and name not in referenced:
+                st = os.stat(path)
+                # hard-linked names share bytes: removing one of several
+                # links frees nothing until the last name goes
+                bytes_freed += st.st_size if st.st_nlink == 1 else 0
+                os.remove(path)
+                files_deleted += 1
+            elif is_tmp:
+                os.remove(path)
+                tmp_swept += 1
+        dropped = [v for v in vs if v not in keep_hist]
+        for v in dropped:
+            os.remove(
+                os.path.join(out_dir, _HISTORY_DIR, f"manifest.v{v:06d}.jsonl")
+            )
+        return {
+            "files_deleted": files_deleted,
+            "bytes_freed": bytes_freed,
+            "versions_dropped": len(dropped),
+            "tmp_swept": tmp_swept,
         }
 
 

@@ -151,16 +151,18 @@ def test_merge_clustered(tmp_path, full_fp):
     B = (-110.0, 35.0, -105.0, 40.0)
     got = read_clustered(out, bbox=B, columns=["image_id"]).to_pandas()
     assert set(got["image_id"]) == _truth_ids(full_fp, B)
-    # only files owning new rows were rewritten
-    touched = [
-        f for f, m in before.items()
-        if os.path.getmtime(os.path.join(out, f)) != m
-    ]
-    assert 0 < len(touched) <= len(before)
+    # only files owning new rows were rewritten — versioned publishing
+    # puts them under NEW generation names; every pre-merge file stays
+    # on disk byte-untouched (retained for the archived version)
+    after_names = {r["file"] for r in recs}
+    new_files = sorted(after_names - set(before))
+    assert 0 < len(new_files) <= len(before)
+    for f, m in before.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m
     # files stay internally zkey-sorted after merge
     import pyarrow.parquet as pqt
 
-    z = pqt.read_table(os.path.join(out, touched[0]), columns=["_zkey"])["_zkey"].to_numpy()
+    z = pqt.read_table(os.path.join(out, new_files[0]), columns=["_zkey"])["_zkey"].to_numpy()
     assert np.all(np.diff(z) >= 0)
 
 
@@ -737,7 +739,13 @@ def test_delete_drops_emptied_files(mut_store, full_fp):
     assert s["rows_deleted"] == len(full_fp)
     assert s["files_dropped"] == s["files_total"]
     assert _store_df(mut_store).empty
-    # dropped files are gone from disk too
+    # dropped files are RETAINED on disk for the archived pre-delete
+    # version (time travel); vacuum with no history retention reclaims
+    from rustac_ray.sources.clustered import vacuum_clustered
+
+    assert [f for f in os.listdir(mut_store) if f.endswith(".parquet")]
+    v = vacuum_clustered(mut_store, keep_versions=1)
+    assert v["files_deleted"] > 0
     assert not [f for f in os.listdir(mut_store) if f.endswith(".parquet")]
 
 

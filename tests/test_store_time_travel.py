@@ -1,0 +1,225 @@
+"""Time travel over the Morton-clustered store: versioned manifests,
+retained files, vacuum retention (sources/clustered).
+
+Analogue surface: the reference's stac-geoparquet store has no version
+history; this is the lakehouse snapshot-isolation layer (Iceberg/Delta
+time travel, re-expressed as archived sidecar manifests + retained
+generation-named parquet files) that a 100-TB mutable corpus needs to
+audit / reproduce a training run against the exact store state it read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+import rustac_ray.sources.clustered as cl
+from rustac_ray.pipelines.flagship import read_images_metadata
+from rustac_ray.sources.clustered import (
+    SpatialManifest,
+    compact_clustered,
+    delete_clustered,
+    merge_clustered,
+    read_clustered,
+    store_version,
+    store_versions,
+    upsert_clustered,
+    vacuum_clustered,
+    write_clustered,
+)
+from rustac_ray.stages.footprint import derive_footprints
+
+SF = "/root/testdata/sf0.001"
+COLS = ["image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+
+
+@pytest.fixture(scope="module")
+def full_fp(fixtures_dir):
+    return (
+        read_images_metadata(SF)
+        .map_batches(derive_footprints, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def _ids(ds) -> set:
+    return set(ds.select_columns(["image_id"]).to_pandas()["image_id"])
+
+
+@pytest.fixture()
+def store(tmp_path, full_fp):
+    out = str(tmp_path / "tt")
+    write_clustered(
+        rd.from_pandas(full_fp[COLS]), out, footprints_derived=True, rows_per_file=32
+    )
+    return out
+
+
+def test_every_mutation_is_a_version(store, full_fp):
+    assert store_version(store) == 0
+    base = set(full_fp["image_id"])
+
+    extra = full_fp[COLS].head(50).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+    assert store_version(store) == 1
+
+    B = (-110.0, 35.0, -105.0, 40.0)
+    delete_clustered(store, bbox=B)
+    assert store_version(store) == 2
+
+    compact_clustered(store, target_rows=64)
+    assert store_version(store) == 3
+
+    # each snapshot reads exactly the store as of that version
+    assert _ids(read_clustered(store, version=0)) == base
+    merged = base | set("new-" + full_fp["image_id"].head(50))
+    assert _ids(read_clustered(store, version=1)) == merged
+    m = (
+        (full_fp.fp_xmin <= B[2]) & (full_fp.fp_xmax >= B[0])
+        & (full_fp.fp_ymin <= B[3]) & (full_fp.fp_ymax >= B[1])
+    )
+    extra_m = (
+        (extra.fp_xmin <= B[2]) & (extra.fp_xmax >= B[0])
+        & (extra.fp_ymin <= B[3]) & (extra.fp_ymax >= B[1])
+    )
+    after_del = merged - set(full_fp.loc[m, "image_id"]) - set(
+        extra.loc[extra_m, "image_id"]
+    )
+    assert _ids(read_clustered(store, version=2)) == after_del
+    # compact is a pure layout op: v3 == v2 == current
+    assert _ids(read_clustered(store, version=3)) == after_del
+    assert _ids(read_clustered(store)) == after_del
+
+    cat = store_versions(store)
+    assert [v["version"] for v in cat] == [0, 1, 2, 3]
+    assert [v["current"] for v in cat] == [False, False, False, True]
+    assert cat[3]["rows"] == cat[2]["rows"] == len(after_del)
+
+
+def test_version_reads_prune_like_current(store, full_fp):
+    """A time-travel read still goes through the manifest prune."""
+    B = (-110.0, 35.0, -105.0, 40.0)
+    delete_clustered(store, bbox=B)
+    kept, total = cl.prune_plan(store, B, version=0)
+    assert 0 < len(kept) < total
+    got = _ids(read_clustered(store, bbox=B, version=0))
+    m = (
+        (full_fp.fp_xmin <= B[2]) & (full_fp.fp_xmax >= B[0])
+        & (full_fp.fp_ymin <= B[3]) & (full_fp.fp_ymax >= B[1])
+    )
+    assert got == set(full_fp.loc[m, "image_id"])
+    # the current version answers the same box with nothing
+    assert read_clustered(store, bbox=B).count() == 0
+    # metadata-first count agrees per version
+    assert cl.count_clustered(store, B, version=0) == len(got)
+    assert cl.count_clustered(store, B) == 0
+
+
+def test_upsert_is_two_versions(store, full_fp):
+    mod = full_fp[COLS].sample(n=20, random_state=3).copy()
+    upsert_clustered(
+        store, rd.from_pandas(mod), id_col="image_id",
+        locate="footprint", footprints_derived=True,
+    )
+    # delete-publish + merge-publish
+    assert store_version(store) == 2
+    assert _ids(read_clustered(store, version=0)) == set(full_fp["image_id"])
+    assert _ids(read_clustered(store)) == set(full_fp["image_id"])
+
+
+def test_vacuum_retention_window(store, full_fp):
+    B1 = (-110.0, 35.0, -105.0, 40.0)
+    B2 = (-100.0, 30.0, -95.0, 35.0)
+    delete_clustered(store, bbox=B1)  # v1
+    v1_ids = _ids(read_clustered(store))
+    delete_clustered(store, bbox=B2)  # v2
+    cur_ids = _ids(read_clustered(store))
+
+    res = vacuum_clustered(store, keep_versions=2)
+    assert res["versions_dropped"] == 1  # v0 out of retention
+    # v1 still readable and exact; current untouched
+    assert _ids(read_clustered(store, version=1)) == v1_ids
+    assert _ids(read_clustered(store)) == cur_ids
+    with pytest.raises(ValueError, match="not readable"):
+        read_clustered(store, version=0)
+
+    # second vacuum with keep_versions=1 drops v1's files too
+    res2 = vacuum_clustered(store, keep_versions=1)
+    assert res2["versions_dropped"] == 1
+    assert _ids(read_clustered(store)) == cur_ids
+    # every remaining parquet is referenced by the current manifest
+    referenced = {r["file"] for r in SpatialManifest(store).completed().values()}
+    on_disk = {f for f in os.listdir(store) if f.endswith(".parquet")}
+    assert on_disk == referenced
+
+
+def test_vacuum_accounts_hard_links(store):
+    """Compact keeps files via hard links: vacuuming the pre-compact
+    version removes the old NAME but frees bytes only for names whose
+    content isn't shared with the live generation."""
+    compact_clustered(store, target_rows=64)  # v1 (links for kept files)
+    n_before = len([f for f in os.listdir(store) if f.endswith(".parquet")])
+    res = vacuum_clustered(store, keep_versions=1)
+    n_after = len([f for f in os.listdir(store) if f.endswith(".parquet")])
+    assert res["files_deleted"] == n_before - n_after
+    # linked-content names report zero bytes freed; store still reads
+    assert res["bytes_freed"] >= 0
+    assert read_clustered(store).count() > 0
+
+
+def test_crash_between_archive_and_journal_no_version_hole(store, monkeypatch):
+    """A publish that crashes after archiving but before the journal
+    write must not mint a duplicate/hole version on retry."""
+    # simulate: archive runs, journal write explodes
+    orig = cl._write_journal
+
+    def boom(out_dir, steps, records):
+        cl._archive_current(out_dir)
+        raise RuntimeError("crash before journal write")
+
+    monkeypatch.setattr(cl, "_write_journal", boom)
+    with pytest.raises(RuntimeError):
+        delete_clustered(store, bbox=(-110.0, 35.0, -105.0, 40.0))
+    monkeypatch.setattr(cl, "_write_journal", orig)
+    assert store_version(store) == 1  # archive exists, store unchanged
+    before = _ids(read_clustered(store))
+    delete_clustered(store, bbox=(-110.0, 35.0, -105.0, 40.0))  # retry
+    # retry reused the archived version instead of stacking a duplicate
+    assert store_version(store) == 1
+    assert _ids(read_clustered(store, version=0)) == before
+
+
+def test_link_step_replay_idempotent(store, monkeypatch):
+    """Compact's journal (with link steps) replays idempotently from a
+    crash before publish — and the pre-compact version stays exact."""
+    v0_ids = _ids(read_clustered(store))
+    monkeypatch.setattr(cl, "_apply_journal", lambda d: False)
+    compact_clustered(store, target_rows=64)
+    monkeypatch.undo()
+    jpath = os.path.join(store, "_publish_journal.json")
+    assert os.path.exists(jpath)
+    plan = json.load(open(jpath))
+    assert any(s[0] == "link" for s in plan["steps"])
+    # replay twice: second application is a no-op
+    assert cl._apply_journal(store) is True
+    assert cl._apply_journal(store) is False
+    assert _ids(read_clustered(store)) == v0_ids
+    assert _ids(read_clustered(store, version=0)) == v0_ids
+
+
+def test_relative_out_dir_versioning(store, full_fp, tmp_path, monkeypatch):
+    """CLI-style relative store paths version and vacuum correctly."""
+    monkeypatch.chdir(os.path.dirname(store))
+    rel = os.path.basename(store)
+    delete_clustered(rel, bbox=(-110.0, 35.0, -105.0, 40.0))
+    assert store_version(rel) == 1
+    assert _ids(read_clustered(rel, version=0)) == set(full_fp["image_id"])
+    vacuum_clustered(rel, keep_versions=1)
+    with pytest.raises(ValueError, match="not readable"):
+        read_clustered(rel, version=0)
