@@ -20,7 +20,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["tumbling", "sliding", "session_windows", "running_totals"]
+__all__ = [
+    "tumbling", "sliding", "session_windows", "running_totals",
+    "analytic_window",
+]
 
 
 def _window_partials(batch: pa.Table, ts_col, size_us, key_col, value_col, offsets):
@@ -346,6 +349,176 @@ def running_totals(ds, *, group_col: str, ts_col: str, id_col: str,
                     id_col: pa.array(i, pa.int64()),
                     group_col: b[group_col],
                     "running": pa.array(local + base, pa.int64()),
+                }
+            )
+
+    return mat.map_batches(
+        _Apply, batch_format="pyarrow", batch_size=None, concurrency=2
+    )
+
+
+def analytic_window(ds, *, group_col: str, ts_col: str, id_col: str,
+                    value_col: str):
+    """Per-group analytic window functions in one distributed pass:
+    ``ROW_NUMBER()``, ``DENSE_RANK()`` (over ``ts_col``) and ``LAG(v)``,
+    each ``OVER (PARTITION BY g ORDER BY ts, id)`` — emitted for every
+    row without ever collecting a group. ``id_col`` must be a unique
+    int64 tie-break (total order) and ``value_col`` integral (exact
+    int64; LAG of the first row per group is null).
+    → (id, g, rn, drk, lag_v).
+
+    Same scale shape as ``running_totals`` (windows.py:238): ONE sort by
+    (g, ts, id) materialized, then two block-local passes stitched by a
+    driver-side per-block offset table that is O(blocks ×
+    groups-per-block) — rows never shuffle after the sort, and a skewed
+    group costs nothing extra (its rows stay spread over many blocks).
+    The only cross-block state per (block, group) is three scalars:
+    rows-before (row_number offset), distinct-ts-before with a
+    shared-boundary-ts correction (dense_rank offset), and the previous
+    block's last value (the LAG seam).
+    """
+    import ray as _ray
+
+    sel = ds.select_columns([group_col, ts_col, id_col, value_col])
+    mat = sel.sort([group_col, ts_col, id_col]).materialize()
+
+    _SUB = pa.schema(
+        [("bk_g", pa.string()), ("bk_t", pa.int64()), ("bk_i", pa.int64()),
+         ("g", pa.string()), ("cnt", pa.int64()), ("ndist", pa.int64()),
+         ("first_t", pa.int64()), ("last_t", pa.int64()),
+         ("last_v", pa.int64())]
+    )
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _SUB.empty_table()
+        g = np.asarray(b[group_col].to_pylist(), dtype=object)
+        t = _order_key_int(b[ts_col])
+        i = b[id_col].to_numpy().astype(np.int64)
+        v = b[value_col].to_numpy().astype(np.int64)
+        change = np.flatnonzero(g[1:] != g[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(g)]])
+        rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts_run = t[s:e]
+            rows.append(
+                (str(g[s]), int(e - s),
+                 int(1 + np.count_nonzero(np.diff(ts_run))),
+                 int(ts_run[0]), int(ts_run[-1]), int(v[e - 1]))
+            )
+        n = len(rows)
+        return pa.table(
+            {
+                "bk_g": pa.array([str(g[0])] * n, pa.string()),
+                "bk_t": pa.array(np.full(n, t[0]), pa.int64()),
+                "bk_i": pa.array(np.full(n, i[0]), pa.int64()),
+                "g": pa.array([r[0] for r in rows], pa.string()),
+                "cnt": pa.array([r[1] for r in rows], pa.int64()),
+                "ndist": pa.array([r[2] for r in rows], pa.int64()),
+                "first_t": pa.array([r[3] for r in rows], pa.int64()),
+                "last_t": pa.array([r[4] for r in rows], pa.int64()),
+                "last_v": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in mat.map_batches(
+            per_block, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    # per (block, group): (rows_before, dense_offset, lag_seam_value|None)
+    offsets: dict[tuple, dict[str, tuple]] = {}
+    if parts:
+        allp = pd.concat(parts, ignore_index=True)
+        blocks = (
+            allp[["bk_g", "bk_t", "bk_i"]]
+            .drop_duplicates()
+            .sort_values(["bk_g", "bk_t", "bk_i"])
+        )
+        keys = list(blocks.itertuples(index=False, name=None))
+        by_block = {
+            k: sub for k, sub in allp.groupby(["bk_g", "bk_t", "bk_i"], sort=False)
+        }
+        cum_cnt: dict[str, int] = {}
+        cum_dist: dict[str, int] = {}
+        last_t_seen: dict[str, int] = {}
+        last_v_seen: dict[str, int] = {}
+        for k in keys:
+            sub = by_block[k]
+            blk: dict[str, tuple] = {}
+            for gv, cnt, ndist, ft, lt, lv in zip(
+                sub["g"], sub["cnt"], sub["ndist"],
+                sub["first_t"], sub["last_t"], sub["last_v"],
+            ):
+                rows_before = cum_cnt.get(gv, 0)
+                dist_before = cum_dist.get(gv, 0)
+                shared = (
+                    gv in last_t_seen and last_t_seen[gv] == int(ft)
+                )
+                # shared boundary ts: this block's first distinct ts was
+                # already counted by an earlier block
+                dense_off = dist_before - (1 if shared else 0)
+                blk[gv] = (rows_before, dense_off, last_v_seen.get(gv))
+                cum_cnt[gv] = rows_before + int(cnt)
+                cum_dist[gv] = dense_off + int(ndist)
+                last_t_seen[gv] = int(lt)
+                last_v_seen[gv] = int(lv)
+            offsets[k] = blk
+    off_ref = _ray.put(offsets)
+
+    _OUT = pa.schema(
+        [(id_col, pa.int64()), (group_col, pa.string()),
+         ("rn", pa.int64()), ("drk", pa.int64()), ("lag_v", pa.int64())]
+    )
+
+    class _Apply:
+        def __init__(self):
+            self.offsets = _ray.get(off_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return _OUT.empty_table()
+            g = np.asarray(b[group_col].to_pylist(), dtype=object)
+            t = _order_key_int(b[ts_col])
+            i = b[id_col].to_numpy().astype(np.int64)
+            v = b[value_col].to_numpy().astype(np.int64)
+            off = self.offsets.get((str(g[0]), int(t[0]), int(i[0])))
+            if off is None:
+                raise RuntimeError("analytic_window: unknown block key "
+                                   "(materialized layout changed)")
+            n = len(g)
+            rn = np.empty(n, np.int64)
+            drk = np.empty(n, np.int64)
+            lag = np.empty(n, np.float64)  # NaN = null
+            change = np.flatnonzero(g[1:] != g[:-1]) + 1
+            bounds = np.concatenate([[0], change, [n]])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                gv = str(g[s])
+                rows_before, dense_off, seam_v = off[gv]
+                rn[s:e] = rows_before + np.arange(1, e - s + 1)
+                ts_run = t[s:e]
+                local_dense = np.concatenate(
+                    [[1], np.cumsum(np.diff(ts_run) != 0) + 1]
+                )
+                drk[s:e] = dense_off + local_dense
+                lag[s:e] = np.concatenate(
+                    [[np.nan if seam_v is None else float(seam_v)],
+                     v[s:e - 1].astype(np.float64)]
+                )
+            isnull = np.isnan(lag)
+            return pa.table(
+                {
+                    id_col: pa.array(i, pa.int64()),
+                    group_col: b[group_col],
+                    "rn": pa.array(rn, pa.int64()),
+                    "drk": pa.array(drk, pa.int64()),
+                    "lag_v": pa.array(
+                        np.where(isnull, 0, lag).astype(np.int64),
+                        pa.int64(),
+                        mask=isnull,
+                    ),
                 }
             )
 

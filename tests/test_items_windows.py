@@ -261,3 +261,84 @@ def test_running_totals_matches_pandas():
     assert len(got) == n
     assert got["g"].tolist() == exp["g"].tolist()
     assert got["running"].tolist() == exp["running"].tolist()
+
+
+def test_analytic_window_matches_pandas_skewed():
+    """ROW_NUMBER / DENSE_RANK / LAG vs pandas on a skewed frame (one
+    group = 90% of rows) with HEAVY ts ties (ts drawn from only 25
+    values so duplicate-ts runs routinely straddle block seams — the
+    dense_rank shared-boundary correction and the LAG seam both fire)."""
+    import numpy as np
+    import pandas as pd
+
+    from rustac_ray.stages.windows import analytic_window
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    g = np.where(rng.rand(n) < 0.9, "HOT", rng.choice(["a", "b"], n))
+    df = pd.DataFrame(
+        {
+            "g": g,
+            "ts": rng.randint(0, 25, n).astype("datetime64[s]")
+            .astype("datetime64[us]"),
+            "rid": rng.permutation(n).astype(np.int64),
+            "v": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        analytic_window(
+            rd.from_pandas(df).repartition(16),
+            group_col="g", ts_col="ts", id_col="rid", value_col="v",
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "ts", "rid"], kind="mergesort").copy()
+    exp["rn"] = exp.groupby("g", sort=False).cumcount() + 1
+    # dense rank over ts within group
+    exp["drk"] = (
+        exp.groupby("g", sort=False)["ts"]
+        .transform(lambda s: s.rank(method="dense").astype(np.int64))
+    )
+    exp["lag_v"] = exp.groupby("g", sort=False)["v"].shift(1)
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    assert len(got) == n
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert got["rn"].tolist() == exp["rn"].tolist()
+    assert got["drk"].tolist() == exp["drk"].tolist()
+    ge = got["lag_v"].astype("Float64").fillna(np.inf)
+    ee = exp["lag_v"].astype("Float64").fillna(np.inf)
+    assert ge.tolist() == ee.tolist()
+
+
+def test_analytic_window_single_group_single_block():
+    """Degenerate layouts: one group in one block, and an empty frame."""
+    import numpy as np
+    import pandas as pd
+
+    from rustac_ray.stages.windows import analytic_window
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 5,
+            "ts": np.array([3, 1, 1, 2, 3], "datetime64[s]").astype("datetime64[us]"),
+            "rid": np.arange(5, dtype=np.int64),
+            "v": np.array([10, 20, 30, 40, 50], np.int64),
+        }
+    )
+    got = (
+        analytic_window(
+            rd.from_pandas(df),
+            group_col="g", ts_col="ts", id_col="rid", value_col="v",
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    # order: (ts,rid) = (1,1),(1,2),(2,3),(3,0),(3,4)
+    assert got["rn"].tolist() == [4, 1, 2, 3, 5]
+    assert got["drk"].tolist() == [3, 1, 1, 2, 3]
+    lag = got["lag_v"].astype("Float64")
+    assert lag.isna().tolist() == [False, True, False, False, False]
+    assert lag.fillna(-1).tolist() == [40.0, -1.0, 20.0, 30.0, 10.0]
