@@ -61,6 +61,7 @@ __all__ = [
     "store_version",
     "store_versions",
     "vacuum_clustered",
+    "changes_clustered",
     "StoreLockedError",
     "SpatialManifest",
 ]
@@ -1317,6 +1318,232 @@ def store_versions(out_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+_HASH_PRIME = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix
+
+
+def _col_elem_hash(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized uint64 hash of one FLAT column (one value per row)."""
+    import pandas as pd
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if pa.types.is_floating(t):
+        # bit pattern, not value: distinguishes -0.0/0.0 is unwanted —
+        # canonicalize -0.0 and NaN first, then view as uint64
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(v == 0.0, 0.0, v)  # -0.0 → 0.0
+        v = np.where(np.isnan(v), np.float64("nan"), v)  # one NaN pattern
+        h = v.view(np.uint64).copy()
+    elif pa.types.is_integer(t) or pa.types.is_boolean(t):
+        v = arr.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":  # nulls promoted to NaN; masked below
+            v = np.nan_to_num(v)
+        h = v.astype(np.int64).view(np.uint64)
+    elif pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        h = (
+            arr.cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+    else:  # strings / binary / anything pandas can hash scalar-wise
+        h = pd.util.hash_pandas_object(
+            arr.to_pandas(), index=False
+        ).to_numpy(np.uint64)
+    if arr.null_count:
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        h = np.where(mask, np.uint64(0xA5A5A5A5A5A5A5A5), h)
+    # avalanche so per-column folds don't cancel
+    h = (h ^ (h >> np.uint64(33))) * _HASH_PRIME
+    return h ^ (h >> np.uint64(29))
+
+
+def _row_content_hash(b: pa.Table, skip: tuple[str, ...] = ()) -> np.ndarray:
+    """Order-independent-schema, order-DEPENDENT-value uint64 row hash
+    over every column (canonical name order), vectorized; list columns
+    (fixed or variable) fold element hashes with position weights."""
+    h = np.zeros(len(b), np.uint64)
+    for name in sorted(b.column_names):
+        if name in skip:
+            continue
+        col = b[name].combine_chunks() if b.num_rows else b[name]
+        arr = col if isinstance(col, pa.Array) else col.combine_chunks()
+        t = arr.type
+        if (
+            pa.types.is_fixed_size_list(t)
+            or pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+        ):
+            vals = _col_elem_hash(arr.flatten())
+            if pa.types.is_fixed_size_list(t):
+                k = t.list_size
+                per = vals.reshape(len(b), k) if len(b) else vals.reshape(0, k)
+                ch = np.zeros(len(b), np.uint64)
+                for j in range(k):
+                    ch = ch * _HASH_PRIME + per[:, j]
+            else:
+                off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                off = off - off[0]  # sliced arrays carry parent offsets
+                pos = np.arange(len(vals), dtype=np.int64) - np.repeat(
+                    off[:-1], np.diff(off)
+                )
+                weighted = vals * np.power(
+                    _HASH_PRIME, pos.astype(np.uint64), dtype=np.uint64
+                )
+                ch = np.add.reduceat(
+                    np.concatenate([weighted, np.zeros(1, np.uint64)]),
+                    np.minimum(off[:-1], len(vals)),
+                    dtype=np.uint64,
+                ) if len(b) else np.zeros(0, np.uint64)
+                ch[np.diff(off) == 0] = np.uint64(0)
+                ch += np.diff(off).astype(np.uint64) * np.uint64(0x1000193)
+            if arr.null_count:
+                mask = arr.is_null().to_numpy(zero_copy_only=False)
+                ch = np.where(mask, np.uint64(0xA5A5A5A5A5A5A5A5), ch)
+        else:
+            ch = _col_elem_hash(arr)
+        h = h * _HASH_PRIME + ch
+    return h
+
+
+def _delta_files(
+    out_dir: str, v_from: int, v_to: int
+) -> "tuple[list[str], list[str]]":
+    """Files exclusive to one of two store versions — the IO bound for
+    every CDC consumer (a row in a shared file cannot have changed).
+    Compact hard-links untouched files under new generation names, so a
+    name-diff alone would rescan them: identical inodes are identical
+    content and the pairs are dropped (O(files) stat calls, zero data
+    IO)."""
+    recs_from = SpatialManifest(out_dir, version=v_from).completed().values()
+    recs_to = SpatialManifest(out_dir, version=v_to).completed().values()
+    files_from = {r["file"] for r in recs_from if r["rows"] > 0}
+    files_to = {r["file"] for r in recs_to if r["rows"] > 0}
+    only_from = sorted(files_from - files_to)
+    only_to = sorted(files_to - files_from)
+
+    def _ino(f: str):
+        try:
+            st = os.stat(os.path.join(out_dir, f))
+            return (st.st_dev, st.st_ino)
+        except OSError:
+            return None
+
+    ino_to = {}
+    for f in only_to:
+        k = _ino(f)
+        if k is not None:
+            ino_to.setdefault(k, set()).add(f)
+    shared_from, shared_to = set(), set()
+    for f in only_from:
+        k = _ino(f)
+        for g in ino_to.get(k, ()):  # k=None never in ino_to
+            shared_from.add(f)
+            shared_to.add(g)
+    return (
+        [f for f in only_from if f not in shared_from],
+        [f for f in only_to if f not in shared_to],
+    )
+
+
+def changes_clustered(
+    out_dir: str,
+    v_from: int,
+    v_to: int | None = None,
+    *,
+    id_col: str = "image_id",
+):
+    """Change-data-capture between two store versions (the lakehouse
+    CHANGE FEED): → Dataset of ``(id_col, change)`` with ``change`` ∈
+    {'insert', 'update', 'delete'} describing how ``v_to`` (default:
+    current) differs from ``v_from``. Requires ``id_col`` unique per
+    version (the same contract as upsert).
+
+    Scale shape: data files are immutable and uniquely named, so the
+    manifest diff bounds IO to the DELTA — only files exclusive to one
+    side are read (a row in a shared file cannot have changed; see
+    ``_delta_files``). Each side's exclusive files stream through a
+    vectorized per-row content hash (canonical column order; both sides
+    share the store schema, so dtype-stable), then ONE ``groupby(id)``
+    over delta rows folds (side-tagged presence, side-tagged hash)
+    partials and a map pass classifies: to-only → insert, from-only →
+    delete, both-with-different-hash → update; unchanged rows (rewritten
+    into a new file by a merge/compact that didn't touch them) cancel
+    out and are dropped. Nothing store-sized is read or shuffled.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    out_dir = os.path.abspath(out_dir)
+    _repair_if_crashed(out_dir)
+    if v_to is None:
+        v_to = store_version(out_dir)
+    only_from, only_to = _delta_files(out_dir, v_from, v_to)
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.string()), "change": pa.array([], pa.string())}
+    )
+    if not only_from and not only_to:
+        return rd.from_arrow(empty)
+
+    def tagged(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            h = _row_content_hash(b).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "_n_from": pa.array(
+                        np.full(len(b), 1 - side, np.int64), pa.int64()
+                    ),
+                    "_n_to": pa.array(np.full(len(b), side, np.int64), pa.int64()),
+                    "_h_from": pa.array(h * (1 - side), pa.int64()),
+                    "_h_to": pa.array(h * side, pa.int64()),
+                }
+            )
+
+        return fn
+
+    sides = []
+    if only_from:
+        sides.append(
+            rd.read_parquet([os.path.join(out_dir, f) for f in only_from])
+            .map_batches(tagged(0), batch_format="pyarrow")
+        )
+    if only_to:
+        sides.append(
+            rd.read_parquet([os.path.join(out_dir, f) for f in only_to])
+            .map_batches(tagged(1), batch_format="pyarrow")
+        )
+    both = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+    agg = both.groupby(id_col).aggregate(
+        Sum("_n_from", alias_name="nf"), Sum("_n_to", alias_name="nt"),
+        Sum("_h_from", alias_name="hf"), Sum("_h_to", alias_name="ht"),
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return empty
+        nf = b["nf"].to_numpy(zero_copy_only=False)
+        nt = b["nt"].to_numpy(zero_copy_only=False)
+        if (nf > 1).any() or (nt > 1).any():
+            raise ValueError(
+                f"changes_clustered: duplicate {id_col} within one version "
+                "— CDC requires a unique key (same contract as upsert)"
+            )
+        hf = b["hf"].to_numpy(zero_copy_only=False)
+        ht = b["ht"].to_numpy(zero_copy_only=False)
+        label = np.where(
+            nf == 0, "insert", np.where(nt == 0, "delete", "update")
+        )
+        keep = (nf == 0) | (nt == 0) | (hf != ht)
+        t = pa.table(
+            {id_col: b[id_col], "change": pa.array(label, pa.string())}
+        )
+        return t.filter(pa.array(keep))
+
+    return agg.map_batches(classify, batch_format="pyarrow")
 
 
 def vacuum_clustered(out_dir: str, *, keep_versions: int = 1) -> dict:

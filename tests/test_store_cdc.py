@@ -1,0 +1,178 @@
+"""Change-data-capture between clustered-store versions
+(sources/clustered.changes_clustered).
+
+Analogue surface: the reference has no mutable store, so no change feed;
+this is the lakehouse CHANGE FEED (Delta CDF / Iceberg changelog shape)
+over the Morton store's versioned manifests — at 100 TB an incremental
+consumer (index refresh, downstream re-train) reads O(delta), never the
+corpus. The manifest file-set diff bounds IO to files exclusive to one
+version; shared (untouched) files are never opened.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rustac_ray.pipelines.flagship import read_images_metadata
+from rustac_ray.sources.clustered import (
+    changes_clustered,
+    compact_clustered,
+    delete_clustered,
+    store_version,
+    upsert_clustered,
+    write_clustered,
+)
+from rustac_ray.stages.footprint import derive_footprints
+
+SF = "/root/testdata/sf0.001"
+COLS = ["image_id", "collection", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+AOI = (-100.0, 30.0, -90.0, 45.0)
+
+
+@pytest.fixture(scope="module")
+def base(fixtures_dir):
+    return (
+        read_images_metadata(SF)
+        .map_batches(derive_footprints, batch_format="pyarrow")
+        .to_pandas()[COLS]
+    )
+
+
+@pytest.fixture()
+def store(tmp_path, base):
+    out = str(tmp_path / "cdc")
+    write_clustered(
+        rd.from_pandas(base), out, footprints_derived=True, rows_per_file=32
+    )
+    return out
+
+
+def _cdc(out, v_from, v_to=None) -> pd.DataFrame:
+    df = changes_clustered(out, v_from, v_to).to_pandas()
+    if df.empty:  # Ray's to_pandas drops columns on zero-row datasets
+        return pd.DataFrame({"image_id": [], "change": []}, dtype=object)
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def _aoi_mask(df: pd.DataFrame) -> pd.Series:
+    return (
+        (df.fp_xmin <= AOI[2])
+        & (df.fp_xmax >= AOI[0])
+        & (df.fp_ymin <= AOI[3])
+        & (df.fp_ymax >= AOI[1])
+    )
+
+
+def test_cdc_classifies_all_three(store, base):
+    delete_clustered(store, bbox=AOI)
+    mod = base[base.collection == "naip"].copy()
+    mod["collection"] = "upserted"
+    new = base[base.collection == "sentinel-2a"].copy()
+    new["image_id"] = "new-" + new["image_id"]
+    upsert_clustered(
+        store,
+        rd.from_pandas(pd.concat([mod, new], ignore_index=True)),
+        id_col="image_id",
+        locate="footprint",
+        footprints_derived=True,
+    )
+
+    got = _cdc(store, 0)
+    hit = _aoi_mask(base)
+    want = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "image_id": base.image_id[hit & (base.collection != "naip")],
+                    "change": "delete",
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "image_id": base.image_id[base.collection == "naip"],
+                    "change": "update",
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "image_id": "new-"
+                    + base.image_id[base.collection == "sentinel-2a"],
+                    "change": "insert",
+                }
+            ),
+        ],
+        ignore_index=True,
+    ).sort_values("image_id").reset_index(drop=True)
+    assert len(want.query("change == 'delete'")) > 0
+    assert len(want.query("change == 'insert'")) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cdc_rewrite_only_is_empty(store):
+    """compact rewrites files (new generation names, same rows) — a CDC
+    consumer must see NO changes: rewritten-identical rows cancel by
+    content hash."""
+    v0 = store_version(store)
+    compact_clustered(store, target_rows=128)
+    assert store_version(store) > v0
+    assert len(_cdc(store, v0)) == 0
+
+
+def test_cdc_same_version_empty(store):
+    assert len(_cdc(store, 0, 0)) == 0
+
+
+def test_cdc_delete_only(store, base):
+    delete_clustered(store, bbox=AOI)
+    got = _cdc(store, 0)
+    assert set(got.change) == {"delete"}
+    assert set(got.image_id) == set(base.image_id[_aoi_mask(base)])
+
+
+def test_cdc_intermediate_version_pair(store, base):
+    """CDC between two non-initial versions: v1 = delete, v2 = upsert;
+    v1→v2 sees the upsert only (updates vs v1 + the AOI-naip rows and
+    the new- rows as inserts)."""
+    delete_clustered(store, bbox=AOI)
+    v1 = store_version(store)
+    mod = base[base.collection == "naip"].copy()
+    mod["collection"] = "upserted"
+    upsert_clustered(
+        store,
+        rd.from_pandas(mod),
+        id_col="image_id",
+        locate="footprint",
+        footprints_derived=True,
+    )
+    got = _cdc(store, v1)
+    hit = _aoi_mask(base)
+    naip = base.collection == "naip"
+    assert set(got.image_id[got.change == "insert"]) == set(
+        base.image_id[naip & hit]
+    )
+    assert set(got.image_id[got.change == "update"]) == set(
+        base.image_id[naip & ~hit]
+    )
+    assert not (got.change == "delete").any()
+
+
+def test_cdc_duplicate_id_raises(tmp_path):
+    df = pd.DataFrame(
+        {
+            "image_id": ["a", "a", "b"],
+            "fp_xmin": [0.0, 1.0, 2.0],
+            "fp_ymin": [0.0, 1.0, 2.0],
+            "fp_xmax": [0.5, 1.5, 2.5],
+            "fp_ymax": [0.5, 1.5, 2.5],
+        }
+    )
+    out = str(tmp_path / "dup")
+    write_clustered(
+        rd.from_pandas(df), out, footprints_derived=True, rows_per_file=4
+    )
+    delete_clustered(out, bbox=(1.9, 1.9, 3.0, 3.0))  # drop 'b' → delta exists
+    with pytest.raises(Exception, match="unique"):
+        changes_clustered(out, 0).materialize()
