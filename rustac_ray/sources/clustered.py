@@ -45,8 +45,11 @@ import pyarrow.parquet as pq
 
 from ..geo.tiles import _part1by1
 from ..stages.footprint import derive_footprints
+from . import evolution
 
 __all__ = [
+    "evolve_clustered",
+    "store_schema",
     "morton_key",
     "write_clustered",
     "read_clustered",
@@ -113,14 +116,45 @@ def _bump_version_marker(out_dir: str, new_version: int) -> None:
     os.rename(tmp, path)
 
 
+def _read_marker(out_dir: str) -> int:
+    try:
+        with open(os.path.join(out_dir, _CURVER_NAME)) as f:
+            return int(f.read().strip() or 0)
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _snapshot_schema(out_dir: str, v: int) -> None:
+    """Archive the live schema descriptor as the schema of version ``v``
+    (idempotent) — time-travel reads then see version N's files AND its
+    logical schema. Durable copy (tmp + fsync + rename)."""
+    src = os.path.join(out_dir, evolution.SCHEMA_NAME)
+    if not os.path.exists(src):
+        return
+    dst = evolution.schema_file_path(out_dir, v, _HISTORY_DIR)
+    if os.path.exists(dst):
+        return
+    with open(src, "rb") as f:
+        data = f.read()
+    tmp = dst + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, dst)
+
+
 def _archive_current(out_dir: str) -> None:
     """Snapshot the CURRENT manifest into ``_history/manifest.v{N}.jsonl``
-    before a publish replaces it — the time-travel retention record.
+    (and the schema descriptor into ``_history/schema.v{N}.json``) before
+    a publish replaces it — the time-travel retention record.
     Durable (tmp + fsync + rename) BEFORE the publish journal is written,
     so a crash anywhere in the publish can never lose the old version.
-    Idempotent: a crash between archive and journal-write leaves the
-    newest archive byte-identical to the live manifest; the retry detects
-    that and reuses the version number instead of minting a hole."""
+    Idempotent: a crash between archive and marker-bump leaves the newest
+    archive byte-identical to the live manifest WITH a stale marker; the
+    retry detects that pair and reuses the version number instead of
+    minting a hole. (Byte-equality alone isn't enough: a schema evolve
+    legitimately publishes an UNCHANGED manifest as a new version.)"""
     cur = os.path.join(out_dir, _MANIFEST_NAME)
     if not os.path.exists(cur):
         return
@@ -130,17 +164,40 @@ def _archive_current(out_dir: str) -> None:
     with open(cur, "rb") as f:
         cur_bytes = f.read()
     if vs:
+        # crashed-retry detection: the newest archive matching the live
+        # state byte-for-byte (manifest AND schema — an evolve archives an
+        # UNCHANGED manifest with a CHANGED schema, which must still mint
+        # a fresh version) means a prior publish archived and died; reuse
+        # that version instead of minting a hole.
+        def _same(a_path, b_path):
+            try:
+                with open(b_path, "rb") as f:
+                    b = f.read()
+            except FileNotFoundError:
+                b = None
+            try:
+                with open(a_path, "rb") as f:
+                    a = f.read()
+            except FileNotFoundError:
+                a = None
+            return a == b
         last = os.path.join(hdir, f"manifest.v{vs[-1]:06d}.jsonl")
         try:
             with open(last, "rb") as f:
-                if f.read() == cur_bytes:
-                    # crashed-between-archive-and-marker retry: reuse the
-                    # version, but make sure the marker reflects it
+                if f.read() == cur_bytes and _same(
+                    os.path.join(out_dir, evolution.SCHEMA_NAME),
+                    evolution.schema_file_path(out_dir, vs[-1], _HISTORY_DIR),
+                ):
+                    _snapshot_schema(out_dir, vs[-1])
                     _bump_version_marker(out_dir, vs[-1] + 1)
                     return
         except FileNotFoundError:
             pass
     v = store_version(out_dir)  # marker-aware (survives dropped history)
+    # schema first: a crash between the two snapshots must leave the
+    # version UNLISTED (only manifest archives define versions), so the
+    # retry re-mints the same number instead of a content-duplicate hole
+    _snapshot_schema(out_dir, v)
     dst = os.path.join(hdir, f"manifest.v{v:06d}.jsonl")
     tmp = dst + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
@@ -392,6 +449,10 @@ def write_clustered(
     with _StoreLock(out_dir):
         _apply_journal(out_dir)  # finish a crashed merge/compact publish
         done = man.completed() if resume else {}
+        # files written now carry the CURRENT schema version (0 for a
+        # fresh store; an appended-to store may have evolved)
+        _desc = evolution.load_schema(out_dir)
+        cur_schema_v = 0 if _desc is None else int(_desc["v"])
         # partitioning parameters are part of the store's identity: a
         # resume with different bits/rows_per_file would compute different
         # boundaries and mis-skip — verify against the recorded descriptor
@@ -462,6 +523,7 @@ def write_clustered(
                 "ymax": float(np.max(t["fp_ymax"].to_numpy())),
                 "zmin": int(z.min()),
                 "zmax": int(z.max()),
+                "schema_v": cur_schema_v,
                 **_temporal_stats(t),
             }
             prev = (
@@ -586,7 +648,9 @@ def _norm_stat(k, v):
     back to None."""
     if isinstance(v, float) and v != v:  # NaN
         return None
-    if k in ("partition_id", "rows", "zmin", "zmax", "tmin", "tmax") and v is not None:
+    if k in (
+        "partition_id", "rows", "zmin", "zmax", "tmin", "tmax", "schema_v"
+    ) and v is not None:
         return int(v)
     return v
 
@@ -799,7 +863,10 @@ def read_clustered(
     import pyarrow.compute as pc
     import ray.data as rd
 
+    out_dir = os.path.abspath(out_dir)
     paths, _total = prune_plan(out_dir, bbox, datetime=datetime, version=version)
+    sv = None if version is None or version == store_version(out_dir) else version
+    desc = evolution.load_schema(out_dir, sv)
     if not paths:
         recs = sorted(
             SpatialManifest(out_dir, version=version).completed().values(),
@@ -809,7 +876,11 @@ def read_clustered(
             raise FileNotFoundError(f"no clustered store at {out_dir}")
         schema = pq.read_schema(os.path.join(out_dir, recs[0]["file"]))
         empty = schema.empty_table()
-        if columns:
+        if desc is not None:
+            empty = evolution.reconcile_table(
+                empty, desc, recs[0].get("schema_v", 0), columns
+            )
+        elif columns:
             empty = empty.select(columns)
         return rd.from_arrow(empty)
     expr = read_kwargs.pop("filter", None)  # caller prefilter ANDs with ours
@@ -826,15 +897,48 @@ def read_clustered(
         for p in parts[1:]:
             bexpr = bexpr | p
         expr = bexpr if expr is None else (expr & bexpr)
-    # the filter needs the fp_* columns during the scan; re-project after
-    # if the caller asked for a narrower set
-    scan_columns = columns
-    if columns is not None and expr is not None:
-        need = ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
-        scan_columns = list(dict.fromkeys(list(columns) + need))
-    ds = rd.read_parquet(paths, columns=scan_columns, filter=expr, **read_kwargs)
-    if columns is not None and scan_columns != columns:
-        ds = ds.select_columns(columns)
+    if desc is None:
+        # identity store (never evolved): one scan, physical == logical.
+        # The filter needs the fp_* columns during the scan; re-project
+        # after if the caller asked for a narrower set.
+        scan_columns = columns
+        if columns is not None and expr is not None:
+            need = ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+            scan_columns = list(dict.fromkeys(list(columns) + need))
+        ds = rd.read_parquet(paths, columns=scan_columns, filter=expr, **read_kwargs)
+        if columns is not None and scan_columns != columns:
+            ds = ds.select_columns(columns)
+        return ds
+    # evolved store: files group by the schema version they were written
+    # under; each group scans its PHYSICAL column names and a per-batch
+    # reconcile projects to the live logical schema (rename by column id,
+    # fill added defaults, drop retired columns). The fp_* filter columns
+    # are internal and identical across every schema version, so pruning
+    # and row-group pushdown are schema-agnostic.
+    file_sv = {
+        r["file"]: int(r.get("schema_v", 0))
+        for r in SpatialManifest(out_dir, version=version).completed().values()
+    }
+    groups: dict[int, list[str]] = {}
+    for p in paths:
+        groups.setdefault(file_sv.get(os.path.basename(p), 0), []).append(p)
+    pieces = []
+    for sv in sorted(groups):
+        scan_columns = evolution.physical_read_columns(desc, sv, columns)
+        if scan_columns is not None and expr is not None:
+            need = ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+            scan_columns = list(dict.fromkeys(scan_columns + need))
+        part = rd.read_parquet(
+            groups[sv], columns=scan_columns, filter=expr, **read_kwargs
+        ).map_batches(
+            evolution.reconcile_table,
+            batch_format="pyarrow",
+            fn_kwargs={"desc": desc, "schema_v": sv, "columns": columns},
+        )
+        pieces.append(part)
+    ds = pieces[0]
+    for p in pieces[1:]:
+        ds = ds.union(p)
     return ds
 
 
@@ -879,6 +983,12 @@ def merge_clustered(
         bounds = np.asarray([r["zmin"] for r in own], np.int64)  # sorted
         pids = np.asarray([r["partition_id"] for r in own], np.int64)
         bounds_ref = ray.put((bounds, pids))
+        # evolved store: old file bytes reconcile to the live logical
+        # schema before the merge concat (new_ds arrives in live names),
+        # and the rewritten file is stamped with the current schema_v —
+        # merges opportunistically upgrade touched files
+        desc = evolution.load_schema(out_dir)
+        cur_sv = 0 if desc is None else int(desc["v"])
 
         def route(batch: pa.Table) -> pa.Table:
             b = _zkey_stage(
@@ -900,6 +1010,10 @@ def merge_clustered(
             pid = int(g["_target"].iloc[0])
             fname = by_rec[pid]["file"]  # actual name (may be gen-numbered)
             old = pq.read_table(os.path.join(out_dir, fname))
+            if desc is not None:
+                old = evolution.reconcile_table(
+                    old, desc, int(by_rec[pid].get("schema_v", 0))
+                )
             add = pa.Table.from_pandas(
                 g.drop(columns=["_target"]), preserve_index=False
             ).select(old.column_names).cast(old.schema)
@@ -925,6 +1039,7 @@ def merge_clustered(
                     "ymax": [float(np.max(merged["fp_ymax"].to_numpy()))],
                     "zmin": [int(z.min())],
                     "zmax": [int(z.max())],
+                    "schema_v": [cur_sv],
                     **{k: [v] for k, v in ts.items()},
                 }
             )
@@ -999,6 +1114,12 @@ def compact_clustered(
         if _apply_journal(out_dir):  # finish a crashed publish first
             recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
         gen = _next_gen(out_dir, recs)
+        # evolved store: inputs of mixed schema versions reconcile to the
+        # live logical schema before the concat; rewritten chunks carry
+        # the current schema_v (kept files keep theirs)
+        desc = evolution.load_schema(out_dir)
+        cur_sv = 0 if desc is None else int(desc["v"])
+        sv_of = {r["file"]: int(r.get("schema_v", 0)) for r in recs}
 
         # group planning on the tiny manifest: greedy run-coalesce + splits
         groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
@@ -1036,6 +1157,11 @@ def compact_clustered(
         @ray.remote
         def rework(files: list[str], action: str) -> list[dict]:
             tables = [pq.read_table(os.path.join(out_dir, f)) for f in files]
+            if desc is not None:
+                tables = [
+                    evolution.reconcile_table(t, desc, sv_of.get(f, 0))
+                    for t, f in zip(tables, files)
+                ]
             merged = pa.concat_tables(tables)
             order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
             merged = merged.take(pa.array(order))
@@ -1062,6 +1188,7 @@ def compact_clustered(
                 out.append(
                     {
                         "tmp": tmp,
+                        "schema_v": cur_sv,
                         "rows": c.num_rows,
                         "xmin": float(np.min(c["fp_xmin"].to_numpy())),
                         "ymin": float(np.min(c["fp_ymin"].to_numpy())),
@@ -1184,20 +1311,44 @@ def delete_clustered(
 
         ids_ref = ray.put(None if ids is None else pa.array(list(ids)))
         boxes = _query_boxes(tuple(bbox)) if bbox is not None else None
+        # evolved store: conditions (ids/predicate/datetime columns) are
+        # expressed in the LIVE schema — old files reconcile before the
+        # masks run, and their rewrites carry the current schema_v
+        desc = evolution.load_schema(out_dir)
+        cur_sv = 0 if desc is None else int(desc["v"])
 
         @ray.remote
         def _rework(rec: dict) -> dict:
             import pyarrow.compute as pc
 
             path = os.path.join(out_dir, rec["file"])
+            file_sv = int(rec.get("schema_v", 0))
             idv = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
             if idv is not None and bbox is None and trange is None and predicate is None:
                 # id-only delete: probe the id column before paying for
-                # the payload bytes (most files have no victim rows)
-                probe = pq.read_table(path, columns=[id_col])
-                if not pc.any(pc.is_in(probe[id_col], value_set=idv)).as_py():
+                # the payload bytes (most files have no victim rows);
+                # probe by the file's PHYSICAL name for the id column
+                probe_col = id_col
+                if desc is not None:
+                    live = {c["name"]: c for c in desc["columns"]}
+                    if id_col not in live:
+                        raise KeyError(f"delete: no live column {id_col!r}")
+                    probe_col = evolution.names_at(desc, file_sv).get(
+                        live[id_col]["id"]
+                    )
+                    if probe_col is None:
+                        # id column added after this file was written —
+                        # its reconciled values are the fill default,
+                        # which is not a row identity; nothing matches
+                        return {"action": "noop", "file": rec["file"], "deleted": 0}
+                probe = pq.read_table(path, columns=[probe_col])
+                if not pc.any(
+                    pc.is_in(probe[probe_col], value_set=idv)
+                ).as_py():
                     return {"action": "noop", "file": rec["file"], "deleted": 0}
             t = pq.read_table(path)
+            if desc is not None:
+                t = evolution.reconcile_table(t, desc, file_sv)
             n = t.num_rows
             dmask = np.ones(n, bool)
             if boxes is not None:
@@ -1254,6 +1405,7 @@ def delete_clustered(
                 "stats": {
                     "partition_id": rec["partition_id"],
                     "file": rec["file"],
+                    "schema_v": cur_sv if desc is not None else file_sv,
                     "rows": keep.num_rows,
                     "xmin": float(np.min(keep["fp_xmin"].to_numpy())),
                     "ymin": float(np.min(keep["fp_ymin"].to_numpy())),
@@ -1318,6 +1470,85 @@ def store_versions(out_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def evolve_clustered(
+    out_dir: str,
+    *,
+    add: "dict | None" = None,
+    drop: "list[str] | None" = None,
+    rename: "dict[str, str] | None" = None,
+) -> dict:
+    """Evolve the store's logical schema WITHOUT rewriting any data file
+    (the lakehouse ALTER TABLE; Iceberg-style stable column ids — see
+    ``evolution.py``). Ops compose rename → drop → add:
+
+    - ``rename={"old": "new"}`` — metadata-only; old files' physical
+      column maps to the new name at read time by column id.
+    - ``drop=["col"]`` — the column disappears from reads of every file
+      (old files keep the bytes until their file is next rewritten).
+    - ``add={"col": default}`` or ``{"col": (default, "type")}`` — reads
+      of files that predate the add fill the recorded default (typed;
+      ``(None, "float64")`` adds a nullable column). Re-adding a dropped
+      NAME mints a fresh column id — old values are never resurrected.
+
+    Publishes a new STORE version (the manifest is unchanged but
+    archived, so ``read_clustered(version=N)`` pairs version-N files
+    with version-N's schema). Cost: O(columns) — no data IO, no shuffle;
+    the reconcile work happens per batch at read time, which is what
+    makes this viable at 100 TB.
+
+    Returns ``{"schema_version", "store_version", "columns"}``.
+    """
+    out_dir = os.path.abspath(out_dir)
+    man = SpatialManifest(out_dir)
+    with _StoreLock(out_dir):
+        _apply_journal(out_dir)
+        recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+        desc = evolution.load_schema(out_dir)
+        if desc is None:
+            nonempty = [r for r in recs if r["rows"] > 0]
+            if not nonempty:
+                raise FileNotFoundError(
+                    f"no clustered store at {out_dir} (evolve needs an "
+                    "existing physical schema to track)"
+                )
+            phys = pq.read_schema(os.path.join(out_dir, nonempty[0]["file"]))
+            desc = evolution.init_desc(phys)
+        new_desc = evolution.apply_evolution(
+            desc, add=add, drop=drop, rename=rename
+        )
+        # archive (manifest + pre-evolve schema) under the outgoing
+        # version, THEN swap the live descriptor (atomic rename). A crash
+        # between the two mints a content-identical version — harmless.
+        _archive_current(out_dir)
+        evolution.write_schema_atomic(out_dir, new_desc)
+        return {
+            "schema_version": new_desc["v"],
+            "store_version": store_version(out_dir),
+            "columns": evolution.live_names(new_desc),
+        }
+
+
+def store_schema(out_dir: str, version: "int | None" = None) -> list[dict]:
+    """The store's logical schema (at ``version``, default current): one
+    ``{"id", "name"}`` dict per live column (added columns also carry
+    ``type``/``default``). Falls back to the physical parquet schema for
+    a store that never evolved."""
+    out_dir = os.path.abspath(out_dir)
+    sv = None if version is None or version == store_version(out_dir) else version
+    desc = evolution.load_schema(out_dir, sv)
+    if desc is not None:
+        return [dict(c) for c in desc["columns"]]
+    recs = sorted(
+        SpatialManifest(out_dir, version=version).completed().values(),
+        key=lambda r: r["partition_id"],
+    )
+    nonempty = [r for r in recs if r["rows"] > 0]
+    if not nonempty:
+        raise FileNotFoundError(f"no clustered store at {out_dir}")
+    phys = pq.read_schema(os.path.join(out_dir, nonempty[0]["file"]))
+    return [dict(c) for c in evolution.init_desc(phys)["columns"]]
 
 
 _HASH_PRIME = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix
@@ -1448,6 +1679,50 @@ def _delta_files(
     )
 
 
+def _read_version_files(
+    out_dir: str,
+    files: "list[str]",
+    version: int,
+    desc: "dict | None",
+    columns: "list[str] | None" = None,
+):
+    """Dataset over store-relative ``files`` belonging to store version
+    ``version``, reconciled to ``desc``'s logical schema (None = identity
+    read). Files group by the schema version they were written under, so
+    every output batch has identical column names/order — the shared read
+    primitive for CDC and incremental-view refresh."""
+    import ray.data as rd
+
+    if desc is None:
+        ds = rd.read_parquet([os.path.join(out_dir, f) for f in files])
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
+    sv_of = {
+        r["file"]: int(r.get("schema_v", 0))
+        for r in SpatialManifest(out_dir, version=version).completed().values()
+    }
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        groups.setdefault(sv_of.get(f, 0), []).append(f)
+    pieces = []
+    for sv in sorted(groups):
+        scan = evolution.physical_read_columns(desc, sv, columns)
+        pieces.append(
+            rd.read_parquet(
+                [os.path.join(out_dir, f) for f in groups[sv]], columns=scan
+            ).map_batches(
+                evolution.reconcile_table,
+                batch_format="pyarrow",
+                fn_kwargs={"desc": desc, "schema_v": sv, "columns": columns},
+            )
+        )
+    ds = pieces[0]
+    for p in pieces[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def changes_clustered(
     out_dir: str,
     v_from: int,
@@ -1478,8 +1753,9 @@ def changes_clustered(
 
     out_dir = os.path.abspath(out_dir)
     _repair_if_crashed(out_dir)
+    cur = store_version(out_dir)
     if v_to is None:
-        v_to = store_version(out_dir)
+        v_to = cur
     only_from, only_to = _delta_files(out_dir, v_from, v_to)
 
     empty = pa.table(
@@ -1488,9 +1764,28 @@ def changes_clustered(
     if not only_from and not only_to:
         return rd.from_arrow(empty)
 
+    # schema-aware CDC: both sides reconcile to v_to's LOGICAL schema (by
+    # column id, so a renamed id_col still keys correctly), and the row
+    # hash covers only columns live in BOTH versions — a column added or
+    # dropped between the versions is a schema change, not a row change.
+    desc_to = evolution.load_schema(out_dir, None if v_to == cur else v_to)
+    desc_from = evolution.load_schema(out_dir, None if v_from == cur else v_from)
+    skip: tuple = ()
+    if desc_to is not None:
+        common = evolution.common_ids(desc_from, desc_to)
+        if common is not None:
+            skip = tuple(
+                c["name"] for c in desc_to["columns"] if c["id"] not in common
+            )
+        if id_col not in evolution.live_names(desc_to):
+            raise KeyError(
+                f"changes_clustered: id_col {id_col!r} is not live at "
+                f"version {v_to} (live: {evolution.live_names(desc_to)})"
+            )
+
     def tagged(side: int):
         def fn(b: pa.Table) -> pa.Table:
-            h = _row_content_hash(b).astype(np.int64)
+            h = _row_content_hash(b, skip=skip).astype(np.int64)
             return pa.table(
                 {
                     id_col: b[id_col],
@@ -1508,12 +1803,12 @@ def changes_clustered(
     sides = []
     if only_from:
         sides.append(
-            rd.read_parquet([os.path.join(out_dir, f) for f in only_from])
+            _read_version_files(out_dir, only_from, v_from, desc_to)
             .map_batches(tagged(0), batch_format="pyarrow")
         )
     if only_to:
         sides.append(
-            rd.read_parquet([os.path.join(out_dir, f) for f in only_to])
+            _read_version_files(out_dir, only_to, v_to, desc_to)
             .map_batches(tagged(1), batch_format="pyarrow")
         )
     both = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
@@ -1594,6 +1889,10 @@ def vacuum_clustered(out_dir: str, *, keep_versions: int = 1) -> dict:
             os.remove(
                 os.path.join(out_dir, _HISTORY_DIR, f"manifest.v{v:06d}.jsonl")
             )
+            try:  # the version's schema snapshot expires with it
+                os.remove(evolution.schema_file_path(out_dir, v, _HISTORY_DIR))
+            except FileNotFoundError:
+                pass
         return {
             "files_deleted": files_deleted,
             "bytes_freed": bytes_freed,
