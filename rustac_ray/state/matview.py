@@ -1,0 +1,311 @@
+"""Incremental materialized views over the clustered store.
+
+The 100-TB problem: dashboards / curation monitors want grouped
+aggregates ("rows and total pixels per collection") that stay current as
+the store mutates — but recomputing a full groupby over the corpus after
+every DELETE/UPSERT re-reads everything. The lakehouse answer
+(incremental view maintenance over a change feed; Delta Live Tables /
+Materialize-style) is to maintain only ABELIAN-GROUP aggregates (count,
+sum, mean = sum/count) so a refresh needs just the DELTA between two
+store versions:
+
+    new_agg(g) = old_agg(g) + sum(+rows of g in v_to-only files)
+                            - sum(-rows of g in v_from-only files)
+
+The clustered store's immutable, uniquely-named data files make the
+delta trivially enumerable (``_delta_files``): a row in a file shared by
+both versions cannot have changed, and an unchanged row rewritten into a
+new file (by a merge/compact that didn't touch it) appears on BOTH sides
+and cancels in the group sums — no per-row id classification needed at
+all, unlike the CDC feed. Refresh cost is O(delta files + view groups),
+independent of store size.
+
+min/max are deliberately unsupported: deleting the current minimum needs
+a full rescan of its group (not a group-inverse op); a view spec asking
+for them raises, naming ``refresh(mode="full")`` as the path.
+
+Schema evolution composes: delta files reconcile to the CURRENT logical
+schema before aggregation (``_read_version_files``), so a view over a
+renamed column keeps refreshing across the rename.
+
+Crash safety: refresh writes the new view table under a tmp name, then
+the meta (pointing at the new table + the new store version) via atomic
+rename — a crash leaves the old view intact; a re-run redoes the same
+delta (idempotent because the meta still says the old version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_META_NAME = "_view_meta.json"
+
+__all__ = ["create_matview", "refresh_matview", "read_matview"]
+
+
+def _agg_plan(spec: dict):
+    """Validated (group_by, sum_cols, mean_cols) from a view spec."""
+    group_by = list(spec["group_by"])
+    sums = list(spec.get("sums", ()))
+    means = list(spec.get("means", ()))
+    bad = set(spec) - {"group_by", "sums", "means", "counts"}
+    if bad:
+        raise ValueError(
+            f"matview spec: unknown keys {sorted(bad)} — only abelian-group "
+            "aggregates (count/sum/mean) are incrementally maintainable; "
+            "min/max need a full recompute by design"
+        )
+    if not group_by:
+        raise ValueError("matview spec: group_by must name >=1 column")
+    return group_by, sums, means
+
+
+def _signed_partials(spec: dict, sign: int):
+    """map_batches body: per-batch signed partial sums, one output row
+    per group present in the batch — the pre-aggregation that keeps the
+    later groupby exchange tiny."""
+    group_by, sums, means = _agg_plan(spec)
+    need = sums + [m for m in means if m not in sums]
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        df = b.select(group_by + need).to_pandas()
+        df["_n"] = np.int64(sign)
+        agg = {"_n": "sum"}
+        for c in sums:
+            df[f"sum_{c}"] = df[c].astype("float64" if df[c].dtype.kind == "f" else "int64") * sign
+            agg[f"sum_{c}"] = "sum"
+        for c in means:
+            df[f"_msum_{c}"] = df[c].astype("float64") * sign
+            agg[f"_msum_{c}"] = "sum"
+        out = df.groupby(group_by, as_index=False, sort=False, dropna=False).agg(agg)
+        return out
+
+    return fn
+
+
+def _fold(ds, spec: dict):
+    """Groupby-fold signed partials into one row per group."""
+    from ray.data.aggregate import Sum
+
+    group_by, sums, means = _agg_plan(spec)
+    aggs = [Sum("_n", alias_name="_n")]
+    for c in sums:
+        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
+    for c in means:
+        aggs.append(Sum(f"_msum_{c}", alias_name=f"_msum_{c}"))
+    return ds.groupby(group_by).aggregate(*aggs)
+
+
+def _finalize(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
+    """Drop emptied groups, order columns, keep the raw fold columns
+    (the view table stores _n/_msum_* so later deltas keep folding)."""
+    group_by, sums, means = _agg_plan(spec)
+    df = df[df["_n"] > 0].copy()
+    cols = group_by + ["_n"] + [f"sum_{c}" for c in sums] + [
+        f"_msum_{c}" for c in means
+    ]
+    return df[cols].sort_values(group_by).reset_index(drop=True)
+
+
+def _view_table(view_dir: str, meta: dict) -> pd.DataFrame:
+    return pq.read_table(os.path.join(view_dir, meta["table"])).to_pandas()
+
+
+def _publish(view_dir: str, df: pd.DataFrame, meta: dict) -> None:
+    os.makedirs(view_dir, exist_ok=True)
+    gen = int(meta.get("gen", -1)) + 1
+    table = f"view-{gen:06d}.parquet"
+    tmp = os.path.join(view_dir, f".{table}.tmp.{os.getpid()}")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.rename(tmp, os.path.join(view_dir, table))
+    old = meta.get("table")
+    meta = dict(meta, table=table, gen=gen)
+    mtmp = os.path.join(view_dir, _META_NAME + f".tmp.{os.getpid()}")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(mtmp, os.path.join(view_dir, _META_NAME))
+    if old and old != table:
+        try:
+            os.remove(os.path.join(view_dir, old))
+        except FileNotFoundError:
+            pass
+
+
+def create_matview(
+    store_dir: str,
+    view_dir: str,
+    *,
+    group_by: list[str],
+    sums: "list[str] | None" = None,
+    means: "list[str] | None" = None,
+) -> dict:
+    """Materialize a grouped-aggregate view of a clustered store (count
+    per group always; plus ``sum_{c}`` and ``mean_{c}``) and record the
+    store version it reflects. Idempotent: re-creating over an existing
+    view re-materializes it at the current version."""
+    from ..sources.clustered import read_clustered, store_version
+
+    store_dir = os.path.abspath(store_dir)
+    spec = {"group_by": list(group_by), "sums": list(sums or ()),
+            "means": list(means or ())}
+    _agg_plan(spec)
+    v = store_version(store_dir)
+    group_by_, sums_, means_ = _agg_plan(spec)
+    need = list(dict.fromkeys(group_by_ + sums_ + means_))
+    ds = read_clustered(store_dir, columns=need)
+    folded = _fold(
+        ds.map_batches(_signed_partials(spec, +1), batch_format="pyarrow"),
+        spec,
+    ).to_pandas()
+    df = _finalize(folded, spec)
+    from ..sources.clustered import evolution
+
+    desc = evolution.load_schema(store_dir)
+    meta = {
+        "store_dir": store_dir,
+        "spec": spec,
+        "store_version": v,
+        # spec column names are pinned to the schema version live at
+        # create time; a later rename translates them by column id
+        "spec_schema_v": 0 if desc is None else int(desc["v"]),
+    }
+    _publish(view_dir, df, meta)
+    return {"store_version": v, "groups": len(df)}
+
+
+def _translate_spec(meta: dict, desc: "dict | None") -> "tuple[dict, dict]":
+    """(spec in CURRENT column names, old→new rename map for the stored
+    view table's columns). A spec column dropped by an evolve raises —
+    the view is no longer maintainable and must be re-created."""
+    from ..sources.clustered import evolution
+
+    spec = meta["spec"]
+    spec_v = int(meta.get("spec_schema_v", 0))
+    if desc is None or int(desc["v"]) == spec_v:
+        return spec, {}
+    at = evolution.names_at(desc, spec_v)  # id -> name at spec time
+    inv = {name: cid for cid, name in at.items()}
+    cur = {c["id"]: c["name"] for c in desc["columns"]}
+
+    def tr(n):
+        cid = inv.get(n)
+        if cid is None or cid not in cur:
+            raise ValueError(
+                f"matview: spec column {n!r} was dropped by a schema evolve "
+                "— re-create the view"
+            )
+        return cur[cid]
+
+    new_spec = {
+        "group_by": [tr(n) for n in spec["group_by"]],
+        "sums": [tr(n) for n in spec.get("sums", ())],
+        "means": [tr(n) for n in spec.get("means", ())],
+    }
+    renames = {}
+    for old, new in zip(spec["group_by"], new_spec["group_by"]):
+        if old != new:
+            renames[old] = new
+    for old, new in zip(spec.get("sums", ()), new_spec["sums"]):
+        if old != new:
+            renames[f"sum_{old}"] = f"sum_{new}"
+    for old, new in zip(spec.get("means", ()), new_spec["means"]):
+        if old != new:
+            renames[f"_msum_{old}"] = f"_msum_{new}"
+    return new_spec, renames
+
+
+def refresh_matview(store_dir: str, view_dir: str) -> dict:
+    """Bring the view up to the store's current version by folding ONLY
+    the version delta (files exclusive to one side). Falls back to a
+    full recompute when the view's base version was vacuumed (its
+    manifest snapshot is gone). Returns ``{"mode", "from_version",
+    "to_version", "groups"}``."""
+    from ..sources.clustered import (
+        _delta_files, _read_version_files, _repair_if_crashed, evolution,
+        store_version,
+    )
+
+    store_dir = os.path.abspath(store_dir)
+    _repair_if_crashed(store_dir)
+    with open(os.path.join(view_dir, _META_NAME)) as f:
+        meta = json.load(f)
+    v_from, v_to = int(meta["store_version"]), store_version(store_dir)
+    desc = evolution.load_schema(store_dir)
+    spec, renames = _translate_spec(meta, desc)
+    if v_from == v_to:
+        old = _view_table(view_dir, meta)
+        return {"mode": "noop", "from_version": v_from, "to_version": v_to,
+                "groups": len(old)}
+    try:
+        only_from, only_to = _delta_files(store_dir, v_from, v_to)
+    except ValueError:
+        # base version vacuumed out of retention — recompute from scratch
+        out = create_matview(
+            store_dir, view_dir, group_by=spec["group_by"],
+            sums=spec["sums"], means=spec["means"],
+        )
+        return {"mode": "full", "from_version": v_from,
+                "to_version": out["store_version"], "groups": out["groups"]}
+    group_by_, sums_, means_ = _agg_plan(spec)
+    need = list(dict.fromkeys(group_by_ + sums_ + means_))
+    sides = []
+    if only_to:
+        sides.append(
+            _read_version_files(
+                store_dir, only_to, v_to, desc, columns=need
+            ).map_batches(_signed_partials(spec, +1), batch_format="pyarrow")
+        )
+    if only_from:
+        sides.append(
+            _read_version_files(
+                store_dir, only_from, v_from, desc, columns=need
+            ).map_batches(_signed_partials(spec, -1), batch_format="pyarrow")
+        )
+    old = _view_table(view_dir, meta)
+    if renames:
+        old = old.rename(columns=renames)
+    if sides:
+        ds = sides[0]
+        for s in sides[1:]:
+            ds = ds.union(s)
+        delta = _fold(ds, spec).to_pandas()
+        merged = pd.concat([old, delta], ignore_index=True)
+        group_by, sums, means = _agg_plan(spec)
+        num_cols = [c for c in merged.columns if c not in group_by]
+        merged = merged.groupby(group_by, as_index=False, sort=False, dropna=False)[
+            num_cols
+        ].sum()
+        df = _finalize(merged, spec)
+    else:
+        df = old
+    meta["store_version"] = v_to
+    meta["spec"] = spec
+    meta["spec_schema_v"] = 0 if desc is None else int(desc["v"])
+    _publish(view_dir, df, meta)
+    return {"mode": "incremental", "from_version": v_from,
+            "to_version": v_to, "groups": len(df)}
+
+
+def read_matview(view_dir: str) -> pd.DataFrame:
+    """The view in user terms: group keys + ``n`` + ``sum_{c}`` +
+    ``mean_{c}`` (derived from the maintained sum/count)."""
+    with open(os.path.join(view_dir, _META_NAME)) as f:
+        meta = json.load(f)
+    df = _view_table(view_dir, meta)
+    spec = meta["spec"]
+    group_by, sums, means = _agg_plan(spec)
+    out = df[group_by].copy()
+    out["n"] = df["_n"].astype("int64")
+    for c in sums:
+        out[f"sum_{c}"] = df[f"sum_{c}"]
+    for c in means:
+        out[f"mean_{c}"] = df[f"_msum_{c}"] / df["_n"]
+    return out

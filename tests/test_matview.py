@@ -1,0 +1,179 @@
+"""Incremental materialized views over the clustered store
+(state/matview): create → mutate → refresh folds only the version
+delta; result must equal a full recompute, byte-for-byte on int sums.
+
+Analogue surface: the reference's collection-extent/summaries autogen is
+a one-shot aggregate; this is its continuously-maintained form — the
+lakehouse IVM layer a 100-TB mutable corpus needs so dashboards never
+pay a full-store groupby after a delete/upsert.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rustac_ray.pipelines.flagship import read_images_metadata
+from rustac_ray.sources.clustered import (
+    delete_clustered,
+    evolve_clustered,
+    merge_clustered,
+    store_version,
+    vacuum_clustered,
+    write_clustered,
+)
+from rustac_ray.stages.footprint import derive_footprints
+from rustac_ray.state.matview import (
+    create_matview,
+    read_matview,
+    refresh_matview,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ["image_id", "collection", "w", "h",
+        "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+AOI = (-110.0, 35.0, -105.0, 40.0)
+
+
+@pytest.fixture(scope="module")
+def full_fp(fixtures_dir):
+    df = (
+        read_images_metadata(SF)
+        .map_batches(derive_footprints, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df[COLS]
+
+
+@pytest.fixture()
+def store(tmp_path, full_fp):
+    out = str(tmp_path / "mv")
+    write_clustered(
+        rd.from_pandas(full_fp), out, footprints_derived=True, rows_per_file=32
+    )
+    return out
+
+
+def _control(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("collection", as_index=False).agg(
+        n=("image_id", "size"), sum_w=("w", "sum"), mean_h=("h", "mean")
+    )
+    g["n"] = g["n"].astype("int64")
+    g["sum_w"] = g["sum_w"].astype("int64")
+    return g.sort_values("collection").reset_index(drop=True)
+
+
+def _got(view_dir: str) -> pd.DataFrame:
+    df = read_matview(view_dir)
+    return df.sort_values("collection").reset_index(drop=True)
+
+
+def test_create_matches_full_groupby(store, tmp_path, full_fp):
+    view = str(tmp_path / "view")
+    out = create_matview(
+        store, view, group_by=["collection"], sums=["w"], means=["h"]
+    )
+    assert out["store_version"] == 0
+    pd.testing.assert_frame_equal(_got(view), _control(full_fp))
+
+
+def test_incremental_refresh_equals_recompute(store, tmp_path, full_fp):
+    view = str(tmp_path / "view")
+    create_matview(store, view, group_by=["collection"], sums=["w"], means=["h"])
+
+    # mutate: AOI delete + merge of new rows in a fresh collection
+    delete_clustered(store, bbox=AOI)
+    extra = full_fp.head(50).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra["collection"] = "fresh"
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+
+    out = refresh_matview(store, view)
+    assert out["mode"] == "incremental"
+    assert out["to_version"] == store_version(store)
+
+    # control: full recompute over the CURRENT logical state
+    hit = (
+        (full_fp["fp_xmin"] <= AOI[2]) & (full_fp["fp_xmax"] >= AOI[0])
+        & (full_fp["fp_ymin"] <= AOI[3]) & (full_fp["fp_ymax"] >= AOI[1])
+    )
+    cur = pd.concat([full_fp[~hit], extra], ignore_index=True)
+    pd.testing.assert_frame_equal(_got(view), _control(cur))
+
+    # refresh with no new version is a no-op
+    assert refresh_matview(store, view)["mode"] == "noop"
+
+
+def test_group_emptied_by_delete_disappears(store, tmp_path, full_fp):
+    view = str(tmp_path / "view")
+    create_matview(store, view, group_by=["collection"], sums=["w"])
+    victim = full_fp["collection"].iloc[0]
+    ids = list(full_fp[full_fp["collection"] == victim]["image_id"])
+    delete_clustered(store, ids=ids, id_col="image_id")
+    refresh_matview(store, view)
+    assert victim not in set(read_matview(view)["collection"])
+
+
+def test_refresh_across_schema_rename(store, tmp_path, full_fp):
+    view = str(tmp_path / "view")
+    create_matview(store, view, group_by=["collection"], sums=["w"], means=["h"])
+    evolve_clustered(store, rename={"collection": "source", "w": "width"})
+    extra = full_fp.head(20).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra["collection"] = "fresh"
+    extra = extra.rename(columns={"collection": "source", "w": "width"})
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+
+    out = refresh_matview(store, view)
+    assert out["mode"] == "incremental"
+    got = read_matview(view)
+    # spec followed the rename by column id
+    assert {"source", "n", "sum_width", "mean_h"} <= set(got.columns)
+    cur = pd.concat(
+        [full_fp, extra.rename(columns={"source": "collection", "width": "w"})],
+        ignore_index=True,
+    )
+    ctrl = _control(cur).rename(
+        columns={"collection": "source", "sum_w": "sum_width"}
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("source").reset_index(drop=True), ctrl
+    )
+
+
+def test_dropped_spec_column_raises(store, tmp_path, full_fp):
+    view = str(tmp_path / "view")
+    create_matview(store, view, group_by=["collection"], sums=["w"])
+    evolve_clustered(store, drop=["w"])
+    delete_clustered(store, ids=[full_fp["image_id"].iloc[0]], id_col="image_id")
+    with pytest.raises(ValueError, match="dropped"):
+        refresh_matview(store, view)
+
+
+def test_vacuumed_base_falls_back_to_full(store, tmp_path, full_fp):
+    view = str(tmp_path / "view")
+    create_matview(store, view, group_by=["collection"], sums=["w"])
+    delete_clustered(store, bbox=AOI)
+    delete_clustered(store, ids=[full_fp["image_id"].iloc[1]], id_col="image_id")
+    vacuum_clustered(store, keep_versions=1)  # drops version 0 = view base
+    out = refresh_matview(store, view)
+    assert out["mode"] == "full"
+    hit = (
+        (full_fp["fp_xmin"] <= AOI[2]) & (full_fp["fp_xmax"] >= AOI[0])
+        & (full_fp["fp_ymin"] <= AOI[3]) & (full_fp["fp_ymax"] >= AOI[1])
+    )
+    cur = full_fp[~hit & (full_fp["image_id"] != full_fp["image_id"].iloc[1])]
+    got = read_matview(view)[["collection", "n", "sum_w"]]
+    ctrl = _control(cur)[["collection", "n", "sum_w"]]
+    pd.testing.assert_frame_equal(
+        got.sort_values("collection").reset_index(drop=True), ctrl
+    )
+
+
+def test_min_max_rejected(store, tmp_path):
+    with pytest.raises(ValueError):
+        create_matview(store, str(tmp_path / "v"), group_by=[])
