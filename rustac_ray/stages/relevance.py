@@ -332,3 +332,65 @@ def vocab_overlap(ds, group_col: str = "source", col: str = "text",
     out["n_b"] = out["source_b"].map(nd).astype(np.int64)
     out["n_common"] = out["n_common"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def hybrid_topk(
+    docs_ds,
+    emb_ds,
+    query_tokens: list[str],
+    query_vec,
+    *,
+    k: int = 10,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+):
+    """Hybrid lexical+semantic retrieval with Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher RRF, the standard zero-tuning fusion):
+    fused(d) = Σ_lists 1/(rrf_k + rank_list(d)) over a BM25 shortlist of
+    the text corpus and an exact-cosine shortlist of the embedding
+    corpus (aligned by id). Only RANKS cross lists, so the two scorers'
+    incomparable scales never mix — which is why RRF beats score
+    interpolation without calibration.
+
+    Scale shape: both shortlists are global top-``k_cand`` results of
+    already-streaming operators (BM25 = df-fold + vectorized score +
+    partial-top-k, rustac_ray/stages/relevance.py:190; cosine =
+    broadcast-query matmul + partial-top-k, stages/embed.py:91). The
+    fusion itself touches 2·k_cand rows — driver-bounded by the REQUEST,
+    not the corpus, like every top-k tail in the repo.
+
+    Returns a pandas DataFrame (doc_id_col, rrf), rrf descending, id
+    ascending on ties.
+    """
+    import pandas as pd
+
+    from .embed import brute_force_topk
+
+    lex = bm25_topk(
+        docs_ds, query_tokens, col=text_col, id_col=doc_id_col, k=k_cand
+    ).to_pandas()
+    sem = brute_force_topk(
+        emb_ds, {"q": np.asarray(query_vec)}, k_cand,
+        id_col=vec_id_col, vec_col=vec_col,
+    ).to_pandas()
+
+    # deterministic ranks: score desc, id asc (ties)
+    lex = lex.sort_values(
+        ["score", doc_id_col], ascending=[False, True]
+    ).reset_index(drop=True)
+    sem = sem.sort_values(
+        ["cosine", vec_id_col], ascending=[False, True]
+    ).reset_index(drop=True)
+
+    fused: dict = {}
+    for ids in (lex[doc_id_col].tolist(), sem[vec_id_col].tolist()):
+        for r, i in enumerate(ids, start=1):
+            fused[i] = fused.get(i, 0.0) + 1.0 / (rrf_k + r)
+    out = pd.DataFrame(
+        {doc_id_col: list(fused), "rrf": list(fused.values())}
+    ).sort_values(["rrf", doc_id_col], ascending=[False, True])
+    return out.head(k).reset_index(drop=True)

@@ -255,3 +255,45 @@ def source_mix_sample(ds, group_col: str, key_col: str,
         return batch.filter(pa.array(hash_bucket(keys, salt) < t))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_mix_sample(ds, group_col: str, key_col: str,
+                           alpha: float, total_target: int, *, salt: int = 0):
+    """Temperature-based mixture sampling (the multilingual-pretraining
+    standard, p_g ∝ n_g^α — Conneau & Lample's α-smoothing): group
+    targets are target_g = floor(T · n_g^α / Σ_h n_h^α), so α=1
+    preserves the natural mix, α→0 approaches uniform over groups, and
+    rare groups are upsampled RELATIVE to their share (never above
+    their population — no row duplication, same contract as
+    ``source_mix_sample``).
+
+    Same scale shape: one tiny groupby(count) pass (#groups rows), a
+    broadcast threshold dict, then the shuffle-free deterministic hash
+    filter. pow/division happen in IEEE double exactly like the SQL
+    twin; everything after the floor is integer arithmetic.
+    """
+    import math
+
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    if not counts:
+        raise ValueError("temperature_mix_sample: empty input")
+    if alpha < 0:
+        raise ValueError("temperature_mix_sample: alpha must be >= 0")
+    z = sum(float(n) ** alpha for n in counts.values())
+    thr = {}
+    for g, n in counts.items():
+        target = int(math.floor(total_target * (float(n) ** alpha) / z))
+        thr[g] = np.uint64(min(MOD32, target * MOD32 // max(int(n), 1)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        t = np.zeros(len(groups), dtype=np.uint64)
+        for g, tv in thr.items():  # vectorized per GROUP (few), not per row
+            t[groups == g] = tv
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_bucket(keys, salt) < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1063,3 +1063,148 @@ def within_distance_join(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class _AreaOverlayJoiner:
+    """Actor: exact rect∩rect intersection areas against a broadcast zone
+    table — the overlay primitive behind area-weighted zonal statistics
+    (fetch zones once per actor in __init__, vectorized (N×Z) kernel per
+    batch; Z is the SMALL side by contract, like every broadcast join in
+    this module)."""
+
+    def __init__(self, zones_ref, derive: bool, value_col, emit: str):
+        zid, zx0, zy0, zx1, zy1 = ray.get(zones_ref)
+        self.zid, self.zx0, self.zy0, self.zx1, self.zy1 = zid, zx0, zy0, zx1, zy1
+        self.derive = derive
+        self.value_col = value_col
+        self.emit = emit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .footprint import derive_footprints
+
+        if self.derive:
+            batch = derive_footprints(batch)
+        x0 = batch["fp_xmin"].to_numpy()
+        y0 = batch["fp_ymin"].to_numpy()
+        x1 = batch["fp_xmax"].to_numpy()
+        y1 = batch["fp_ymax"].to_numpy()
+        # (N, Z) overlap extents; identical float expression to the SQL
+        # twin: (least(x1,zx1) - greatest(x0,zx0)) * (least(y1,zy1) -
+        # greatest(y0,zy0)), kept only where both extents are positive
+        w = np.minimum(x1[:, None], self.zx1[None, :]) - np.maximum(
+            x0[:, None], self.zx0[None, :]
+        )
+        h = np.minimum(y1[:, None], self.zy1[None, :]) - np.maximum(
+            y0[:, None], self.zy0[None, :]
+        )
+        hit = (w > 0.0) & (h > 0.0)
+        ii, zz = np.nonzero(hit)
+        area = w[ii, zz] * h[ii, zz]
+        if self.emit == "pairs":
+            return pa.table(
+                {
+                    "image_id": batch["image_id"].take(pa.array(ii, pa.int64())),
+                    "query_id": pa.array(self.zid[zz]),
+                    "area": pa.array(area, pa.float64()),
+                }
+            )
+        # zonal partials: one row per zone present in this batch, with
+        # Σarea and Σarea·value — the pre-aggregation that keeps the
+        # final groupby exchange O(zones), not O(pairs)
+        vals = (
+            batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if self.value_col is not None
+            else None
+        )
+        asum = np.zeros(len(self.zid), np.float64)
+        np.add.at(asum, zz, area)
+        cols = {
+            "query_id": pa.array(self.zid),
+            "overlap_area": pa.array(asum, pa.float64()),
+        }
+        if vals is not None:
+            wsum = np.zeros(len(self.zid), np.float64)
+            np.add.at(wsum, zz, area * vals[ii])
+            cols["_wsum"] = pa.array(wsum, pa.float64())
+        t = pa.table(cols)
+        present = np.zeros(len(self.zid), bool)
+        present[zz] = True
+        return t.filter(pa.array(present))
+
+
+def area_overlay_join(
+    images_ds: "ray.data.Dataset",
+    zone_table,
+    *,
+    emit: str = "pairs",
+    value_col: "str | None" = None,
+    footprints_derived: bool = False,
+    concurrency: "int | tuple[int, int]" = 4,
+    batch_size: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Rect-overlay join: images × zone rectangles → exact intersection
+    areas (the GIS ST_Intersection-area primitive for axis-aligned
+    footprints; the reference delegates general overlay to DuckDB
+    spatial — duckdb/src/client.rs ToDuckSQL — this is the native
+    vectorized form for the rect footprints the image table carries).
+
+    ``emit="pairs"``: (image_id, query_id, area) per overlapping pair —
+    per-row float arithmetic identical to the SQL twin, no sums.
+    ``emit="zonal"``: per-zone Σarea (+ area-weighted mean of
+    ``value_col`` when given) — partial sums per batch, ONE
+    O(zones)-sized groupby, the area-weighted zonal-statistics shape
+    (population-density style estimates over scene footprints).
+
+    ``zone_table``: Arrow/pandas (query_id, xmin, ymin, xmax, ymax) —
+    the broadcast-small side.
+    """
+    get = (
+        (lambda c: zone_table[c].to_numpy(zero_copy_only=False))
+        if isinstance(zone_table, pa.Table)
+        else (lambda c: np.asarray(zone_table[c]))
+    )
+    zid = np.asarray(
+        zone_table["query_id"].to_pylist()
+        if isinstance(zone_table, pa.Table)
+        else zone_table["query_id"],
+        dtype=object,
+    )
+    ref = ray.put(
+        (
+            zid,
+            get("xmin").astype(np.float64),
+            get("ymin").astype(np.float64),
+            get("xmax").astype(np.float64),
+            get("ymax").astype(np.float64),
+        )
+    )
+    pairs = images_ds.map_batches(
+        _AreaOverlayJoiner,
+        fn_constructor_args=(ref, not footprints_derived, value_col, emit),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if emit == "pairs":
+        return pairs
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("overlap_area", alias_name="overlap_area")]
+    if value_col is not None:
+        aggs.append(Sum("_wsum", alias_name="_wsum"))
+    folded = pairs.groupby("query_id").aggregate(*aggs)
+    if value_col is None:
+        return folded
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = b["overlap_area"].to_numpy()
+        wm = b["_wsum"].to_numpy() / a
+        return pa.table(
+            {
+                "query_id": b["query_id"],
+                "overlap_area": b["overlap_area"],
+                f"wmean_{value_col}": pa.array(wm, pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

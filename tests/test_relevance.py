@@ -173,3 +173,38 @@ def test_corpus_stats_auto_switches_on_unbounded_vocab():
         d2.sort_values("token").reset_index(drop=True),
     )
     assert (n1, t1) == (n2, t2) == (2, 4)
+
+
+def test_hybrid_topk_rrf_fusion():
+    """RRF fusion vs hand-computed ranks: lexical list from BM25 over
+    DOCS, semantic list from a 2-d embedding corpus aligned by id."""
+    from rustac_ray.stages.relevance import hybrid_topk
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            # cosine vs query [1, 0]: id2 > id1 > id3 > id4
+            "embedding": [
+                [0.8, 0.6], [1.0, 0.05], [0.2, 0.9], [-1.0, 0.1],
+            ],
+        }
+    )
+    got = hybrid_topk(
+        rd.from_pandas(DOCS), rd.from_pandas(emb),
+        ["cat", "bird"], np.array([1.0, 0.0]), k=4, k_cand=4,
+    )
+    # lexical ranks (bm25 over cat/bird): doc3 (cat + 3×bird) first;
+    # semantic ranks: 2,1,3,4 — fused by hand:
+    lex = bm25_topk(rd.from_pandas(DOCS), ["cat", "bird"], k=4).to_pandas()
+    lex = lex.sort_values(["score", "doc_id"], ascending=[False, True])
+    sem_order = [2, 1, 3, 4]
+    fused = {}
+    for r, i in enumerate(lex["doc_id"], start=1):
+        fused[i] = fused.get(i, 0.0) + 1.0 / (60 + r)
+    for r, i in enumerate(sem_order, start=1):
+        fused[i] = fused.get(i, 0.0) + 1.0 / (60 + r)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(got["doc_id"]) == [i for i, _ in want]
+    np.testing.assert_allclose(got["rrf"], [v for _, v in want], rtol=0, atol=0)
+    # a doc present in BOTH lists outranks single-list docs of equal rank
+    assert got["rrf"].iloc[0] == max(got["rrf"])

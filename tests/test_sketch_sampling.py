@@ -380,3 +380,36 @@ def test_source_mix_sample_targets_and_edge_groups(ray_session):
     assert got.get("small", 0) == 30
     # zero-weight group fully dropped
     assert got.get("banned", 0) == 0
+
+
+def test_temperature_mix_sample_alpha_behavior(ray_session):
+    from rustac_ray.stages.sampling import temperature_mix_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4100, dtype=np.int64),
+        "lang": ["en"] * 4000 + ["rare"] * 100,
+    })
+    ds = rd.from_pandas(df).repartition(5)
+
+    # α=1: natural mix — targets proportional to population
+    nat = temperature_mix_sample(ds, "lang", "doc_id", 1.0, 410).to_pandas()
+    c1 = nat["lang"].value_counts()
+    # en target 400, rare target 10 (binomial noise on en)
+    assert abs(c1.get("en", 0) - 400) < 80
+    assert 2 <= c1.get("rare", 0) <= 25
+
+    # α=0: uniform over groups — each target 205; rare keeps ALL 100
+    uni = temperature_mix_sample(ds, "lang", "doc_id", 0.0, 410).to_pandas()
+    c0 = uni["lang"].value_counts()
+    assert c0.get("rare", 0) == 100  # target > population -> keep all
+    assert abs(c0.get("en", 0) - 205) < 70
+
+    # α=0.5 sits between: rare's SHARE rises vs natural
+    mid = temperature_mix_sample(ds, "lang", "doc_id", 0.5, 410).to_pandas()
+    cm = mid["lang"].value_counts()
+    share_nat = c1.get("rare", 0) / max(len(nat), 1)
+    share_mid = cm.get("rare", 0) / max(len(mid), 1)
+    assert share_mid > share_nat
+
+    with pytest.raises(ValueError):
+        temperature_mix_sample(ds, "lang", "doc_id", -1.0, 10)

@@ -744,3 +744,59 @@ def test_hex_density_smoothed_ring_kernel(fixtures_dir):
     for cell, row in got.iterrows():
         ring = hex_ring1(np.array([cell], np.int64))[0]
         assert row["ring1_sum"] == sum(counts.get(int(c), 0) for c in ring)
+
+
+def test_area_overlay_join_pairs_and_zonal(fixtures_dir, corpus):
+    """area_overlay_join vs brute-force rect∩rect arithmetic — pairs are
+    float-exact; zonal Σarea and area-weighted mean match to fp tolerance
+    (partial-sum order differs by design)."""
+    import pandas as pd
+
+    from rustac_ray.stages.spatial_join import area_overlay_join
+
+    imgs, corners, ids = corpus
+    x0, y0 = corners[:, :, 0].min(1), corners[:, :, 1].min(1)
+    x1, y1 = corners[:, :, 0].max(1), corners[:, :, 1].max(1)
+    zones = pd.DataFrame(
+        {
+            "query_id": [10, 11],
+            "xmin": [-112.0, -80.0],
+            "ymin": [33.0, 25.0],
+            "xmax": [-104.0, -70.0],
+            "ymax": [41.0, 35.0],
+        }
+    )
+    got = area_overlay_join(
+        _images_ds(fixtures_dir), zones, concurrency=2
+    ).to_pandas()
+
+    expect = {}
+    for zi, z in zones.iterrows():
+        w = np.minimum(x1, z.xmax) - np.maximum(x0, z.xmin)
+        h = np.minimum(y1, z.ymax) - np.maximum(y0, z.ymin)
+        hit = (w > 0) & (h > 0)
+        for i in np.nonzero(hit)[0]:
+            expect[(ids[i], z.query_id)] = w[i] * h[i]
+    gk = {(r.image_id, r.query_id): r.area for r in got.itertuples()}
+    assert gk.keys() == expect.keys()
+    for k in expect:
+        assert gk[k] == expect[k]  # bit-identical per-pair floats
+
+    # zonal aggregate with an area-weighted mean of image width
+    zonal = area_overlay_join(
+        _images_ds(fixtures_dir), zones, emit="zonal", value_col="w",
+        concurrency=2,
+    ).to_pandas().set_index("query_id")
+    wvals = imgs["w"].to_numpy().astype(np.float64)
+    for zi, z in zones.iterrows():
+        w = np.minimum(x1, z.xmax) - np.maximum(x0, z.xmin)
+        h = np.minimum(y1, z.ymax) - np.maximum(y0, z.ymin)
+        hit = (w > 0) & (h > 0)
+        a = (w * h)[hit]
+        np.testing.assert_allclose(
+            zonal.loc[z.query_id, "overlap_area"], a.sum(), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            zonal.loc[z.query_id, "wmean_w"],
+            (a * wvals[hit]).sum() / a.sum(), rtol=1e-12,
+        )
