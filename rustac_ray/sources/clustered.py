@@ -1478,6 +1478,7 @@ def evolve_clustered(
     add: "dict | None" = None,
     drop: "list[str] | None" = None,
     rename: "dict[str, str] | None" = None,
+    retype: "dict[str, str] | None" = None,
 ) -> dict:
     """Evolve the store's logical schema WITHOUT rewriting any data file
     (the lakehouse ALTER TABLE; Iceberg-style stable column ids — see
@@ -1491,6 +1492,10 @@ def evolve_clustered(
       of files that predate the add fill the recorded default (typed;
       ``(None, "float64")`` adds a nullable column). Re-adding a dropped
       NAME mints a fresh column id — old values are never resurrected.
+    - ``retype={"col": "int64"}`` — widen a column's type (safe
+      promotions only: int32→int64, float32→float64,
+      string→large_string); reads cast narrower files up, new writes
+      land wide.
 
     Publishes a new STORE version (the manifest is unchanged but
     archived, so ``read_clustered(version=N)`` pairs version-N files
@@ -1515,8 +1520,29 @@ def evolve_clustered(
                 )
             phys = pq.read_schema(os.path.join(out_dir, nonempty[0]["file"]))
             desc = evolution.init_desc(phys)
+        current_types = None
+        if retype:
+            # pre-evolve types for columns the descriptor hasn't recorded:
+            # introspect one data file, mapped through its schema version
+            nonempty = [r for r in recs if r["rows"] > 0]
+            if nonempty:
+                phys = pq.read_schema(
+                    os.path.join(out_dir, nonempty[0]["file"])
+                )
+                at = evolution.names_at(
+                    desc, int(nonempty[0].get("schema_v", 0))
+                )
+                ren = dict(rename or {})
+                current_types = {}
+                for c in desc["columns"]:
+                    p = at.get(c["id"])
+                    if p is not None and p in phys.names:
+                        current_types[ren.get(c["name"], c["name"])] = str(
+                            phys.field(p).type
+                        )
         new_desc = evolution.apply_evolution(
-            desc, add=add, drop=drop, rename=rename
+            desc, add=add, drop=drop, rename=rename, retype=retype,
+            current_types=current_types,
         )
         # archive (manifest + pre-evolve schema) under the outgoing
         # version, THEN swap the live descriptor (atomic rename). A crash

@@ -72,6 +72,10 @@ _TYPES = {
 _PY_TYPE = {bool: "bool", int: "int64", float: "float64", str: "string",
             bytes: "binary"}
 
+# safe type promotions (Iceberg's widening rules): value-preserving only
+_WIDEN = {("int32", "int64"), ("float32", "float64"),
+          ("string", "large_string")}
+
 
 def schema_file_path(out_dir: str, version: "int | None" = None,
                      history_dir: str = "_history") -> str:
@@ -138,12 +142,18 @@ def init_desc(physical_schema: pa.Schema) -> dict:
     return {"v": 0, "next_id": nid, "columns": cols, "history": {"0": pairs}}
 
 
-def apply_evolution(desc: dict, *, add=None, drop=None, rename=None) -> dict:
-    """Pure function: descriptor + (rename → drop → add, in that order)
-    → new descriptor at schema version v+1. Raises on: touching internal
-    columns, renaming/dropping a column that isn't live, rename
-    collisions, adding a name that's already live, or an added default
-    whose type can't be inferred/expressed."""
+def apply_evolution(desc: dict, *, add=None, drop=None, rename=None,
+                    retype=None, current_types=None) -> dict:
+    """Pure function: descriptor + (rename → retype → drop → add, in that
+    order; retype/drop names are post-rename) → new descriptor at schema
+    version v+1. ``retype`` widens a column's type (Iceberg's safe
+    promotions only: int32→int64, float32→float64, string→large_string);
+    ``current_types`` supplies the pre-evolve type string for columns the
+    descriptor hasn't recorded one for (introspected from a data file by
+    the caller). Raises on: touching internal columns, renaming/dropping/
+    retyping a column that isn't live, rename collisions, adding a name
+    that's already live, non-widening retypes, or an added default whose
+    type can't be inferred/expressed."""
     live = {c["name"]: c for c in desc["columns"]}
     cols = [dict(c) for c in desc["columns"]]
 
@@ -163,6 +173,25 @@ def apply_evolution(desc: dict, *, add=None, drop=None, rename=None) -> dict:
     for c in cols:
         if c["name"] in ren:
             c["name"] = ren[c["name"]]
+    # retype (post-rename names): widening promotions only
+    for name, tname in (retype or {}).items():
+        _check_user(name)
+        entry = next((c for c in cols if c["name"] == name), None)
+        if entry is None:
+            raise ValueError(f"evolve retype: no live column {name!r}")
+        if tname not in _TYPES:
+            raise ValueError(f"evolve retype {name!r}: unsupported type "
+                             f"{tname!r} (one of {sorted(_TYPES)})")
+        cur = entry.get("type") or (current_types or {}).get(name)
+        if cur is None:
+            raise ValueError(
+                f"evolve retype {name!r}: current type unknown — pass "
+                "current_types (the caller introspects a data file)")
+        if cur != tname and (cur, tname) not in _WIDEN:
+            raise ValueError(
+                f"evolve retype {name!r}: {cur} → {tname} is not a safe "
+                f"widening (allowed: {sorted(_WIDEN)})")
+        entry["type"] = tname
     # drop (names refer to PRE-rename schema only if not renamed; contract:
     # drop names are post-rename — i.e. ops compose as documented)
     dropset = set(drop or ())
@@ -282,8 +311,12 @@ def reconcile_table(t: pa.Table, desc: dict, schema_v: int,
                            f"{live_names(desc)})")
         p = phys_at.get(c["id"])
         if p is not None and p in have:
+            arr = t[p]
+            want = _TYPES.get(c.get("type", "")) if "type" in c else None
+            if want is not None and arr.type != want:
+                arr = arr.cast(want)  # recorded widening (retype)
             names.append(name)
-            arrays.append(t[p])
+            arrays.append(arr)
         else:
             names.append(name)
             arrays.append(fill_array(c, n))

@@ -202,3 +202,66 @@ def test_column_pruned_read_on_evolved_store(store, full_fp):
         & (full_fp["fp_ymax"] >= 35.0)
     ]
     assert set(df["image_id"]) == set(ctrl["image_id"])
+
+
+def test_upsert_after_evolve(store, full_fp):
+    """UPSERT on an evolved store: the id column was renamed and a typed
+    default added — replacement rows arrive in the LIVE schema, the
+    delete leg probes by the file's physical id name, and the merge leg
+    reconciles touched files before the concat."""
+    from rustac_ray.sources.clustered import upsert_clustered
+
+    evolve_clustered(
+        store, rename={"image_id": "img"}, add={"weight": (1.0, "float64")}
+    )
+    repl = full_fp.head(25).copy().rename(columns={"image_id": "img"})
+    repl["collection"] = "replaced"
+    repl["weight"] = 5.0
+    out = upsert_clustered(
+        store, rd.from_pandas(repl), id_col="img", locate="footprint",
+        footprints_derived=True,
+    )
+    assert out["rows_deleted"] == 25 and out["rows_upserted"] == 25
+
+    df = read_clustered(store).to_pandas()
+    assert len(df) == len(full_fp)
+    hit = df[df["img"].isin(set(repl["img"]))]
+    assert (hit["collection"] == "replaced").all()
+    assert (hit["weight"] == 5.0).all()
+    rest = df[~df["img"].isin(set(repl["img"]))]
+    assert (rest["weight"] == 1.0).all()  # pre-add rows fill the default
+
+
+def test_retype_widening(tmp_path, full_fp):
+    """Type widening (Iceberg promotion rules): int32→int64 is a
+    metadata op; old files cast up at read time; merged rows land wide;
+    non-widening retypes raise."""
+    imgs = (
+        read_images_metadata(SF)
+        .map_batches(derive_footprints, batch_format="pyarrow")
+        .to_pandas()
+    )[["image_id", "w", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]]
+    assert imgs["w"].dtype == np.int32
+    out = str(tmp_path / "rt")
+    write_clustered(
+        rd.from_pandas(imgs), out, footprints_derived=True, rows_per_file=64
+    )
+    with pytest.raises(ValueError, match="widening"):
+        evolve_clustered(out, retype={"w": "float32"})  # not a promotion
+    with pytest.raises(ValueError, match="widening"):
+        evolve_clustered(out, retype={"image_id": "int64"})
+    evolve_clustered(out, retype={"w": "int64"})
+
+    df = read_clustered(out).to_pandas()
+    assert df["w"].dtype == np.int64
+    got_w = df.set_index("image_id")["w"].sort_index()
+    want_w = imgs.set_index("image_id")["w"].sort_index()
+    assert (got_w.to_numpy() == want_w.to_numpy()).all()
+
+    # merged rows (already int64) concat cleanly with cast-up old files
+    extra = imgs.head(10).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra["w"] = extra["w"].astype(np.int64)
+    merge_clustered(out, rd.from_pandas(extra), footprints_derived=True)
+    df2 = read_clustered(out).to_pandas()
+    assert df2["w"].dtype == np.int64 and len(df2) == len(imgs) + 10
