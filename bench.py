@@ -628,6 +628,70 @@ def run_bench() -> dict:
             result_extra["headline_clustered_speedup"] = round(
                 timings["headline_flat_aoi"] / timings["headline_clustered"], 2
             )
+            _ck("store_lifecycle")
+
+            # Lakehouse mutation lifecycle on the SAME 1M-row store (runs
+            # after the read sections so it doesn't perturb them):
+            # metadata-only schema evolve, matview create (full groupby),
+            # AOI delete, 50k-row merge, then an INCREMENTAL view refresh
+            # that folds only the delta files — the refresh/create ratio
+            # is the number that matters at 100 TB.
+            import pyarrow as _pa
+            import pyarrow.compute as _pc2
+
+            from rustac_ray.sources.clustered import (
+                delete_clustered, evolve_clustered, merge_clustered,
+            )
+            from rustac_ray.state.matview import (
+                create_matview, refresh_matview,
+            )
+
+            t0 = time.perf_counter()
+            evolve_clustered(
+                cl_dir, rename={"collection": "source"}, add={"weight": 1.0}
+            )
+            timings["store_evolve_metadata"] = time.perf_counter() - t0
+
+            mv_dir = cl_dir + "_view"
+            _sh.rmtree(mv_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            create_matview(cl_dir, mv_dir, group_by=["source"], sums=["w"])
+            timings["matview_create_1m"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            delete_clustered(cl_dir, bbox=(-100.0, 30.0, -95.0, 35.0))
+            timings["store_delete_aoi_1m"] = time.perf_counter() - t0
+
+            def _as_new(b):
+                b = _dfp(b)
+                return _pa.table({
+                    "image_id": _pc2.binary_join_element_wise(
+                        "new-", b["image_id"], ""
+                    ),
+                    "w": b["w"], "h": b["h"], "transform": b["transform"],
+                    "datetime": b["datetime"],
+                    "source": b["collection"],
+                    "weight": _pa.array([2.0] * len(b), _pa.float64()),
+                    **{c: b[c] for c in (
+                        "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax",
+                        "fp_corners",
+                    )},
+                })
+
+            new_rows = bench_meta_ds().limit(50_000).map_batches(
+                _as_new, batch_format="pyarrow"
+            )
+            t0 = time.perf_counter()
+            merge_clustered(cl_dir, new_rows, footprints_derived=True)
+            timings["store_merge_50k"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            out_mv = refresh_matview(cl_dir, mv_dir)
+            timings["matview_refresh_delta"] = time.perf_counter() - t0
+            assert out_mv["mode"] == "incremental", out_mv
+            result_extra["matview_refresh_vs_create"] = round(
+                timings["matview_refresh_delta"] / timings["matview_create_1m"], 2
+            )
             _ck("bloom_semi_join")
 
             # Bloom-prefiltered semi join: orders with a high-quantity
