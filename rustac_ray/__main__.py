@@ -455,6 +455,42 @@ def cmd_cluster(args):
         from .sources.clustered import vacuum_clustered
 
         print(json.dumps(vacuum_clustered(args.store, keep_versions=args.keep)))
+    elif args.action == "schema":
+        from .sources.clustered import store_schema
+
+        print(json.dumps(store_schema(args.store, version=args.version)))
+    elif args.action == "evolve":
+        from .sources.clustered import evolve_clustered
+
+        rename = dict(kv.split("=", 1) for kv in (args.rename or []))
+        retype = dict(kv.split("=", 1) for kv in (args.retype or []))
+        add = {}
+        for kv in args.add or []:
+            name, spec = kv.split("=", 1)
+            if ":" in spec:  # value:type (value may be empty = null)
+                val, t = spec.rsplit(":", 1)
+                add[name] = (json.loads(val) if val else None, t)
+            else:
+                add[name] = json.loads(spec)
+        print(
+            json.dumps(
+                evolve_clustered(
+                    args.store,
+                    add=add or None,
+                    drop=args.drop or None,
+                    rename=rename or None,
+                    retype=retype or None,
+                )
+            )
+        )
+    elif args.action == "changes":
+        from .sources.clustered import changes_clustered
+
+        ds = changes_clustered(
+            args.store, args.from_version, args.version, id_col=args.id_col
+        )
+        for rec in ds.to_pandas().to_dict("records"):
+            print(json.dumps(rec))
     else:  # read
         bbox = (
             tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
@@ -483,10 +519,32 @@ def main(argv=None):
         "action",
         choices=[
             "write", "merge", "read", "compact", "info", "knn",
-            "versions", "vacuum",
+            "versions", "vacuum", "schema", "evolve", "changes",
         ],
     )
     cl.add_argument("--point", help="x,y probe for knn")
+    cl.add_argument(
+        "--rename", action="append",
+        help="evolve: old=new (repeatable)",
+    )
+    cl.add_argument(
+        "--add", action="append",
+        help='evolve: name=JSONdefault or name=JSONdefault:type '
+             '(e.g. weight=1.5, note=:string)',
+    )
+    cl.add_argument("--drop", action="append", help="evolve: column to drop")
+    cl.add_argument(
+        "--retype", action="append",
+        help="evolve: name=widertype (int32->int64 etc.)",
+    )
+    cl.add_argument(
+        "--from-version", type=int, default=0, dest="from_version",
+        help="changes: CDC base version (to-version via --version)",
+    )
+    cl.add_argument(
+        "--id-col", default="image_id", dest="id_col",
+        help="changes: unique row key column",
+    )
     cl.add_argument(
         "--version", type=int, default=None,
         help="time-travel: read an archived store version",

@@ -191,3 +191,33 @@ def test_cli_cluster_roundtrip(fixtures_dir, tmp_path, capsys):
           "--columns=image_id"])
     out = capsys.readouterr().out.strip().splitlines()
     assert all("image_id" in line for line in out if line.startswith("{"))
+
+
+def test_cli_cluster_evolve_schema_changes(fixtures_dir, tmp_path, capsys):
+    import json
+
+    store = str(tmp_path / "clistore")
+    main(["cluster", "write", store, "--input",
+          f"{fixtures_dir}/images.parquet"])
+    capsys.readouterr()
+    main(["cluster", "evolve", store, "--rename", "collection=source",
+          "--add", "weight=1.5", "--add", "note=:string",
+          "--retype", "w=int64"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["schema_version"] == 1
+    assert "source" in out["columns"] and "weight" in out["columns"]
+
+    main(["cluster", "schema", store])
+    cols = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by = {c["name"]: c for c in cols}
+    assert by["w"]["type"] == "int64"
+    assert by["weight"]["default"] == 1.5
+
+    # version-0 schema shows the pre-evolve names
+    main(["cluster", "schema", store, "--version", "0"])
+    cols0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "collection" in {c["name"] for c in cols0}
+
+    # CDC: evolve is metadata-only -> empty change feed
+    main(["cluster", "changes", store, "--from-version", "0"])
+    assert capsys.readouterr().out.strip() == ""
