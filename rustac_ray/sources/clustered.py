@@ -50,6 +50,8 @@ from . import evolution
 __all__ = [
     "evolve_clustered",
     "store_schema",
+    "clone_clustered",
+    "maintain_clustered",
     "morton_key",
     "write_clustered",
     "read_clustered",
@@ -1470,6 +1472,108 @@ def store_versions(out_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def clone_clustered(
+    src_dir: str, dst_dir: str, *, version: "int | None" = None
+) -> dict:
+    """Zero-copy snapshot clone (the lakehouse BRANCH): hard-link the
+    chosen version's data files into ``dst_dir`` and write a fresh
+    manifest + schema for them. O(files) metadata work, zero data IO —
+    bytes are shared until either side's mutations replace them (both
+    stores only ever write NEW generation names, never in place, so
+    shared inodes are safe; each side's vacuum removes only its own
+    names and the kernel frees bytes when the last link drops).
+
+    The clone starts its own history at version 0 (= the cloned
+    snapshot); the source is untouched. The experiment-branch pattern: a
+    curation run mutates the clone freely, diffable back against the
+    source with ``changes_clustered`` semantics per store.
+    """
+    src_dir = os.path.abspath(src_dir)
+    dst_dir = os.path.abspath(dst_dir)
+    _repair_if_crashed(src_dir)
+    man = SpatialManifest(src_dir, version=version)
+    recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
+    if not recs:
+        raise FileNotFoundError(f"no clustered store at {src_dir}")
+    if os.path.exists(os.path.join(dst_dir, _MANIFEST_NAME)):
+        raise FileExistsError(f"{dst_dir}: already a clustered store")
+    os.makedirs(dst_dir, exist_ok=True)
+    for r in recs:
+        if r["rows"] > 0:
+            dst = os.path.join(dst_dir, r["file"])
+            if not os.path.exists(dst):
+                os.link(os.path.join(src_dir, r["file"]), dst)
+    # store identity params travel with the clone (merge/resume checks)
+    meta_src = os.path.join(src_dir, "_store_meta.json")
+    if os.path.exists(meta_src):
+        shutil.copyfile(meta_src, os.path.join(dst_dir, "_store_meta.json"))
+    sv = None if version is None or version == store_version(src_dir) else version
+    desc = evolution.load_schema(src_dir, sv)
+    if desc is not None:
+        evolution.write_schema_atomic(dst_dir, desc)
+    dman = SpatialManifest(dst_dir)
+    for r in recs:
+        dman.append(dict(r))
+    return {
+        "files": len(recs),
+        "rows": sum(r["rows"] for r in recs),
+        "from_version": store_version(src_dir) if version is None else version,
+    }
+
+
+def maintain_clustered(
+    out_dir: str,
+    *,
+    target_rows: int = 16384,
+    min_fill: float = 0.5,
+    max_fill: float = 2.0,
+    rework_threshold: float = 0.2,
+    keep_versions: "int | None" = None,
+    dry_run: bool = False,
+) -> dict:
+    """Policy-driven table maintenance (the lakehouse OPTIMIZE loop):
+    inspect the manifest — O(files), no data IO — and run compaction
+    when more than ``rework_threshold`` of files are under/over-filled
+    (or any file exceeds ``max_fill``·target), then vacuum when a
+    retention window is given. ``dry_run=True`` reports the decision
+    without mutating. This is the call a scheduler loops after ingest
+    batches so prune selectivity and per-task read costs stay flat as
+    merges accumulate.
+    """
+    out_dir = os.path.abspath(out_dir)
+    _repair_if_crashed(out_dir)
+    recs = sorted(
+        SpatialManifest(out_dir).completed().values(),
+        key=lambda r: r["partition_id"],
+    )
+    if not recs:
+        raise FileNotFoundError(f"no clustered store at {out_dir}")
+    small = sum(1 for r in recs if r["rows"] < min_fill * target_rows)
+    big = sum(1 for r in recs if r["rows"] > max_fill * target_rows)
+    frac = (small + big) / len(recs)
+    plan = {
+        "files": len(recs),
+        "underfilled": small,
+        "oversized": big,
+        "rework_fraction": round(frac, 3),
+        "compact": bool(big or frac > rework_threshold),
+        "vacuum": keep_versions is not None,
+    }
+    if dry_run:
+        return {**plan, "dry_run": True}
+    if plan["compact"]:
+        out = compact_clustered(
+            out_dir, target_rows=target_rows,
+            min_fill=min_fill, max_fill=max_fill,
+        )
+        plan["files_after_compact"] = len(out)
+    if keep_versions is not None:
+        plan["vacuum_result"] = vacuum_clustered(
+            out_dir, keep_versions=keep_versions
+        )
+    return plan
 
 
 def evolve_clustered(

@@ -223,3 +223,65 @@ def test_relative_out_dir_versioning(store, full_fp, tmp_path, monkeypatch):
     vacuum_clustered(rel, keep_versions=1)
     with pytest.raises(ValueError, match="not readable"):
         read_clustered(rel, version=0)
+
+
+def test_clone_is_zero_copy_and_independent(store, full_fp, tmp_path):
+    """clone_clustered: hard-linked snapshot branch — same rows, shared
+    bytes, fully independent mutation histories."""
+    import rustac_ray.sources.clustered as clmod
+
+    clone = str(tmp_path / "branch")
+    out = clmod.clone_clustered(store, clone)
+    assert out["rows"] == len(full_fp)
+    assert _ids(read_clustered(clone)) == set(full_fp["image_id"])
+    # bytes shared: every cloned data file has nlink >= 2
+    recs = clmod.SpatialManifest(clone).completed().values()
+    for r in recs:
+        if r["rows"]:
+            assert os.stat(os.path.join(clone, r["file"])).st_nlink >= 2
+    # branch mutates; source unaffected (and vice versa)
+    B = (-110.0, 35.0, -105.0, 40.0)
+    delete_clustered(clone, bbox=B)
+    assert _ids(read_clustered(store)) == set(full_fp["image_id"])
+    assert len(_ids(read_clustered(clone))) < len(full_fp)
+    delete_clustered(store, ids=[full_fp["image_id"].iloc[0]], id_col="image_id")
+    n_clone = len(_ids(read_clustered(clone)))
+    assert len(_ids(read_clustered(store))) == len(full_fp) - 1
+    assert len(_ids(read_clustered(clone))) == n_clone
+    # clone starts its own history
+    assert store_version(clone) == 1  # just the delete
+
+
+def test_clone_of_archived_version(store, full_fp, tmp_path):
+    import rustac_ray.sources.clustered as clmod
+
+    B = (-110.0, 35.0, -105.0, 40.0)
+    delete_clustered(store, bbox=B)
+    clone = str(tmp_path / "v0branch")
+    clmod.clone_clustered(store, clone, version=0)
+    assert _ids(read_clustered(clone)) == set(full_fp["image_id"])
+    with pytest.raises(FileExistsError):
+        clmod.clone_clustered(store, clone)
+
+
+def test_maintain_policy(store, full_fp):
+    """maintain_clustered: dry-run reports, live run compacts when the
+    small-file fraction passes the threshold and vacuums retention."""
+    import rustac_ray.sources.clustered as clmod
+
+    # store fixture writes rows_per_file=32 -> files are 'full' at 32;
+    # judge them against a larger target so all count as underfilled
+    plan = clmod.maintain_clustered(
+        store, target_rows=256, dry_run=True
+    )
+    assert plan["dry_run"] and plan["compact"]
+    before = plan["files"]
+
+    out = clmod.maintain_clustered(store, target_rows=256, keep_versions=1)
+    assert out["files_after_compact"] < before
+    assert out["vacuum_result"]["versions_dropped"] >= 0
+    assert _ids(read_clustered(store)) == set(full_fp["image_id"])
+
+    # steady state: nothing to do
+    again = clmod.maintain_clustered(store, target_rows=256, dry_run=True)
+    assert not again["compact"]
