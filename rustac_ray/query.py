@@ -542,3 +542,64 @@ def queryables(ds_or_schema, *, base_url: str = "https://stac-api.example.com",
         "properties": props,
         "additionalProperties": True,
     }
+
+
+def search_many(
+    ds: "ray.data.Dataset", specs: "dict[str, QuerySpec]"
+) -> "ray.data.Dataset":
+    """Evaluate MANY QuerySpecs in ONE shared corpus pass: each input
+    row is read once and emitted once per matching spec, tagged
+    ``spec_id`` — the scan-amortization primitive for dashboard /
+    monitoring workloads that run dozens of standing searches over the
+    same 100-TB table (N searches = N full scans → 1 scan + N vectorized
+    masks per batch, which are the cheap part).
+
+    Per-spec semantics are identical to :func:`search` for the
+    scan-phase members (ids / collections / bbox / intersects / datetime
+    / filter), including the unknown-property short-circuit (that spec
+    matches nothing). Result-shaping members (sortby / limit / offset /
+    fields) are per-spec TAILS that would force per-spec postprocessing —
+    they raise here; run :func:`search` for those, or shape downstream.
+    """
+    import ray
+
+    names = ds.schema().names
+    compiled: list[tuple[str, object]] = []
+    for sid, spec in specs.items():
+        if spec.query is not None:
+            raise LegacyQueryError(
+                "the legacy 'query' extension is not supported (use filter/CQL2)"
+            )
+        for member in ("sortby", "limit", "offset", "fields"):
+            if getattr(spec, member, None) not in (None, [], ()):
+                raise ValueError(
+                    f"search_many: spec {sid!r} sets {member!r} — result "
+                    "shaping is per-spec; use search() or shape downstream"
+                )
+        cql = Cql2Predicate(spec.filter) if spec.filter is not None else None
+        if cql is not None:
+            try:
+                cql.check_schema(names)
+            except UnknownPropertyError:
+                compiled.append((sid, None))  # reference short-circuit
+                continue
+        compiled.append((sid, _compile_mask(spec, cql)))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        outs = []
+        for sid, fn in compiled:
+            if fn is None:
+                continue
+            sel = batch.filter(pa.array(fn(batch)))
+            if len(sel):
+                outs.append(
+                    sel.append_column(
+                        "spec_id", pa.array([sid] * len(sel), pa.string())
+                    )
+                )
+        if outs:
+            return pa.concat_tables(outs)
+        empty = batch.schema.empty_table()
+        return empty.append_column("spec_id", pa.array([], pa.string()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

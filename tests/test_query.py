@@ -570,3 +570,27 @@ def test_queryables_introspection(items):
     tbl = pa.Table.from_pandas(items.limit(5).to_pandas(), preserve_index=False)
     tbl_doc = queryables(tbl)
     assert set(tbl_doc["properties"]) == set(props)
+
+
+def test_search_many_equals_per_spec(items):
+    """search_many: one shared scan must equal N independent search()
+    runs, spec by spec; unknown properties short-circuit only their own
+    spec; result-shaping members raise."""
+    from rustac_ray.query import search_many
+
+    specs = {
+        "box": QuerySpec(bbox=[-106.1, 40.5, -106.0, 40.6]),
+        "coll": QuerySpec(collections=["sentinel-2a"], datetime="2024-11"),
+        "cloudy": QuerySpec(filter='"eo:cloud_cover" > 85'),
+        "ghost": QuerySpec(filter='"no:such_prop" > 1'),  # short-circuits
+    }
+    got = search_many(items, specs).to_pandas()
+    for sid, spec in specs.items():
+        per = search(items, spec).select_columns(["id"]).to_pandas()
+        want = set(per["id"]) if len(per) else set()
+        have = set(got[got["spec_id"] == sid]["id"])
+        assert have == want, sid
+    assert (got["spec_id"] == "ghost").sum() == 0
+
+    with pytest.raises(ValueError, match="result "):
+        search_many(items, {"s": QuerySpec(limit=5)})
