@@ -411,9 +411,18 @@ def write_clustered(
     bbox_col: str | None = None,
     resume: bool = True,
     rows_per_file: int = 16384,
+    stats_cols: "list[str] | None" = None,
 ) -> list[dict]:
     """Write ``ds`` as a Morton-clustered parquet directory + sidecar
     spatial manifest; returns the manifest records (old + new).
+
+    ``stats_cols`` records a per-file ZONE MAP (min/max) for the named
+    numeric/string columns in the manifest — the generalization of the
+    spatial/temporal stats: ``read_clustered(column_ranges=...)`` then
+    prunes files for non-spatial predicates before any file open.
+    Mutations (merge/compact/delete) keep the stats fresh for rewritten
+    files; the column set is part of the store's identity
+    (``_store_meta.json``).
 
     Accepts either the image-table shape (footprints derived from
     w/h/transform, or already-present ``fp_*`` columns with
@@ -460,6 +469,8 @@ def write_clustered(
         # boundaries and mis-skip — verify against the recorded descriptor
         meta_path = os.path.join(out_dir, "_store_meta.json")
         params = {"bits": bits, "rows_per_file": rows_per_file, "version": 1}
+        if stats_cols:
+            params["stats_cols"] = sorted(stats_cols)
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 prev_params = json.load(f)
@@ -527,6 +538,7 @@ def write_clustered(
                 "zmax": int(z.max()),
                 "schema_v": cur_schema_v,
                 **_temporal_stats(t),
+                **_col_stats(t, stats_cols),
             }
             prev = (
                 ray.get(prev_ref) if isinstance(prev_ref, ray.ObjectRef) else prev_ref
@@ -657,6 +669,79 @@ def _norm_stat(k, v):
     return v
 
 
+def _store_stats_cols(out_dir: str) -> list[str]:
+    """Columns the store records per-file zone maps for (from the store
+    param descriptor; [] for stores written without the feature)."""
+    try:
+        with open(os.path.join(out_dir, "_store_meta.json")) as f:
+            return list(json.load(f).get("stats_cols", ()))
+    except FileNotFoundError:
+        return []
+
+
+def _live_stats_cols(out_dir: str, desc: "dict | None") -> list[str]:
+    """The zone-map column set in CURRENT logical names (the param
+    descriptor records creation-schema names; renames map by id, drops
+    fall out)."""
+    cols = _store_stats_cols(out_dir)
+    if desc is None or not cols:
+        return cols
+    inv = {name: cid for cid, name in evolution.names_at(desc, 0).items()}
+    cur = {c["id"]: c["name"] for c in desc["columns"]}
+    return [cur[inv[c]] for c in cols if c in inv and inv[c] in cur]
+
+
+def _col_stats(t: pa.Table, cols) -> dict:
+    """Per-file zone map for user columns: flat ``cs0_{col}`` (min) /
+    ``cs1_{col}`` (max) manifest keys — the generalization of the
+    fp_*/tmin/tmax stats to arbitrary numeric/string columns, so
+    non-spatial predicates can prune FILES before any open (parquet
+    row-group stats still prune inside kept files). All-null columns
+    record nothing (conservative keep at prune time)."""
+    import pyarrow.compute as pc
+
+    out: dict = {}
+    for c in cols or ():
+        mn = mx = None  # keys always present → uniform record shape
+        if c in t.column_names and t.num_rows:
+            arr = t[c]
+            if not (
+                pa.types.is_integer(arr.type)
+                or pa.types.is_floating(arr.type)
+                or pa.types.is_string(arr.type)
+                or pa.types.is_large_string(arr.type)
+            ):
+                raise ValueError(
+                    f"stats_cols: {c!r} has type {arr.type} — zone maps "
+                    "support numeric and string columns"
+                )
+            if arr.null_count < len(arr):
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+        out[f"cs0_{c}"] = mn
+        out[f"cs1_{c}"] = mx
+    return out
+
+
+def _range_prune_keep(rec: dict, col_ranges, phys_of) -> bool:
+    """Conservative file test for ``column_ranges``: drop only when the
+    recorded zone map PROVES no row can match; files without stats (or
+    with an unmapped column) are kept."""
+    if not col_ranges:
+        return True
+    for col, (lo, hi) in col_ranges.items():
+        p = phys_of(rec, col)
+        mn = rec.get(f"cs0_{p}") if p is not None else None
+        mx = rec.get(f"cs1_{p}") if p is not None else None
+        if mn is None or mx is None:
+            continue  # no stats — keep
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    return True
+
+
 _TEMPORAL_COLS = ("datetime", "start_datetime", "end_datetime")
 
 
@@ -728,13 +813,18 @@ def prune_plan(
     datetime=None,
     *,
     version: int | None = None,
+    column_ranges: "dict[str, tuple] | None" = None,
 ) -> tuple[list[str], int]:
     """(kept file paths, total files) for a query bbox and/or datetime
-    interval (STAC string or (start, end) pair) — the driver-side pruning
-    decision, exposed separately so callers/metrics/tests can see the
-    selectivity without running the read. Temporal pruning uses the
-    per-file tmin/tmax manifest stats (see ``_temporal_stats``); files
-    written before those stats existed are conservatively kept."""
+    interval (STAC string or (start, end) pair) and/or ``column_ranges``
+    (``{col: (lo, hi)}``, either bound None = open; closed intervals) —
+    the driver-side pruning decision, exposed separately so
+    callers/metrics/tests can see the selectivity without running the
+    read. Temporal pruning uses the per-file tmin/tmax manifest stats
+    (see ``_temporal_stats``); column-range pruning uses the zone maps
+    recorded by ``write_clustered(stats_cols=...)`` (column names map
+    through schema evolution by id); files written before any of these
+    stats existed are conservatively kept."""
     out_dir = os.path.abspath(out_dir)
     _repair_if_crashed(out_dir)  # replay an orphaned publish journal
     recs = sorted(
@@ -743,14 +833,31 @@ def prune_plan(
     )
     total = len(recs)
     trange = _parse_trange(datetime)
-    if bbox is None and trange is None:
+    if bbox is None and trange is None and not column_ranges:
         return [os.path.join(out_dir, r["file"]) for r in recs], total
+    phys_of = lambda rec, col: col  # noqa: E731 — identity store default
+    if column_ranges:
+        sv = None if version is None or version == store_version(out_dir) else version
+        desc = evolution.load_schema(out_dir, sv)
+        if desc is not None:
+            live = {c["name"]: c for c in desc["columns"]}
+
+            def phys_of(rec, col):  # noqa: F811
+                c = live.get(col)
+                if c is None:
+                    return None  # unknown logical column — keep files
+                return evolution.names_at(
+                    desc, int(rec.get("schema_v", 0))
+                ).get(c["id"])
+
     kept = []
     boxes = _query_boxes(tuple(bbox)) if bbox is not None else None
     for r in recs:
         if r["rows"] == 0:
             continue
         if not _temporal_prune_keep(r, trange):
+            continue
+        if not _range_prune_keep(r, column_ranges, phys_of):
             continue
         if boxes is None:
             kept.append(os.path.join(out_dir, r["file"]))
@@ -841,9 +948,15 @@ def read_clustered(
     datetime=None,
     columns: list[str] | None = None,
     version: int | None = None,
+    column_ranges: "dict[str, tuple] | None" = None,
     **read_kwargs,
 ):
     """Bbox- and datetime-pruned streaming read of a clustered store.
+
+    ``column_ranges={col: (lo, hi)}`` additionally prunes FILES via the
+    zone maps recorded by ``write_clustered(stats_cols=...)`` — a
+    conservative prefilter (kept files may still contain non-matching
+    rows); pair with ``filter=`` for row-level exactness.
 
     ``version=N`` time-travels: the read plans against the archived
     manifest snapshot N (0 = the initial write; each published mutation
@@ -866,7 +979,10 @@ def read_clustered(
     import ray.data as rd
 
     out_dir = os.path.abspath(out_dir)
-    paths, _total = prune_plan(out_dir, bbox, datetime=datetime, version=version)
+    paths, _total = prune_plan(
+        out_dir, bbox, datetime=datetime, version=version,
+        column_ranges=column_ranges,
+    )
     sv = None if version is None or version == store_version(out_dir) else version
     desc = evolution.load_schema(out_dir, sv)
     if not paths:
@@ -991,6 +1107,7 @@ def merge_clustered(
         # merges opportunistically upgrade touched files
         desc = evolution.load_schema(out_dir)
         cur_sv = 0 if desc is None else int(desc["v"])
+        scols = _live_stats_cols(out_dir, desc)
 
         def route(batch: pa.Table) -> pa.Table:
             b = _zkey_stage(
@@ -1043,6 +1160,7 @@ def merge_clustered(
                     "zmax": [int(z.max())],
                     "schema_v": [cur_sv],
                     **{k: [v] for k, v in ts.items()},
+                    **{k: [v] for k, v in _col_stats(merged, scols).items()},
                 }
             )
 
@@ -1122,6 +1240,7 @@ def compact_clustered(
         desc = evolution.load_schema(out_dir)
         cur_sv = 0 if desc is None else int(desc["v"])
         sv_of = {r["file"]: int(r.get("schema_v", 0)) for r in recs}
+        scols = _live_stats_cols(out_dir, desc)
 
         # group planning on the tiny manifest: greedy run-coalesce + splits
         groups: list[dict] = []  # {"files": [...], "rows": n, "action": ...}
@@ -1191,6 +1310,7 @@ def compact_clustered(
                     {
                         "tmp": tmp,
                         "schema_v": cur_sv,
+                        **_col_stats(c, scols),
                         "rows": c.num_rows,
                         "xmin": float(np.min(c["fp_xmin"].to_numpy())),
                         "ymin": float(np.min(c["fp_ymin"].to_numpy())),
@@ -1318,6 +1438,7 @@ def delete_clustered(
         # masks run, and their rewrites carry the current schema_v
         desc = evolution.load_schema(out_dir)
         cur_sv = 0 if desc is None else int(desc["v"])
+        scols = _live_stats_cols(out_dir, desc)
 
         @ray.remote
         def _rework(rec: dict) -> dict:
@@ -1408,6 +1529,7 @@ def delete_clustered(
                     "partition_id": rec["partition_id"],
                     "file": rec["file"],
                     "schema_v": cur_sv if desc is not None else file_sv,
+                    **_col_stats(keep, scols),
                     "rows": keep.num_rows,
                     "xmin": float(np.min(keep["fp_xmin"].to_numpy())),
                     "ymin": float(np.min(keep["fp_ymin"].to_numpy())),
