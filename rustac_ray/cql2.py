@@ -1151,3 +1151,70 @@ def to_arrow_filter(filter_expr: "str | dict", schema: "pa.Schema | None" = None
         return None
 
     return compile_node(ast)
+
+
+def to_column_ranges(filter_expr: "str | dict") -> "dict[str, tuple]":
+    """Extract conservative per-column value bounds from a CQL2 filter:
+    ``{col: (lo, hi)}`` (either bound None = open, closed intervals)
+    IMPLIED by the predicate — a file whose recorded [min, max] misses
+    the range can contain no matching row. Feeds the clustered store's
+    zone-map file prune (clustered.prune_plan ``column_ranges``).
+
+    Only top-level conjunctions of property-vs-scalar comparisons
+    (< <= > >= = , BETWEEN) contribute; OR / NOT / everything else
+    contributes nothing (conservative). Strict bounds use the literal
+    itself — closed-interval file tests over-keep boundary files, never
+    drop a match.
+    """
+    ast = parse_cql2(filter_expr)
+    out: dict[str, list] = {}
+
+    def prop_name(node):
+        return (
+            node["property"]
+            if isinstance(node, dict) and set(node) == {"property"}
+            else None
+        )
+
+    def narrow(col, lo, hi):
+        cur = out.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return
+        op = node.get("op")
+        args = node.get("args", [])
+        if op == "and":
+            for a in args:
+                walk(a)
+            return
+        if op == "between":
+            p = prop_name(args[0])
+            lo, hi = args[1], args[2]
+            if p is not None and _scalar(lo) and _scalar(hi):
+                narrow(p, lo, hi)
+            return
+        if op in ("=", "<", "<=", ">", ">="):
+            a, b = args
+            pa_, pb = prop_name(a), prop_name(b)
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+            if pa_ is None and pb is not None:
+                a, b, pa_, op = b, a, pb, flip[op]
+            if pa_ is None or not _scalar(b):
+                return
+            if op == "=":
+                narrow(pa_, b, b)
+            elif op in ("<", "<="):
+                narrow(pa_, None, b)
+            else:
+                narrow(pa_, b, None)
+
+    def _scalar(v):
+        return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+    walk(ast)
+    return {k: (v[0], v[1]) for k, v in out.items()}

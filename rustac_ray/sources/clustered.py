@@ -2317,6 +2317,15 @@ def search_clustered(store_dir: str, spec, **read_kwargs):
             expr = spec_arrow_prefilter(spec, schema)
             if expr is not None:
                 read_kwargs["filter"] = expr
+    if "column_ranges" not in read_kwargs and getattr(spec, "filter", None) is not None:
+        # zone-map FILE prune: value bounds implied by the CQL2 filter
+        # drop files whose recorded min/max admits no match (stores
+        # written without stats_cols conservatively keep everything)
+        from ..cql2 import to_column_ranges
+
+        ranges = to_column_ranges(spec.filter)
+        if ranges:
+            read_kwargs["column_ranges"] = ranges
     ds = read_clustered(
         store_dir, bbox=bbox, datetime=getattr(spec, "datetime", None), **read_kwargs
     )

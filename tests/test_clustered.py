@@ -905,3 +905,45 @@ def test_zone_map_column_pruning(tmp_path, ray_session):
     cl.merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
     recs4 = list(cl.SpatialManifest(store).completed().values())
     assert any(r.get("cs0_cc") is not None for r in recs4)
+
+
+def test_search_clustered_uses_zone_maps(tmp_path, ray_session):
+    """search_clustered derives zone-map file pruning from the CQL2
+    filter automatically and returns identical rows to the full scan."""
+    import pandas as pd
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+    from rustac_ray.query import QuerySpec, search
+
+    n = 1000
+    rng = np.random.default_rng(9)
+    x = np.sort(rng.uniform(-120, -70, n))
+    df = pd.DataFrame(
+        {
+            "id": [f"i{i:05d}" for i in range(n)],
+            "collection": "c1",
+            "cloud": np.linspace(0.0, 100.0, n),
+            "bbox": [
+                {"xmin": float(a), "ymin": 30.0,
+                 "xmax": float(a) + 0.01, "ymax": 30.01}
+                for a in x
+            ],
+        }
+    )
+    store = str(tmp_path / "zs")
+    cl.write_clustered(
+        rd.from_pandas(df), store, bbox_col="bbox", rows_per_file=128,
+        stats_cols=["cloud"],
+    )
+    spec = QuerySpec(filter="cloud >= 97")
+    got = cl.search_clustered(store, spec).to_pandas()
+    flat = df[df["cloud"] >= 97.0]
+    assert set(got["id"]) == set(flat["id"])
+    # the prune actually dropped files
+    from rustac_ray.cql2 import to_column_ranges
+
+    kept, total = cl.prune_plan(
+        store, None, column_ranges=to_column_ranges(spec.filter)
+    )
+    assert 0 < len(kept) < total
