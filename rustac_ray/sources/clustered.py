@@ -329,6 +329,53 @@ def morton_key(cx: np.ndarray, cy: np.ndarray, *, bits: int = 16) -> np.ndarray:
     return (_part1by1(ix) | (_part1by1(iy) << np.uint64(1))).view(np.int64)
 
 
+def _part1by2(v: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits of v to every third bit position (u64)."""
+    v = np.asarray(v, dtype=np.uint64) & np.uint64((1 << 21) - 1)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def morton_key_xyt(
+    cx: np.ndarray,
+    cy: np.ndarray,
+    tms: np.ndarray,
+    t_range: "tuple[int, int]",
+    *,
+    bits: int = 10,
+) -> np.ndarray:
+    """3-D Z-order key over (lon, lat, time): each axis quantized to
+    ``bits`` bits (≤ 21) and bit-interleaved (x, y, t round-robin).
+    ``tms`` is epoch-ms (NaT/None → bucket 0, sorting nulls first);
+    ``t_range`` is the global (t0, t1) recorded at store creation so
+    every later merge quantizes time identically. The spatio-temporal
+    layout for satellite archives: a (bbox AND datetime) query's file
+    count tracks the product of both selectivities instead of the
+    spatial one alone."""
+    if bits > 21:
+        raise ValueError("morton_key_xyt: bits must be <= 21")
+    n = np.int64(1) << bits
+    ix = np.clip(((np.asarray(cx, np.float64) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(((np.asarray(cy, np.float64) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    t0, t1 = (int(t_range[0]), int(t_range[1]))
+    span = max(t1 - t0, 1)
+    tf = np.asarray(tms, np.float64)
+    it = np.clip(
+        np.where(np.isfinite(tf), (tf - t0) / span * n, 0.0).astype(np.int64),
+        0, n - 1,
+    )
+    key = (
+        _part1by2(ix)
+        | (_part1by2(iy) << np.uint64(1))
+        | (_part1by2(it) << np.uint64(2))
+    )
+    return key.view(np.int64)
+
+
 class SpatialManifest:
     """Sidecar of per-file spatial stats (bbox + zkey range + lineage).
 
@@ -370,7 +417,14 @@ class SpatialManifest:
 
 
 def _zkey_stage(
-    batch: pa.Table, *, derive: bool, bits: int, bbox_col: str | None = None
+    batch: pa.Table,
+    *,
+    derive: bool,
+    bits: int,
+    bbox_col: str | None = None,
+    t_range: "tuple[int, int] | None" = None,
+    tbits: int = 10,
+    time_col: str = "datetime",
 ) -> pa.Table:
     if bbox_col is not None:
         # stac-items shape: bbox is a struct<xmin,ymin,xmax,ymax> — lift
@@ -399,6 +453,22 @@ def _zkey_stage(
         batch = derive_footprints(batch)
     cx = (batch["fp_xmin"].to_numpy() + batch["fp_xmax"].to_numpy()) * 0.5
     cy = (batch["fp_ymin"].to_numpy() + batch["fp_ymax"].to_numpy()) * 0.5
+    if t_range is not None:
+        # spatio-temporal clustering: time is a third interleaved axis,
+        # quantized against the store-creation (t0, t1) so every later
+        # merge routes identically
+        if time_col in batch.column_names:
+            tms = (
+                batch[time_col]
+                .cast(pa.timestamp("ms"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+        else:
+            tms = np.full(len(batch), np.nan)
+        key = morton_key_xyt(cx, cy, tms, t_range, bits=tbits)
+        return batch.append_column("_zkey", pa.array(key, pa.int64()))
     return batch.append_column("_zkey", pa.array(morton_key(cx, cy, bits=bits), pa.int64()))
 
 
@@ -412,6 +482,9 @@ def write_clustered(
     resume: bool = True,
     rows_per_file: int = 16384,
     stats_cols: "list[str] | None" = None,
+    cluster_time: bool = False,
+    tbits: int = 10,
+    time_col: str = "datetime",
 ) -> list[dict]:
     """Write ``ds`` as a Morton-clustered parquet directory + sidecar
     spatial manifest; returns the manifest records (old + new).
@@ -423,6 +496,19 @@ def write_clustered(
     Mutations (merge/compact/delete) keep the stats fresh for rewritten
     files; the column set is part of the store's identity
     (``_store_meta.json``).
+
+    ``cluster_time=True`` switches the layout key to a 3-D Morton
+    interleave over (lon, lat, ``time_col``) — the spatio-temporal
+    clustering satellite archives want: per-file tmin/tmax become TIGHT
+    (time-near rows share files), so a (bbox AND datetime) query's kept
+    file count tracks the product of both selectivities. The global
+    time range is computed once here and recorded in the store params;
+    merges quantize against it (out-of-range later ingest clamps to the
+    edge buckets — re-cluster to a fresh store when the archive outgrows
+    its era). All reads stay correct regardless of layout (pruning and
+    the kNN certificate use the per-file bbox/tmin/tmax stats, not key
+    semantics) — xyt trades some spatial tightness for temporal
+    tightness.
 
     Accepts either the image-table shape (footprints derived from
     w/h/transform, or already-present ``fp_*`` columns with
@@ -453,7 +539,6 @@ def write_clustered(
 
     out_dir = os.path.abspath(out_dir)
     kw = {"derive": not footprints_derived, "bits": bits, "bbox_col": bbox_col}
-    keyed = ds.map_batches(_zkey_stage, batch_format="pyarrow", fn_kwargs=kw)
 
     man = SpatialManifest(out_dir)
 
@@ -471,6 +556,40 @@ def write_clustered(
         params = {"bits": bits, "rows_per_file": rows_per_file, "version": 1}
         if stats_cols:
             params["stats_cols"] = sorted(stats_cols)
+        if cluster_time:
+            # resume reuses the RECORDED time range (boundary identity);
+            # a fresh write computes it in one column-pruned pass
+            prev_t = None
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    prev_t = json.load(f)
+            if prev_t and prev_t.get("cluster") == "xyt":
+                t0, t1 = int(prev_t["t0"]), int(prev_t["t1"])
+            else:
+                from ray.data.aggregate import Max, Min
+
+                def _ms(b: pa.Table) -> pa.Table:
+                    v = (
+                        b[time_col].cast(pa.timestamp("ms")).cast(pa.int64())
+                    )
+                    return pa.table({"_t": v})
+
+                tr = (
+                    ds.select_columns([time_col])
+                    .map_batches(_ms, batch_format="pyarrow")
+                    .aggregate(Min("_t"), Max("_t"))
+                )
+                if tr["min(_t)"] is None:
+                    raise ValueError(
+                        f"cluster_time: {time_col!r} is all-null — nothing "
+                        "to cluster time on"
+                    )
+                t0, t1 = int(tr["min(_t)"]), int(tr["max(_t)"])
+            params.update(
+                {"cluster": "xyt", "t0": t0, "t1": t1, "tbits": tbits,
+                 "time_col": time_col}
+            )
+            kw.update({"t_range": (t0, t1), "tbits": tbits, "time_col": time_col})
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 prev_params = json.load(f)
@@ -484,6 +603,7 @@ def write_clustered(
             with open(tmp_meta, "w") as f:
                 json.dump(params, f, sort_keys=True)
             os.rename(tmp_meta, meta_path)
+        keyed = ds.map_batches(_zkey_stage, batch_format="pyarrow", fn_kwargs=kw)
         # boundary pass over a column-pruned stream (the bisection reads
         # the input several times; never ship payload bytes through it)
         names = ds.schema().names
@@ -493,6 +613,8 @@ def write_clustered(
             need = [c for c in ("fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax") if c in names]
         else:
             need = [c for c in ("w", "h", "transform") if c in names]
+        if cluster_time and time_col in names and time_col not in need:
+            need.append(time_col)
         zonly = ds.select_columns(need).map_batches(
             _zkey_stage, batch_format="pyarrow", fn_kwargs=kw
         ).select_columns(["_zkey"])
@@ -677,6 +799,24 @@ def _store_stats_cols(out_dir: str) -> list[str]:
             return list(json.load(f).get("stats_cols", ()))
     except FileNotFoundError:
         return []
+
+
+def _layout_kwargs(out_dir: str) -> dict:
+    """The _zkey_stage kwargs implied by the store's recorded layout:
+    {} for 2-D Morton stores; t_range/tbits/time_col for xyt stores so
+    merges/upserts quantize time exactly like the original write."""
+    try:
+        with open(os.path.join(out_dir, "_store_meta.json")) as f:
+            p = json.load(f)
+    except FileNotFoundError:
+        return {}
+    if p.get("cluster") != "xyt":
+        return {}
+    return {
+        "t_range": (int(p["t0"]), int(p["t1"])),
+        "tbits": int(p.get("tbits", 10)),
+        "time_col": p.get("time_col", "datetime"),
+    }
 
 
 def _live_stats_cols(out_dir: str, desc: "dict | None") -> list[str]:
@@ -1109,9 +1249,12 @@ def merge_clustered(
         cur_sv = 0 if desc is None else int(desc["v"])
         scols = _live_stats_cols(out_dir, desc)
 
+        zkw = _layout_kwargs(out_dir)
+
         def route(batch: pa.Table) -> pa.Table:
             b = _zkey_stage(
-                batch, derive=not footprints_derived, bits=bits, bbox_col=bbox_col
+                batch, derive=not footprints_derived, bits=bits,
+                bbox_col=bbox_col, **zkw,
             )
             bnds, ps = ray.get(bounds_ref) if isinstance(bounds_ref, ray.ObjectRef) else bounds_ref
             z = b["_zkey"].to_numpy()
@@ -2208,6 +2351,7 @@ def upsert_clustered(
     cand_pids: "set[int] | None" = None
     if locate == "footprint":
         names = new_ds.schema().names
+        zkw = _layout_kwargs(out_dir)
         need = [id_col] + (
             [bbox_col]
             if bbox_col is not None
@@ -2217,6 +2361,9 @@ def upsert_clustered(
                 if c in names
             ]
         )
+        tc = zkw.get("time_col")
+        if tc and tc in names and tc not in need:
+            need.append(tc)
         keyed = (
             new_ds.select_columns(need)
             .map_batches(
@@ -2225,6 +2372,7 @@ def upsert_clustered(
                     "derive": not footprints_derived,
                     "bits": bits,
                     "bbox_col": bbox_col,
+                    **zkw,
                 },
             )
             .select_columns([id_col, "_zkey"])

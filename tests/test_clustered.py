@@ -947,3 +947,87 @@ def test_search_clustered_uses_zone_maps(tmp_path, ray_session):
         store, None, column_ranges=to_column_ranges(spec.filter)
     )
     assert 0 < len(kept) < total
+
+
+def test_cluster_time_xyt_layout(tmp_path, ray_session):
+    """cluster_time=True: 3-D (x,y,t) Morton layout — identical rows to
+    the 2-D store on every query, but temporal file pruning becomes
+    selective (time-near rows share files) and merges route by the
+    recorded time range."""
+    import pandas as pd
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+
+    n = 4000
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-120, -70, n)
+    y = rng.uniform(25, 48, n)
+    # a year of acquisitions, uniform in time, uncorrelated with space
+    t = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.uniform(0, 365, n), unit="D"
+    )
+    df = pd.DataFrame(
+        {
+            "image_id": [f"i{i:05d}" for i in range(n)],
+            "datetime": t.astype("datetime64[ms]"),
+            "fp_xmin": x, "fp_ymin": y,
+            "fp_xmax": x + 0.01, "fp_ymax": y + 0.01,
+        }
+    )
+    s2d = str(tmp_path / "xy")
+    s3d = str(tmp_path / "xyt")
+    cl.write_clustered(
+        rd.from_pandas(df), s2d, footprints_derived=True, rows_per_file=128
+    )
+    cl.write_clustered(
+        rd.from_pandas(df), s3d, footprints_derived=True, rows_per_file=128,
+        cluster_time=True,
+    )
+
+    # identical EXACT results for a spatio-temporal query on both
+    # layouts (datetime= prunes files only — documented contract — so
+    # the exact interval rule applies after the read, as search() does)
+    Q = dict(bbox=(-110.0, 30.0, -95.0, 42.0), datetime="2024-03")
+
+    def _exact(df_):
+        m = (df_["datetime"] >= pd.Timestamp("2024-03-01")) & (
+            df_["datetime"] <= pd.Timestamp("2024-03-31 23:59:59.999")
+        )
+        return set(df_[m]["image_id"])
+
+    r2 = cl.read_clustered(s2d, **Q).to_pandas()
+    r3 = cl.read_clustered(s3d, **Q).to_pandas()
+    ids2, ids3 = _exact(r2), _exact(r3)
+    assert ids2 == ids3 and len(ids3) > 0
+    # the xyt read is a strict subset of the 2-D read pre-filter (files
+    # pruned), never of the exact result
+    assert len(r3) < len(r2)
+
+    # temporal pruning: a one-month window keeps a small fraction of the
+    # xyt store's files but nearly all of the 2-D store's
+    kept2, total2 = cl.prune_plan(s2d, None, datetime="2024-03")
+    kept3, total3 = cl.prune_plan(s3d, None, datetime="2024-03")
+    assert len(kept2) == total2  # time uncorrelated with space: no prune
+    assert len(kept3) < total3 * 0.5
+
+    # merge routes through the recorded (t0, t1): post-merge reads exact
+    extra = df.head(50).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    cl.merge_clustered(s3d, rd.from_pandas(extra), footprints_derived=True)
+    got = _exact(cl.read_clustered(s3d, **Q).to_pandas())
+    want_new = extra[
+        (extra["fp_xmin"] <= Q["bbox"][2]) & (extra["fp_xmax"] >= Q["bbox"][0])
+        & (extra["fp_ymin"] <= Q["bbox"][3]) & (extra["fp_ymax"] >= Q["bbox"][1])
+        & (extra["datetime"] >= pd.Timestamp("2024-03-01"))
+        & (extra["datetime"] <= pd.Timestamp("2024-03-31 23:59:59.999"))
+    ]
+    assert got == ids3 | set(want_new["image_id"])
+
+    # knn certificate holds on the xyt layout too
+    r = cl.knn_clustered(s3d, {"q": (-100.0, 35.0)}, 5)
+    cx = (df["fp_xmin"] + df["fp_xmax"]) / 2
+    cy = (df["fp_ymin"] + df["fp_ymax"]) / 2
+    d2 = (cx + 100.0) ** 2 + (cy - 35.0) ** 2
+    want = set(df.loc[d2.nsmallest(5).index, "image_id"])
+    assert set(r["image_id"]) == want
