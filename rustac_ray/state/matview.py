@@ -84,7 +84,9 @@ def _signed_partials(spec: dict, sign: int):
             df[f"_msum_{c}"] = df[c].astype("float64") * sign
             agg[f"_msum_{c}"] = "sum"
         out = df.groupby(group_by, as_index=False, sort=False, dropna=False).agg(agg)
-        return out
+        # arrow out: keeps every block in the fold arrow-typed (the
+        # shuffle combine unions these with a parquet read)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return fn
 
@@ -125,7 +127,7 @@ def _publish(view_dir: str, df: pd.DataFrame, meta: dict) -> None:
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
     os.rename(tmp, os.path.join(view_dir, table))
     old = meta.get("table")
-    meta = dict(meta, table=table, gen=gen)
+    meta = dict(meta, table=table, gen=gen, groups=len(df))
     mtmp = os.path.join(view_dir, _META_NAME + f".tmp.{os.getpid()}")
     with open(mtmp, "w") as f:
         json.dump(meta, f)
@@ -222,17 +224,33 @@ def _translate_spec(meta: dict, desc: "dict | None") -> "tuple[dict, dict]":
     return new_spec, renames
 
 
-def refresh_matview(store_dir: str, view_dir: str) -> dict:
+def refresh_matview(
+    store_dir: str,
+    view_dir: str,
+    *,
+    combine: str = "auto",
+    max_driver_groups: int = 2_000_000,
+) -> dict:
     """Bring the view up to the store's current version by folding ONLY
     the version delta (files exclusive to one side). Falls back to a
     full recompute when the view's base version was vacuumed (its
     manifest snapshot is gone). Returns ``{"mode", "from_version",
-    "to_version", "groups"}``."""
+    "to_version", "groups"}``.
+
+    ``combine``: how old view + delta merge — ``"driver"`` (one pandas
+    groupby; right when the view is dashboard-sized), ``"shuffle"``
+    (old view read as a Dataset, unioned with the delta partials, ONE
+    distributed groupby — the path for group keys with corpus-scale
+    cardinality, e.g. per-document rollups), or ``"auto"`` (default):
+    shuffle when the stored view exceeds ``max_driver_groups`` rows —
+    the same count-then-switch rule as exact_dedup/corpus_stats."""
     from ..sources.clustered import (
         _delta_files, _read_version_files, _repair_if_crashed, evolution,
         store_version,
     )
 
+    if combine not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"refresh_matview: unknown combine {combine!r}")
     store_dir = os.path.abspath(store_dir)
     _repair_if_crashed(store_dir)
     with open(os.path.join(view_dir, _META_NAME)) as f:
@@ -269,10 +287,29 @@ def refresh_matview(store_dir: str, view_dir: str) -> dict:
                 store_dir, only_from, v_from, desc, columns=need
             ).map_batches(_signed_partials(spec, -1), batch_format="pyarrow")
         )
-    old = _view_table(view_dir, meta)
-    if renames:
-        old = old.rename(columns=renames)
-    if sides:
+    use_shuffle = combine == "shuffle" or (
+        combine == "auto" and int(meta.get("groups", 0)) > max_driver_groups
+    )
+    if sides and use_shuffle:
+        import ray.data as rd
+
+        ds = sides[0]
+        for s in sides[1:]:
+            ds = ds.union(s)
+        old_ds = rd.read_parquet(os.path.join(view_dir, meta["table"]))
+        if renames:
+
+            def _ren(b: pa.Table) -> pa.Table:
+                return b.rename_columns(
+                    [renames.get(c, c) for c in b.column_names]
+                )
+
+            old_ds = old_ds.map_batches(_ren, batch_format="pyarrow")
+        df = _finalize(_fold(old_ds.union(ds), spec).to_pandas(), spec)
+    elif sides:
+        old = _view_table(view_dir, meta)
+        if renames:
+            old = old.rename(columns=renames)
         ds = sides[0]
         for s in sides[1:]:
             ds = ds.union(s)
@@ -285,6 +322,9 @@ def refresh_matview(store_dir: str, view_dir: str) -> dict:
         ].sum()
         df = _finalize(merged, spec)
     else:
+        old = _view_table(view_dir, meta)
+        if renames:
+            old = old.rename(columns=renames)
         df = old
     meta["store_version"] = v_to
     meta["spec"] = spec

@@ -177,3 +177,32 @@ def test_vacuumed_base_falls_back_to_full(store, tmp_path, full_fp):
 def test_min_max_rejected(store, tmp_path):
     with pytest.raises(ValueError):
         create_matview(store, str(tmp_path / "v"), group_by=[])
+
+
+def test_shuffle_combine_equals_driver(store, tmp_path, full_fp):
+    """combine='shuffle' (distributed old+delta fold, for corpus-scale
+    group cardinality) must equal the driver merge exactly."""
+    v1 = str(tmp_path / "vd")
+    v2 = str(tmp_path / "vs")
+    create_matview(store, v1, group_by=["collection"], sums=["w"], means=["h"])
+    create_matview(store, v2, group_by=["collection"], sums=["w"], means=["h"])
+
+    delete_clustered(store, bbox=AOI)
+    extra = full_fp.head(30).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra["collection"] = "fresh"
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+
+    a = refresh_matview(store, v1, combine="driver")
+    b = refresh_matview(store, v2, combine="shuffle")
+    assert a["mode"] == b["mode"] == "incremental"
+    pd.testing.assert_frame_equal(
+        read_matview(v1).sort_values("collection").reset_index(drop=True),
+        read_matview(v2).sort_values("collection").reset_index(drop=True),
+    )
+
+    # auto switches on the recorded view size
+    c = refresh_matview(store, v1, combine="auto", max_driver_groups=0)
+    assert c["mode"] == "noop"  # nothing new — but the path must not err
+    with pytest.raises(ValueError, match="combine"):
+        refresh_matview(store, v1, combine="bogus")
