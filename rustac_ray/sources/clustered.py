@@ -784,8 +784,11 @@ def _norm_stat(k, v):
     back to None."""
     if isinstance(v, float) and v != v:  # NaN
         return None
-    if k in (
-        "partition_id", "rows", "zmin", "zmax", "tmin", "tmax", "schema_v"
+    if (
+        k in (
+            "partition_id", "rows", "zmin", "zmax", "tmin", "tmax", "schema_v"
+        )
+        or k.startswith("csn_")
     ) and v is not None:
         return int(v)
     return v
@@ -842,7 +845,7 @@ def _col_stats(t: pa.Table, cols) -> dict:
 
     out: dict = {}
     for c in cols or ():
-        mn = mx = None  # keys always present → uniform record shape
+        mn = mx = nulls = None  # keys always present → uniform records
         if c in t.column_names and t.num_rows:
             arr = t[c]
             if not (
@@ -855,11 +858,13 @@ def _col_stats(t: pa.Table, cols) -> dict:
                     f"stats_cols: {c!r} has type {arr.type} — zone maps "
                     "support numeric and string columns"
                 )
+            nulls = int(arr.null_count)
             if arr.null_count < len(arr):
                 mn = pc.min(arr).as_py()
                 mx = pc.max(arr).as_py()
         out[f"cs0_{c}"] = mn
         out[f"cs1_{c}"] = mx
+        out[f"csn_{c}"] = nulls
     return out
 
 
@@ -1015,23 +1020,31 @@ def count_clustered(
     out_dir: str,
     bbox: tuple[float, float, float, float] | None = None,
     *,
+    column_ranges: "dict[str, tuple] | None" = None,
     detail: bool = False,
     version: int | None = None,
 ):
-    """COUNT(*) over a bbox without reading matching files: the
-    metadata-first aggregate (the lakehouse COUNT pushdown).
+    """COUNT(*) over a bbox and/or column ranges without reading matching
+    files: the metadata-first aggregate (the lakehouse COUNT pushdown).
 
-    - ``bbox=None`` → sum of manifest row counts, zero data IO.
+    - no predicate → sum of manifest row counts, zero data IO.
     - A file whose manifest envelope is CONTAINED in the query box
       contributes its full manifest count with zero IO — containment is
       sufficient because every row's footprint stats lie inside the
       envelope: fp_xmin ≤ env.xmax ≤ qx1 and fp_xmax ≥ env.xmin ≥ qx0
       (same for y), which is exactly the row-match test.
-    - Only boundary files (envelope overlaps but isn't contained) are
-      scanned, and only their 4 fp_* stat columns, via a local pyarrow
-      ``count_rows`` with the row filter — parquet row groups prune on
-      stats first. At any store size the scanned set is the query
-      PERIMETER, not its area.
+    - ``column_ranges={col: (lo, hi)}`` (closed intervals, nulls never
+      match) uses the zone maps + null counts recorded by
+      ``write_clustered(stats_cols=...)``: a file whose [min, max] lies
+      inside the range with zero nulls is fully counted from metadata;
+      a file whose [min, max] misses the range (or is all-null) is
+      excluded; only straddling files scan. A column added by a schema
+      evolve after a file was written counts by its recorded DEFAULT
+      (the reconciled logical value of every row in that file).
+    - Only boundary/straddling files are scanned, and only the stat +
+      predicate columns, via a local pyarrow ``count_rows`` with the row
+      filter — parquet row groups prune on stats first. At any store
+      size the scanned set is the query PERIMETER, not its area.
 
     ``detail=True`` returns (count, n_full_files, n_partial_files).
     """
@@ -1044,40 +1057,117 @@ def count_clustered(
         SpatialManifest(out_dir, version=version).completed().values(),
         key=lambda r: r["partition_id"],
     )
-    if bbox is None:
+    if bbox is None and not column_ranges:
         total = sum(r["rows"] for r in recs)
         return (total, len(recs), 0) if detail else total
-    boxes = _query_boxes(tuple(bbox))
+    desc = None
+    live = {}
+    if column_ranges:
+        sv = None if version is None or version == store_version(out_dir) else version
+        desc = evolution.load_schema(out_dir, sv)
+        if desc is not None:
+            live = {c["name"]: c for c in desc["columns"]}
+
+    boxes = _query_boxes(tuple(bbox)) if bbox is not None else None
     full, partial = [], []
+    # partial files carry their per-file physical predicate columns
+    partial_exprs: list = []
     for r in recs:
-        if r["rows"] == 0 or r["xmin"] is None:
+        if r["rows"] == 0:
             continue
-        contained = overlaps = False
-        for qx0, qy0, qx1, qy1 in boxes:
-            if r["xmin"] <= qx1 and r["xmax"] >= qx0 and r["ymin"] <= qy1 and r["ymax"] >= qy0:
-                overlaps = True
-                if qx0 <= r["xmin"] and r["xmax"] <= qx1 and qy0 <= r["ymin"] and r["ymax"] <= qy1:
-                    contained = True
+        # --- spatial classification -------------------------------------
+        if boxes is None:
+            sp = "contained"
+        elif r["xmin"] is None:
+            continue
+        else:
+            sp = "none"
+            for qx0, qy0, qx1, qy1 in boxes:
+                if r["xmin"] <= qx1 and r["xmax"] >= qx0 and r["ymin"] <= qy1 and r["ymax"] >= qy0:
+                    sp = "overlap"
+                    if qx0 <= r["xmin"] and r["xmax"] <= qx1 and qy0 <= r["ymin"] and r["ymax"] <= qy1:
+                        sp = "contained"
+                        break
+            if sp == "none":
+                continue
+        # --- per-column range classification ----------------------------
+        excluded = False
+        col_partial_fields: list = []  # (physical name, lo, hi)
+        for col, (lo, hi) in (column_ranges or {}).items():
+            p = col
+            if desc is not None:
+                c = live.get(col)
+                if c is None:
+                    raise KeyError(f"count: no live column {col!r}")
+                p = evolution.names_at(
+                    desc, int(r.get("schema_v", 0))
+                ).get(c["id"])
+                if p is None:
+                    # column added after this file: every row's logical
+                    # value is the recorded default
+                    d = c.get("default")
+                    ok = (
+                        d is not None
+                        and (lo is None or d >= lo)
+                        and (hi is None or d <= hi)
+                    )
+                    if not ok:
+                        excluded = True
+                        break
+                    continue  # default inside range: column fully matches
+            mn, mx = r.get(f"cs0_{p}"), r.get(f"cs1_{p}")
+            nulls = r.get(f"csn_{p}")
+            if mn is None or mx is None:
+                if nulls is not None and int(nulls) >= int(r["rows"]):
+                    excluded = True  # all-null: no row matches
                     break
-        if contained:
+                col_partial_fields.append((p, lo, hi))  # no stats: scan
+                continue
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                excluded = True
+                break
+            inside = (lo is None or mn >= lo) and (hi is None or mx <= hi)
+            if inside and (nulls is not None and int(nulls) == 0):
+                continue  # column fully matches from metadata
+            col_partial_fields.append((p, lo, hi))
+        if excluded:
+            continue
+        if sp == "contained" and not col_partial_fields:
             full.append(r)
-        elif overlaps:
+        else:
             partial.append(r)
+            parts = []
+            if boxes is not None:
+                bparts = []
+                for qx0, qy0, qx1, qy1 in boxes:
+                    bparts.append(
+                        (pc.field("fp_xmin") <= pc.scalar(qx1))
+                        & (pc.field("fp_xmax") >= pc.scalar(qx0))
+                        & (pc.field("fp_ymin") <= pc.scalar(qy1))
+                        & (pc.field("fp_ymax") >= pc.scalar(qy0))
+                    )
+                be = bparts[0]
+                for b_ in bparts[1:]:
+                    be = be | b_
+                parts.append(be)
+            for p, lo, hi in col_partial_fields:
+                if lo is not None:
+                    parts.append(pc.field(p) >= pc.scalar(lo))
+                if hi is not None:
+                    parts.append(pc.field(p) <= pc.scalar(hi))
+                if lo is None and hi is None:
+                    parts.append(pc.field(p).is_valid())
+            expr = parts[0] if parts else None
+            for p_ in parts[1:]:
+                expr = expr & p_
+            partial_exprs.append(expr)
+
     count = sum(r["rows"] for r in full)
-    if partial:
-        parts = []
-        for qx0, qy0, qx1, qy1 in boxes:
-            parts.append(
-                (pc.field("fp_xmin") <= pc.scalar(qx1))
-                & (pc.field("fp_xmax") >= pc.scalar(qx0))
-                & (pc.field("fp_ymin") <= pc.scalar(qy1))
-                & (pc.field("fp_ymax") >= pc.scalar(qy0))
-            )
-        expr = parts[0]
-        for p in parts[1:]:
-            expr = expr | p
-        dset = pads.dataset([os.path.join(out_dir, r["file"]) for r in partial])
-        count += dset.count_rows(filter=expr)
+    for r, expr in zip(partial, partial_exprs):
+        dset = pads.dataset(os.path.join(out_dir, r["file"]))
+        count += (
+            dset.count_rows(filter=expr) if expr is not None else dset.count_rows()
+        )
     return (count, len(full), len(partial)) if detail else count
 
 

@@ -1031,3 +1031,56 @@ def test_cluster_time_xyt_layout(tmp_path, ray_session):
     d2 = (cx + 100.0) ** 2 + (cy - 35.0) ** 2
     want = set(df.loc[d2.nsmallest(5).index, "image_id"])
     assert set(r["image_id"]) == want
+
+
+def test_count_with_column_ranges(tmp_path, ray_session):
+    """Metadata-first COUNT with zone maps: contained files count from
+    the manifest (zero IO), straddling files scan, excluded files never
+    open; nulls never match; evolve-added columns count by default."""
+    import pandas as pd
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+
+    n = 1200
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(-120, -70, n))
+    cloud = np.linspace(0.0, 100.0, n)
+    cloud_n = cloud.copy()
+    # nulls only in the high-cloud tail, so mid-range files keep csn==0
+    # and the metadata-only containment path is exercised
+    null_idx = rng.choice(np.nonzero(cloud > 80.0)[0], 60, replace=False)
+    df = pd.DataFrame(
+        {
+            "image_id": [f"i{i:05d}" for i in range(n)],
+            "cloud": cloud_n,
+            "fp_xmin": x, "fp_ymin": np.full(n, 30.0),
+            "fp_xmax": x + 0.01, "fp_ymax": np.full(n, 30.01),
+        }
+    )
+    df.loc[null_idx, "cloud"] = np.nan
+    store = str(tmp_path / "cnt")
+    cl.write_clustered(
+        rd.from_pandas(df), store, footprints_derived=True,
+        rows_per_file=128, stats_cols=["cloud"],
+    )
+    got, nfull, npart = cl.count_clustered(
+        store, column_ranges={"cloud": (20.0, 60.0)}, detail=True
+    )
+    want = int(((df["cloud"] >= 20.0) & (df["cloud"] <= 60.0)).sum())
+    assert got == want
+    assert nfull >= 1 and npart >= 1  # both metadata and scan paths hit
+
+    # bbox AND range compose
+    got2 = cl.count_clustered(
+        store, bbox=(-110.0, 29.0, -90.0, 31.0),
+        column_ranges={"cloud": (20.0, 60.0)},
+    )
+    inb = (df["fp_xmin"] <= -90.0) & (df["fp_xmax"] >= -110.0)
+    want2 = int((inb & (df["cloud"] >= 20.0) & (df["cloud"] <= 60.0)).sum())
+    assert got2 == want2
+
+    # evolve-added column counts by its recorded default
+    cl.evolve_clustered(store, add={"grade": 3.0})
+    assert cl.count_clustered(store, column_ranges={"grade": (1.0, 5.0)}) == n
+    assert cl.count_clustered(store, column_ranges={"grade": (4.0, None)}) == 0
