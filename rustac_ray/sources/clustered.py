@@ -49,6 +49,8 @@ from . import evolution
 
 __all__ = [
     "evolve_clustered",
+    "stat_clustered",
+    "explain_clustered",
     "store_schema",
     "clone_clustered",
     "maintain_clustered",
@@ -1169,6 +1171,100 @@ def count_clustered(
             dset.count_rows(filter=expr) if expr is not None else dset.count_rows()
         )
     return (count, len(full), len(partial)) if detail else count
+
+
+def stat_clustered(out_dir: str, col: str, agg: str = "minmax",
+                   *, version: "int | None" = None):
+    """Exact global MIN/MAX (and null count) of a zone-mapped column
+    from the manifest alone — zero data IO (global min = min of per-file
+    mins; exact, not an estimate). ``agg``: "min" | "max" | "nulls" |
+    "minmax" (→ dict). Raises if the column has no recorded zone map
+    (the store wasn't written with it in ``stats_cols``)."""
+    out_dir = os.path.abspath(out_dir)
+    _repair_if_crashed(out_dir)
+    recs = [
+        r
+        for r in SpatialManifest(out_dir, version=version).completed().values()
+        if r["rows"] > 0
+    ]
+    if not recs:
+        raise FileNotFoundError(f"no clustered store at {out_dir}")
+    sv = None if version is None or version == store_version(out_dir) else version
+    desc = evolution.load_schema(out_dir, sv)
+
+    def phys(r):
+        if desc is None:
+            return col
+        live = {c["name"]: c for c in desc["columns"]}
+        c = live.get(col)
+        if c is None:
+            raise KeyError(f"stat: no live column {col!r}")
+        return evolution.names_at(desc, int(r.get("schema_v", 0))).get(c["id"])
+
+    mins, maxs, nulls = [], [], 0
+    for r in recs:
+        p = phys(r)
+        if p is None or f"cs0_{p}" not in r:
+            raise ValueError(
+                f"stat_clustered: no zone map for {col!r} in "
+                f"{r['file']} — write the store with stats_cols=[{col!r}]"
+            )
+        if r[f"cs0_{p}"] is not None:
+            mins.append(r[f"cs0_{p}"])
+            maxs.append(r[f"cs1_{p}"])
+        nv = r.get(f"csn_{p}")
+        nulls += int(nv) if nv is not None else 0
+    out = {
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "nulls": nulls,
+    }
+    if agg == "minmax":
+        return out
+    if agg in out:
+        return out[agg]
+    raise ValueError(f"stat_clustered: unknown agg {agg!r}")
+
+
+def explain_clustered(
+    out_dir: str,
+    *,
+    bbox: "tuple[float, float, float, float] | None" = None,
+    datetime=None,
+    column_ranges: "dict[str, tuple] | None" = None,
+    version: "int | None" = None,
+) -> dict:
+    """EXPLAIN for the store's file-prune decision: how many files each
+    pruning level (spatial envelope / temporal tmin-tmax / column zone
+    maps) would keep on its own, and the final combined plan — the
+    operational introspection a scheduler uses to judge layout health
+    before running the read. Manifest-only, zero data IO."""
+    out_dir = os.path.abspath(out_dir)
+    total = len(
+        SpatialManifest(out_dir, version=version).completed()
+    )
+    out = {"files_total": total}
+    if bbox is not None:
+        out["kept_spatial"] = len(
+            prune_plan(out_dir, bbox, version=version)[0]
+        )
+    if datetime is not None:
+        out["kept_temporal"] = len(
+            prune_plan(out_dir, None, datetime=datetime, version=version)[0]
+        )
+    if column_ranges:
+        out["kept_zonemap"] = len(
+            prune_plan(
+                out_dir, None, column_ranges=column_ranges, version=version
+            )[0]
+        )
+    kept, _ = prune_plan(
+        out_dir, bbox, datetime=datetime, version=version,
+        column_ranges=column_ranges,
+    )
+    out["kept_combined"] = len(kept)
+    out["selectivity"] = round(len(kept) / total, 4) if total else 0.0
+    return out
 
 
 def read_clustered(

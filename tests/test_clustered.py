@@ -1084,3 +1084,50 @@ def test_count_with_column_ranges(tmp_path, ray_session):
     cl.evolve_clustered(store, add={"grade": 3.0})
     assert cl.count_clustered(store, column_ranges={"grade": (1.0, 5.0)}) == n
     assert cl.count_clustered(store, column_ranges={"grade": (4.0, None)}) == 0
+
+
+def test_stat_and_explain(tmp_path, ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    import rustac_ray.sources.clustered as cl
+
+    n = 800
+    rng = np.random.default_rng(7)
+    x = np.sort(rng.uniform(-120, -70, n))
+    df = pd.DataFrame(
+        {
+            "image_id": [f"i{i:04d}" for i in range(n)],
+            "cloud": np.linspace(5.0, 95.0, n),
+            "fp_xmin": x, "fp_ymin": np.full(n, 40.0),
+            "fp_xmax": x + 0.01, "fp_ymax": np.full(n, 40.01),
+        }
+    )
+    df.loc[3, "cloud"] = np.nan
+    store = str(tmp_path / "st")
+    cl.write_clustered(
+        rd.from_pandas(df), store, footprints_derived=True,
+        rows_per_file=128, stats_cols=["cloud"],
+    )
+    s = cl.stat_clustered(store, "cloud")
+    assert s["nulls"] == 1
+    real = df["cloud"].dropna()
+    assert s["min"] == real.min() and s["max"] == real.max()
+    assert cl.stat_clustered(store, "cloud", "max") == real.max()
+    with pytest.raises(ValueError, match="zone map"):
+        cl.stat_clustered(store, "image_id")
+
+    # cloud correlates with sorted x, so the ≥90 tail lives at high x —
+    # use a bbox overlapping that region so the combined plan is nonempty
+    ex = cl.explain_clustered(
+        store, bbox=(-76.0, 39.0, -70.0, 41.0),
+        column_ranges={"cloud": (90.0, None)},
+    )
+    assert ex["files_total"] > ex["kept_spatial"] > 0
+    assert ex["kept_zonemap"] < ex["files_total"]
+    assert ex["kept_combined"] <= min(ex["kept_spatial"], ex["kept_zonemap"])
+    assert 0.0 < ex["selectivity"] < 1.0
+
+    # rename keeps both working (id-mapped)
+    cl.evolve_clustered(store, rename={"cloud": "cc"})
+    assert cl.stat_clustered(store, "cc", "min") == real.min()
