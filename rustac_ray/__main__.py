@@ -454,7 +454,7 @@ def cmd_cluster(args):
     elif args.action == "vacuum":
         from .sources.clustered import vacuum_clustered
 
-        print(json.dumps(vacuum_clustered(args.store, keep_versions=args.keep)))
+        print(json.dumps(vacuum_clustered(args.store, keep_versions=args.keep or 1)))
     elif args.action == "schema":
         from .sources.clustered import store_schema
 
@@ -491,6 +491,35 @@ def cmd_cluster(args):
         )
         for rec in ds.to_pandas().to_dict("records"):
             print(json.dumps(rec))
+    elif args.action == "clone":
+        from .sources.clustered import clone_clustered
+
+        print(json.dumps(
+            clone_clustered(args.store, args.dest, version=args.version)
+        ))
+    elif args.action == "maintain":
+        from .sources.clustered import maintain_clustered
+
+        print(json.dumps(maintain_clustered(
+            args.store, target_rows=args.target_rows,
+            keep_versions=args.keep,
+            dry_run=args.plan_only,
+        )))
+    elif args.action == "stat":
+        from .sources.clustered import stat_clustered
+
+        print(json.dumps(stat_clustered(
+            args.store, args.stat_col, version=args.version
+        )))
+    elif args.action == "explain":
+        from .sources.clustered import explain_clustered
+
+        bbox = (
+            tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
+        )
+        print(json.dumps(explain_clustered(
+            args.store, bbox=bbox, version=args.version
+        )))
     else:  # read
         bbox = (
             tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
@@ -520,8 +549,12 @@ def main(argv=None):
         choices=[
             "write", "merge", "read", "compact", "info", "knn",
             "versions", "vacuum", "schema", "evolve", "changes",
+            "clone", "maintain", "stat", "explain",
         ],
     )
+    cl.add_argument("--dest", help="clone: destination store directory")
+    cl.add_argument("--stat-col", dest="stat_col",
+                    help="stat: zone-mapped column name")
     cl.add_argument("--point", help="x,y probe for knn")
     cl.add_argument(
         "--rename", action="append",
@@ -550,8 +583,9 @@ def main(argv=None):
         help="time-travel: read an archived store version",
     )
     cl.add_argument(
-        "--keep", type=int, default=1,
-        help="vacuum: number of versions to retain (current included)",
+        "--keep", type=int, default=None,
+        help="vacuum/maintain: versions to retain (vacuum default 1; "
+             "maintain skips the vacuum when omitted)",
     )
     cl.add_argument("--k", type=int, default=5)
     cl.add_argument("store", help="clustered store directory")

@@ -221,3 +221,24 @@ def test_cli_cluster_evolve_schema_changes(fixtures_dir, tmp_path, capsys):
     # CDC: evolve is metadata-only -> empty change feed
     main(["cluster", "changes", store, "--from-version", "0"])
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_cluster_clone_maintain_explain(fixtures_dir, tmp_path, capsys):
+    import json
+
+    store = str(tmp_path / "ops")
+    main(["cluster", "write", store, "--input",
+          f"{fixtures_dir}/images.parquet"])
+    capsys.readouterr()
+    clone = str(tmp_path / "ops2")
+    main(["cluster", "clone", store, "--dest", clone])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+
+    main(["cluster", "maintain", clone, "--plan-only"])
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["dry_run"] and "rework_fraction" in plan
+
+    main(["cluster", "explain", store, "--bbox=-120,25,-70,48"])
+    ex = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ex["kept_combined"] <= ex["files_total"]
