@@ -1,0 +1,74 @@
+"""Funnel analysis (stages/funnel) vs a brute-force pandas min-chain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rustac_ray.stages.funnel import funnel_counts, funnel_users
+
+
+def _brute(df, steps):
+    thr = None
+    counts = []
+    users = None
+    for s in steps:
+        ev = df[df["event_type"] == s]
+        if thr is None:
+            t = ev.groupby("user_id")["ts"].min()
+        else:
+            m = ev.merge(thr.rename("thr"), left_on="user_id", right_index=True)
+            m = m[m["ts"] > m["thr"]]
+            t = m.groupby("user_id")["ts"].min()
+        thr = t
+        counts.append(len(t))
+        users = set(t.index)
+    return counts, users
+
+
+def _mk(n_users=200, n_events=6000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n_events).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n_events), unit="s"),
+            "event_type": rng.choice(
+                ["signup", "view", "click", "purchase", "error"],
+                n_events, p=[0.1, 0.4, 0.25, 0.05, 0.2],
+            ),
+        }
+    )
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    df = _mk()
+    steps = ["signup", "view", "click", "purchase"]
+    got = funnel_counts(rd.from_pandas(df).repartition(7), steps)
+    want, last_users = _brute(df, steps)
+    assert got["n_users"].tolist() == want
+    assert got["conversion"].iloc[0] == 1.0
+    # funnel property: monotone non-increasing
+    assert all(a >= b for a, b in zip(want, want[1:]))
+    # last-level users match exactly
+    lvls = funnel_users(rd.from_pandas(df).repartition(7), steps)
+    assert set(lvls[-1].to_pandas()["user_id"]) == last_users
+
+
+def test_funnel_strict_order(ray_session):
+    # u1 does B before A -> converts only level A; u2 in order -> both
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 2], np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-02", "2024-01-01", "2024-01-01", "2024-01-02"]
+            ),
+            "event_type": ["A", "B", "A", "B"],
+        }
+    )
+    got = funnel_counts(rd.from_pandas(df), ["A", "B"])
+    assert got["n_users"].tolist() == [2, 1]
+    with pytest.raises(ValueError):
+        funnel_counts(rd.from_pandas(df), ["A"])
