@@ -59,10 +59,12 @@ def _first_level(ds, step, user_col, ts_col, type_col):
     )
 
 
-def _next_level(ds, prev, step, user_col, ts_col, type_col, n_buckets):
+def _next_level(ds, prev, step, user_col, ts_col, type_col, n_buckets,
+                within=None):
     """Per-user min ts of ``step`` events strictly after the user's
-    prev-level time: bucketed co-group (side-tagged union, one pandas
-    merge + filter + min per bucket)."""
+    prev-level time (and within ``within`` of it, when given): bucketed
+    co-group (side-tagged union, one pandas merge + filter + min per
+    bucket)."""
     import pyarrow.compute as pc
 
     def tag_events(b: pa.Table) -> pd.DataFrame:
@@ -98,6 +100,8 @@ def _next_level(ds, prev, step, user_col, ts_col, type_col, n_buckets):
             )
         m = ev.merge(th, on=user_col, how="inner")
         m = m[m["_t"] > m["_thr"]]
+        if within is not None:
+            m = m[m["_t"] <= m["_thr"] + within]
         out = m.groupby(user_col, as_index=False)["_t"].min()
         return out.rename(columns={"_t": "_prev_ts"})
 
@@ -112,9 +116,13 @@ def funnel_users(
     ts_col: str = "ts",
     type_col: str = "event_type",
     n_buckets: int = 64,
+    within=None,
 ):
     """Per-step Datasets of (user, first-qualifying ts): element k holds
-    every user who completed steps[0..k] in strict ts order."""
+    every user who completed steps[0..k] in strict ts order. ``within``
+    (pandas-compatible timedelta / numeric delta) bounds each step to at
+    most that long after the previous one — the windowed-conversion
+    convention."""
     if len(steps) < 2:
         raise ValueError("funnel needs >= 2 steps")
     outs = []
@@ -122,7 +130,8 @@ def funnel_users(
     outs.append(prev)
     for s in steps[1:]:
         prev = _next_level(
-            events_ds, prev, s, user_col, ts_col, type_col, n_buckets
+            events_ds, prev, s, user_col, ts_col, type_col, n_buckets,
+            within=within,
         )
         outs.append(prev)
     return outs
@@ -136,6 +145,7 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     n_buckets: int = 64,
+    within=None,
 ) -> pd.DataFrame:
     """→ (step, n_users, conversion): users completing each funnel
     prefix in strict order, conversion relative to the first step. The
@@ -143,7 +153,7 @@ def funnel_counts(
     levels = funnel_users(
         events_ds, steps,
         user_col=user_col, ts_col=ts_col, type_col=type_col,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, within=within,
     )
     ns = [lvl.count() for lvl in levels]
     base = max(ns[0], 1)

@@ -72,3 +72,22 @@ def test_funnel_strict_order(ray_session):
     assert got["n_users"].tolist() == [2, 1]
     with pytest.raises(ValueError):
         funnel_counts(rd.from_pandas(df), ["A"])
+
+
+def test_funnel_within_window(ray_session):
+    df = _mk(seed=3)
+    steps = ["view", "click"]
+    W = pd.Timedelta(hours=12)
+    got = funnel_counts(rd.from_pandas(df).repartition(5), steps, within=W)
+
+    ev = df[df["event_type"] == "view"]
+    t1 = ev.groupby("user_id")["ts"].min()
+    cl = df[df["event_type"] == "click"].merge(
+        t1.rename("thr"), left_on="user_id", right_index=True
+    )
+    cl = cl[(cl["ts"] > cl["thr"]) & (cl["ts"] <= cl["thr"] + W)]
+    want = [len(t1), cl["user_id"].nunique()]
+    assert got["n_users"].tolist() == want
+    # window strictly tightens the unwindowed funnel
+    loose = funnel_counts(rd.from_pandas(df).repartition(5), steps)
+    assert got["n_users"].iloc[1] <= loose["n_users"].iloc[1]
