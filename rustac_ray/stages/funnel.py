@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["funnel_counts", "funnel_users"]
+__all__ = ["funnel_counts", "funnel_users", "retention_cohorts"]
 
 _KNUTH = np.uint64(2654435761)
 
@@ -164,3 +164,97 @@ def funnel_counts(
             "conversion": [round(n / base, 9) for n in ns],
         }
     )
+
+
+def retention_cohorts(
+    events_ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+):
+    """Cohort retention: users grouped by FIRST-activity week, counted
+    once per (cohort, week-offset) they were active in — the standard
+    retention triangle. → Dataset (cohort_week, week_offset, n_users).
+
+    Weeks are integer epoch-week indices (epoch_ms // 86400000 // 7),
+    pure integer arithmetic on both the engine and the SQL twin. Same
+    scale shape as the funnel: per-user first-activity via groupby.Min,
+    then ONE bucketed co-group (users hash into a bounded bucket count)
+    where each bucket computes its users' distinct (cohort, offset)
+    pairs vectorized — per-bucket distinct is globally correct because a
+    user lives in exactly one bucket — followed by an O(cohorts×weeks)
+    count fold."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    def _weeks(b: pa.Table) -> pd.DataFrame:
+        # truncating cast (sub-ms precision would make the safe cast
+        # raise); positive epochs truncate toward zero == floor, matching
+        # the SQL twin's epoch_ms
+        ms = (
+            pc.cast(b[ts_col], pa.timestamp("ms"), safe=False)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame({user_col: b[user_col].to_numpy(zero_copy_only=False)})
+        df["_wk"] = (ms // 86_400_000) // 7
+        return df
+
+    wk = events_ds.map_batches(_weeks, batch_format="pyarrow")
+    first = wk.groupby(user_col).aggregate(Min("_wk", alias_name="_cohort"))
+
+    def tag_act(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # batch-local dedup shrinks the shuffle
+        df["_b"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
+        df["_side"] = np.int8(0)
+        df = df.rename(columns={"_wk": "_v"})
+        return df
+
+    def tag_first(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().rename(columns={"_cohort": "_v"})
+        df["_b"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
+        df["_side"] = np.int8(1)
+        return df[[user_col, "_v", "_b", "_side"]]
+
+    both = wk.map_batches(tag_act, batch_format="pandas").union(
+        first.map_batches(tag_first, batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        act = g[g["_side"] == 0][[user_col, "_v"]].rename(columns={"_v": "_wk"})
+        fst = g[g["_side"] == 1][[user_col, "_v"]].rename(
+            columns={"_v": "_cohort"}
+        )
+        if not len(act) or not len(fst):
+            return pd.DataFrame(
+                {"cohort_week": pd.array([], dtype="int64"),
+                 "week_offset": pd.array([], dtype="int64"),
+                 "_n": pd.array([], dtype="int64")}
+            )
+        m = act.drop_duplicates().merge(fst, on=user_col, how="inner")
+        m["week_offset"] = m["_wk"] - m["_cohort"]
+        d = m[[user_col, "_cohort", "week_offset"]].drop_duplicates()
+        out = (
+            d.groupby(["_cohort", "week_offset"], as_index=False)[user_col]
+            .size()
+            .rename(columns={"_cohort": "cohort_week", "size": "_n"})
+        )
+        out["_n"] = out["_n"].astype("int64")
+        return out
+
+    counts = both.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+    folded = counts.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("_n", alias_name="n_users")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": b["cohort_week"].cast(pa.int64()),
+                "week_offset": b["week_offset"].cast(pa.int64()),
+                "n_users": b["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -91,3 +91,36 @@ def test_funnel_within_window(ray_session):
     # window strictly tightens the unwindowed funnel
     loose = funnel_counts(rd.from_pandas(df).repartition(5), steps)
     assert got["n_users"].iloc[1] <= loose["n_users"].iloc[1]
+
+
+def test_retention_cohorts_matches_bruteforce(ray_session):
+    from rustac_ray.stages.funnel import retention_cohorts
+
+    df = _mk(n_users=80, n_events=3000, seed=5)
+    got = (
+        retention_cohorts(rd.from_pandas(df).repartition(6))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+
+    wk = (df["ts"].astype("int64") // 10**6) // 86_400_000 // 7
+    b = pd.DataFrame({"user_id": df["user_id"], "wk": wk})
+    first = b.groupby("user_id")["wk"].min().rename("cohort")
+    m = b.merge(first, left_on="user_id", right_index=True)
+    m["off"] = m["wk"] - m["cohort"]
+    want = (
+        m[["user_id", "cohort", "off"]].drop_duplicates()
+        .groupby(["cohort", "off"], as_index=False)["user_id"].size()
+        .rename(columns={"cohort": "cohort_week", "off": "week_offset",
+                         "size": "n_users"})
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    want["n_users"] = want["n_users"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # week 0 of every cohort includes every user of that cohort
+    w0 = got[got["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    sizes = first.value_counts()
+    for cw, n in w0.items():
+        assert n == sizes[cw]
