@@ -520,6 +520,24 @@ def cmd_cluster(args):
         print(json.dumps(explain_clustered(
             args.store, bbox=bbox, version=args.version
         )))
+    elif args.action == "view-create":
+        from .state.matview import create_matview
+
+        print(json.dumps(create_matview(
+            args.store, args.dest,
+            group_by=args.group_by.split(","),
+            sums=args.sums.split(",") if args.sums else None,
+            means=args.means.split(",") if args.means else None,
+        )))
+    elif args.action == "view-refresh":
+        from .state.matview import refresh_matview
+
+        print(json.dumps(refresh_matview(args.store, args.dest)))
+    elif args.action == "view-read":
+        from .state.matview import read_matview
+
+        for rec in read_matview(args.dest).to_dict("records"):
+            print(json.dumps(rec, default=str))
     else:  # read
         bbox = (
             tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
@@ -550,9 +568,14 @@ def main(argv=None):
             "write", "merge", "read", "compact", "info", "knn",
             "versions", "vacuum", "schema", "evolve", "changes",
             "clone", "maintain", "stat", "explain",
+            "view-create", "view-refresh", "view-read",
         ],
     )
-    cl.add_argument("--dest", help="clone: destination store directory")
+    cl.add_argument("--dest", help="clone/view-*: destination directory")
+    cl.add_argument("--group-by", dest="group_by",
+                    help="view-create: comma-separated group keys")
+    cl.add_argument("--sums", help="view-create: columns to sum")
+    cl.add_argument("--means", help="view-create: columns to average")
     cl.add_argument("--stat-col", dest="stat_col",
                     help="stat: zone-mapped column name")
     cl.add_argument("--point", help="x,y probe for knn")
