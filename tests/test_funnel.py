@@ -124,3 +124,25 @@ def test_retention_cohorts_matches_bruteforce(ray_session):
     sizes = first.value_counts()
     for cw, n in w0.items():
         assert n == sizes[cw]
+
+
+def test_funnel_hot_user_skew(ray_session):
+    """Planted skew: one user holds 95% of all events — the bucketed
+    co-group must stay correct (hot user confined to one bucket, merge
+    still vectorized) and the brute-force answer must match."""
+    rng = np.random.default_rng(11)
+    n = 20000
+    users = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 50, n)).astype(
+        np.int64
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": users,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "event_type": rng.choice(["A", "B", "C"], n),
+        }
+    )
+    got = funnel_counts(rd.from_pandas(df).repartition(9), ["A", "B", "C"])
+    want, _ = _brute(df, ["A", "B", "C"])
+    assert got["n_users"].tolist() == want
