@@ -1072,12 +1072,14 @@ class _AreaOverlayJoiner:
     batch; Z is the SMALL side by contract, like every broadcast join in
     this module)."""
 
-    def __init__(self, zones_ref, derive: bool, value_col, emit: str):
+    def __init__(self, zones_ref, derive: bool, value_col, emit: str,
+                 quantize=None):
         zid, zx0, zy0, zx1, zy1 = ray.get(zones_ref)
         self.zid, self.zx0, self.zy0, self.zx1, self.zy1 = zid, zx0, zy0, zx1, zy1
         self.derive = derive
         self.value_col = value_col
         self.emit = emit
+        self.quantize = quantize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .footprint import derive_footprints
@@ -1116,12 +1118,24 @@ class _AreaOverlayJoiner:
             if self.value_col is not None
             else None
         )
-        asum = np.zeros(len(self.zid), np.float64)
-        np.add.at(asum, zz, area)
-        cols = {
-            "query_id": pa.array(self.zid),
-            "overlap_area": pa.array(asum, pa.float64()),
-        }
+        if self.quantize is not None:
+            # per-PAIR floor quantization, then integer sums: exact and
+            # order-independent, so a SQL twin hash-matches bit-for-bit
+            # (float partial sums differ across summation orders)
+            qa = np.floor(area * self.quantize).astype(np.int64)
+            asum = np.zeros(len(self.zid), np.int64)
+            np.add.at(asum, zz, qa)
+            cols = {
+                "query_id": pa.array(self.zid),
+                "overlap_area_q": pa.array(asum, pa.int64()),
+            }
+        else:
+            asum = np.zeros(len(self.zid), np.float64)
+            np.add.at(asum, zz, area)
+            cols = {
+                "query_id": pa.array(self.zid),
+                "overlap_area": pa.array(asum, pa.float64()),
+            }
         if vals is not None:
             wsum = np.zeros(len(self.zid), np.float64)
             np.add.at(wsum, zz, area * vals[ii])
@@ -1138,6 +1152,7 @@ def area_overlay_join(
     *,
     emit: str = "pairs",
     value_col: "str | None" = None,
+    quantize: "float | None" = None,
     footprints_derived: bool = False,
     concurrency: "int | tuple[int, int]" = 4,
     batch_size: "int | None" = None,
@@ -1154,6 +1169,11 @@ def area_overlay_join(
     ``value_col`` when given) — partial sums per batch, ONE
     O(zones)-sized groupby, the area-weighted zonal-statistics shape
     (population-density style estimates over scene footprints).
+
+    ``quantize=q`` (zonal only): per-pair areas floor-quantize to
+    int64 units of 1/q BEFORE summing — integer partial sums are
+    order-independent, so the aggregate is bit-exact against a SQL twin
+    (float sums differ in the last bits across summation orders).
 
     ``zone_table``: Arrow/pandas (query_id, xmin, ymin, xmax, ymax) —
     the broadcast-small side.
@@ -1180,7 +1200,9 @@ def area_overlay_join(
     )
     pairs = images_ds.map_batches(
         _AreaOverlayJoiner,
-        fn_constructor_args=(ref, not footprints_derived, value_col, emit),
+        fn_constructor_args=(
+            ref, not footprints_derived, value_col, emit, quantize
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -1189,7 +1211,8 @@ def area_overlay_join(
         return pairs
     from ray.data.aggregate import Sum
 
-    aggs = [Sum("overlap_area", alias_name="overlap_area")]
+    area_col = "overlap_area_q" if quantize is not None else "overlap_area"
+    aggs = [Sum(area_col, alias_name=area_col)]
     if value_col is not None:
         aggs.append(Sum("_wsum", alias_name="_wsum"))
     folded = pairs.groupby("query_id").aggregate(*aggs)
@@ -1197,12 +1220,14 @@ def area_overlay_join(
         return folded
 
     def finish(b: pa.Table) -> pa.Table:
-        a = b["overlap_area"].to_numpy()
+        a = b[area_col].to_numpy().astype(np.float64)
+        if quantize is not None:
+            a = a / quantize
         wm = b["_wsum"].to_numpy() / a
         return pa.table(
             {
                 "query_id": b["query_id"],
-                "overlap_area": b["overlap_area"],
+                area_col: b[area_col],
                 f"wmean_{value_col}": pa.array(wm, pa.float64()),
             }
         )
