@@ -524,7 +524,13 @@ def test_latest_scene_join_matches_bruteforce(fixtures_dir, corpus):
          "ts": pa.array(ts, pa.int64())}
     )
     got = (
-        latest_scene_join(_images_ds_with_dt(fixtures_dir), probes, concurrency=2)
+        # concurrency=1 (not 2): three separate sessions hung HERE with
+        # ReadParquet starved at 0% while _LatestScenePartial actors sat
+        # idle — at the 4-CPU test session, this pool plus a prior
+        # test's not-yet-reaped pool can hold every CPU, and the read
+        # stage deadlocks. One actor leaves headroom regardless of
+        # reaping timing.
+        latest_scene_join(_images_ds_with_dt(fixtures_dir), probes, concurrency=1)
         .to_pandas()
         .sort_values("query_id")
         .reset_index(drop=True)
