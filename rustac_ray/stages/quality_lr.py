@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["featurize", "train_quality_lr", "score_quality_lr",
-           "PUNCT", "STOPWORDS", "N_FEATURES"]
+           "threshold_sweep", "PUNCT", "STOPWORDS", "N_FEATURES"]
 
 PUNCT = ".,;:!?"
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -156,3 +156,66 @@ def score_quality_lr(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def threshold_sweep(
+    ds,
+    score_col: str,
+    label_col: str,
+    thresholds: "list[float]",
+):
+    """Classifier calibration sweep: per-threshold confusion counts
+    (TP/FP/FN/TN at ``score >= t``) in ONE streaming pass — the
+    operating-point table a curation pipeline needs before committing a
+    quality cutoff at corpus scale. Per-batch partials are a (T, 4)
+    int64 matrix (T = #thresholds, constant size), folded with one tiny
+    sum — nothing corpus-sized moves. → pandas (threshold, tp, fp, fn,
+    tn, precision, recall); counts are exact integers (hash-stable), the
+    derived rates are plain double divisions of them.
+    """
+    thr = np.asarray(list(thresholds), np.float64)
+    T = len(thr)
+    if T == 0:
+        raise ValueError("threshold_sweep: need >= 1 threshold")
+
+    def partial(b: "pa.Table") -> pd.DataFrame:
+        s = b[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pred = s[None, :] >= thr[:, None]  # (T, N)
+        pos = y[None, :] == 1
+        tp = (pred & pos).sum(axis=1)
+        fp = (pred & ~pos).sum(axis=1)
+        fn = ((~pred) & pos).sum(axis=1)
+        tn = ((~pred) & ~pos).sum(axis=1)
+        return pd.DataFrame(
+            {"_i": np.arange(T, dtype=np.int64),
+             "tp": tp.astype(np.int64), "fp": fp.astype(np.int64),
+             "fn": fn.astype(np.int64), "tn": tn.astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_i")
+        .aggregate(
+            Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"), Sum("tn", alias_name="tn"),
+        )
+        .to_pandas()
+        .sort_values("_i")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame({"threshold": thr})
+    for c in ("tp", "fp", "fn", "tn"):
+        out[c] = folded[c].astype("int64")
+    denom_p = (out["tp"] + out["fp"]).to_numpy(np.float64)
+    denom_r = (out["tp"] + out["fn"]).to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["precision"] = np.where(
+            denom_p > 0, out["tp"].to_numpy(np.float64) / denom_p, 0.0
+        )
+        out["recall"] = np.where(
+            denom_r > 0, out["tp"].to_numpy(np.float64) / denom_r, 0.0
+        )
+    return out

@@ -54,3 +54,30 @@ def test_empty_and_null_text(ray_session):
     assert x.shape == (2, 6) and np.isfinite(x).all()
     with pytest.raises(ValueError):
         train_quality_lr(rd.from_pandas(df.iloc[0:0]))
+
+
+def test_threshold_sweep_bruteforce(ray_session):
+    from rustac_ray.stages.quality_lr import threshold_sweep
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    df = pd.DataFrame(
+        {"score": rng.uniform(0, 1, n).round(4),
+         "label": rng.integers(0, 2, n).astype(np.int64)}
+    )
+    thr = [0.2, 0.5, 0.8]
+    got = threshold_sweep(
+        rd.from_pandas(df).repartition(6), "score", "label", thr
+    )
+    for i, t in enumerate(thr):
+        pred = df["score"] >= t
+        pos = df["label"] == 1
+        assert got["tp"].iloc[i] == int((pred & pos).sum())
+        assert got["fp"].iloc[i] == int((pred & ~pos).sum())
+        assert got["fn"].iloc[i] == int((~pred & pos).sum())
+        assert got["tn"].iloc[i] == int((~pred & ~pos).sum())
+        assert got[["tp", "fp", "fn", "tn"]].iloc[i].sum() == n
+    # monotone: raising the threshold never increases TP
+    assert got["tp"].is_monotonic_decreasing
+    with pytest.raises(ValueError):
+        threshold_sweep(rd.from_pandas(df), "score", "label", [])
