@@ -881,3 +881,89 @@ def summaries_dict(df: "pd.DataFrame", *, group_col: str = "collection") -> dict
         else:
             d[prop] = sorted(g["value"].tolist())
     return out
+
+
+def rollup_counts(
+    ds,
+    group_cols: "list[str]",
+    *,
+    agg_col: "str | None" = None,
+):
+    """ROLLUP over ``group_cols`` (the warehouse GROUPING SETS
+    hierarchy): one result row per prefix level — (a, b, …), (a, …),
+    …, () — with ``n`` row counts and, when ``agg_col`` is given,
+    ``sum_{agg_col}``. Absent levels carry NULL group keys plus a
+    ``grouping`` bitmask (DuckDB/Spark convention: bit i set ⇔ column i
+    is aggregated away, so the twin is GROUP BY ROLLUP + GROUPING()).
+
+    Scale shape: ONE pass of per-batch partials — each batch emits every
+    level's partial counts at once (levels+1 tiny pandas groupbys over
+    an in-memory batch) — then a single groupby over (level keys) folds
+    them. The exchange carries the union of the level cardinalities,
+    never the corpus; no per-level rescans of the input.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    k = len(group_cols)
+    if k == 0:
+        raise ValueError("rollup_counts: need >= 1 group column")
+
+    def partial(b: pa.Table) -> "pd.DataFrame":
+        df = b.select(
+            group_cols + ([agg_col] if agg_col else [])
+        ).to_pandas()
+        outs = []
+        for lvl in range(k, -1, -1):  # k = finest, 0 = grand total
+            keep = group_cols[:lvl]
+            g = df.copy()
+            g["_one"] = np.int64(1)
+            agg = {"_n": ("_one", "sum")}
+            if agg_col:
+                agg[f"sum_{agg_col}"] = (agg_col, "sum")
+            if keep:
+                p = g.groupby(keep, as_index=False, dropna=False).agg(**agg)
+            else:
+                p = pd.DataFrame({"_n": [len(g)]})
+                if agg_col:
+                    p[f"sum_{agg_col}"] = g[agg_col].sum()
+            for c in group_cols[lvl:]:
+                # sentinel (not None): Ray's sort-based groupby cannot
+                # order null-vs-value keys; the grouping mask is part of
+                # the group key, so sentinels can never collide with
+                # genuine values of a DIFFERENT level
+                p[c] = "" if df[c].dtype == object else 0
+            # bitmask: bit i set <=> group_cols[i] aggregated away
+            p["grouping"] = np.int64(sum(1 << i for i in range(lvl, k)))
+            outs.append(p)
+        out = pd.concat(outs, ignore_index=True)
+        return out[group_cols + ["grouping", "_n"]
+                   + ([f"sum_{agg_col}"] if agg_col else [])]
+
+    aggs = [Sum("_n", alias_name="n")]
+    if agg_col:
+        aggs.append(Sum(f"sum_{agg_col}", alias_name=f"sum_{agg_col}"))
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols + ["grouping"])
+        .aggregate(*aggs)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = b["grouping"].cast(pa.int64())
+        cols = {}
+        for i, c in enumerate(group_cols):
+            rolled = pc.not_equal(
+                pc.bit_wise_and(mask, pa.scalar(1 << i, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+            cols[c] = pc.if_else(rolled, pa.scalar(None, b[c].type), b[c])
+        cols["grouping"] = mask
+        cols["n"] = b["n"].cast(pa.int64())
+        if agg_col:
+            cols[f"sum_{agg_col}"] = b[f"sum_{agg_col}"]
+        return pa.table(cols)
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -868,3 +868,41 @@ def test_connected_components_sharded_deep_chain():
     )
     got = _cc_labels(pairs, combine="sharded", shards=4)
     assert set(got.values()) == {0} and len(got) == n
+
+
+def test_rollup_counts_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.choice(["p", "q"], n),
+            "v": rng.integers(0, 10, n).astype(np.int64),
+        }
+    )
+    got = (
+        aggregates.rollup_counts(
+            rd.from_pandas(df).repartition(5), ["a", "b"], agg_col="v"
+        )
+        .to_pandas()
+    )
+    # finest level
+    fine = got[got["grouping"] == 0].set_index(["a", "b"])
+    want_f = df.groupby(["a", "b"]).agg(n=("v", "size"), s=("v", "sum"))
+    for (a, b), row in want_f.iterrows():
+        assert fine.loc[(a, b), "n"] == row["n"]
+        assert fine.loc[(a, b), "sum_v"] == row["s"]
+    # per-a level: b is null, mask bit 1 set
+    mid = got[got["grouping"] == 2]
+    assert mid["b"].isna().all()
+    assert (
+        mid.set_index("a")["n"].sort_index()
+        == df.groupby("a").size().sort_index()
+    ).all()
+    # grand total
+    top = got[got["grouping"] == 3]
+    assert len(top) == 1
+    assert top["n"].iloc[0] == n and top["sum_v"].iloc[0] == df["v"].sum()
+    # every level sums to n
+    for m in (0, 2, 3):
+        assert got[got["grouping"] == m]["n"].sum() == n
