@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .safejoin import safe_join
+
 __all__ = [
     "exact_dedup",
     "incremental_dedup",
@@ -118,8 +120,8 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
         win_ids = win.map_batches(
             lambda b: b.select([id_col]), batch_format="pyarrow"
         )
-        return ds.join(
-            win_ids, join_type="inner", num_partitions=num_partitions,
+        return safe_join(
+            ds, win_ids, join_type="inner", num_partitions=num_partitions,
             on=(id_col,),
         )
 
@@ -1716,8 +1718,8 @@ def paragraph_dedup(ds, col: str = "text", id_col: str = "doc_id", *,
             )
             kept = interior.union(seam_ds)
 
-        joined = ds.join(
-            kept, join_type="inner", num_partitions=num_partitions,
+        joined = safe_join(
+            ds, kept, join_type="inner", num_partitions=num_partitions,
             on=(id_col,),
         )
 

@@ -35,10 +35,36 @@ _KNUTH = np.uint64(2654435761)
 
 
 def _bucket_of(users: np.ndarray, n_buckets: int) -> np.ndarray:
-    u = users.astype(np.uint64, copy=False)
+    users = np.asarray(users)
+    if users.dtype.kind in "iu":
+        u = users.astype(np.uint64, copy=False)
+    else:
+        # string / datetime / float ids: vectorized process-stable hash
+        # (pandas' siphash with its fixed default key — NOT Python's
+        # per-process-salted hash()), so every actor agrees on buckets
+        u = pd.util.hash_array(users, categorize=False).astype(np.uint64)
     return ((u * _KNUTH) % np.uint64(1 << 32) % np.uint64(n_buckets)).astype(
         np.int64
     )
+
+
+# target rows per co-group bucket when auto-sizing: one bucket's merge
+# frame (events + thresholds for ~this many rows) stays well inside a
+# worker heap; at 100x event volume the bucket COUNT grows, not the
+# bucket SIZE
+_TARGET_ROWS_PER_BUCKET = 500_000
+_MIN_BUCKETS = 64
+
+
+def _auto_buckets(events_ds, n_buckets: "int | None") -> int:
+    """Derive the co-group bucket count from the input size (the
+    exact_dedup ``combine="auto"`` count-then-size pattern) unless the
+    caller pinned one. ``count()`` is metadata-only on a parquet-backed
+    Dataset — the usual funnel input."""
+    if n_buckets is not None:
+        return int(n_buckets)
+    n = events_ds.count() or 0
+    return max(_MIN_BUCKETS, -(-int(n) // _TARGET_ROWS_PER_BUCKET))
 
 
 def _first_level(ds, step, user_col, ts_col, type_col):
@@ -115,7 +141,7 @@ def funnel_users(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
     within=None,
 ):
     """Per-step Datasets of (user, first-qualifying ts): element k holds
@@ -125,6 +151,7 @@ def funnel_users(
     convention."""
     if len(steps) < 2:
         raise ValueError("funnel needs >= 2 steps")
+    n_buckets = _auto_buckets(events_ds, n_buckets)
     outs = []
     prev = _first_level(events_ds, steps[0], user_col, ts_col, type_col)
     outs.append(prev)
@@ -144,7 +171,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
     within=None,
 ) -> pd.DataFrame:
     """→ (step, n_users, conversion): users completing each funnel
@@ -171,7 +198,7 @@ def retention_cohorts(
     *,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
 ):
     """Cohort retention: users grouped by FIRST-activity week, counted
     once per (cohort, week-offset) they were active in — the standard
@@ -187,6 +214,8 @@ def retention_cohorts(
     count fold."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
+
+    n_buckets = _auto_buckets(events_ds, n_buckets)
 
     def _weeks(b: pa.Table) -> pd.DataFrame:
         # truncating cast (sub-ms precision would make the safe cast

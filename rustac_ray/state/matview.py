@@ -83,6 +83,11 @@ def _signed_partials(spec: dict, sign: int):
         for c in means:
             df[f"_msum_{c}"] = df[c].astype("float64") * sign
             agg[f"_msum_{c}"] = "sum"
+            # SQL AVG excludes nulls: maintain a per-column NON-NULL
+            # count so mean = _msum / _mn, not _msum / _n (which would
+            # silently deflate the mean whenever the column has nulls)
+            df[f"_mn_{c}"] = df[c].notna().astype("int64") * sign
+            agg[f"_mn_{c}"] = "sum"
         out = df.groupby(group_by, as_index=False, sort=False, dropna=False).agg(agg)
         # arrow out: keeps every block in the fold arrow-typed (the
         # shuffle combine unions these with a parquet read)
@@ -101,6 +106,7 @@ def _fold(ds, spec: dict):
         aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
     for c in means:
         aggs.append(Sum(f"_msum_{c}", alias_name=f"_msum_{c}"))
+        aggs.append(Sum(f"_mn_{c}", alias_name=f"_mn_{c}"))
     return ds.groupby(group_by).aggregate(*aggs)
 
 
@@ -111,7 +117,7 @@ def _finalize(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     df = df[df["_n"] > 0].copy()
     cols = group_by + ["_n"] + [f"sum_{c}" for c in sums] + [
         f"_msum_{c}" for c in means
-    ]
+    ] + [f"_mn_{c}" for c in means]
     return df[cols].sort_values(group_by).reset_index(drop=True)
 
 
@@ -221,7 +227,19 @@ def _translate_spec(meta: dict, desc: "dict | None") -> "tuple[dict, dict]":
     for old, new in zip(spec.get("means", ()), new_spec["means"]):
         if old != new:
             renames[f"_msum_{old}"] = f"_msum_{new}"
+            renames[f"_mn_{old}"] = f"_mn_{new}"
     return new_spec, renames
+
+
+def _ensure_mn(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
+    """Upgrade a view table written before the ``_mn_{c}`` columns
+    existed: assume historical rows were non-null (the only consistent
+    reading of the old sums) and seed ``_mn_`` from ``_n``."""
+    for c in spec.get("means", ()):
+        if f"_mn_{c}" not in df.columns:
+            df = df.copy()
+            df[f"_mn_{c}"] = df["_n"].astype("int64")
+    return df
 
 
 def refresh_matview(
@@ -297,19 +315,27 @@ def refresh_matview(
         for s in sides[1:]:
             ds = ds.union(s)
         old_ds = rd.read_parquet(os.path.join(view_dir, meta["table"]))
-        if renames:
+        _spec = spec
 
-            def _ren(b: pa.Table) -> pa.Table:
-                return b.rename_columns(
+        def _upgrade(b: pa.Table) -> pa.Table:
+            if renames:
+                b = b.rename_columns(
                     [renames.get(c, c) for c in b.column_names]
                 )
+            for c in _spec.get("means", ()):
+                if f"_mn_{c}" not in b.column_names:
+                    b = b.append_column(
+                        f"_mn_{c}", b.column("_n").cast(pa.int64())
+                    )
+            return b
 
-            old_ds = old_ds.map_batches(_ren, batch_format="pyarrow")
+        old_ds = old_ds.map_batches(_upgrade, batch_format="pyarrow")
         df = _finalize(_fold(old_ds.union(ds), spec).to_pandas(), spec)
     elif sides:
         old = _view_table(view_dir, meta)
         if renames:
             old = old.rename(columns=renames)
+        old = _ensure_mn(old, spec)
         ds = sides[0]
         for s in sides[1:]:
             ds = ds.union(s)
@@ -325,7 +351,7 @@ def refresh_matview(
         old = _view_table(view_dir, meta)
         if renames:
             old = old.rename(columns=renames)
-        df = old
+        df = _ensure_mn(old, spec)
     meta["store_version"] = v_to
     meta["spec"] = spec
     meta["spec_schema_v"] = 0 if desc is None else int(desc["v"])
@@ -341,11 +367,16 @@ def read_matview(view_dir: str) -> pd.DataFrame:
         meta = json.load(f)
     df = _view_table(view_dir, meta)
     spec = meta["spec"]
+    df = _ensure_mn(df, spec)
     group_by, sums, means = _agg_plan(spec)
     out = df[group_by].copy()
     out["n"] = df["_n"].astype("int64")
     for c in sums:
         out[f"sum_{c}"] = df[f"sum_{c}"]
     for c in means:
-        out[f"mean_{c}"] = df[f"_msum_{c}"] / df["_n"]
+        # divide by the NON-NULL count (SQL AVG semantics); a group
+        # whose mean column is entirely null yields NaN, matching AVG
+        out[f"mean_{c}"] = df[f"_msum_{c}"] / df[f"_mn_{c}"].where(
+            df[f"_mn_{c}"] > 0
+        )
     return out

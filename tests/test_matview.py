@@ -206,3 +206,67 @@ def test_shuffle_combine_equals_driver(store, tmp_path, full_fp):
     assert c["mode"] == "noop"  # nothing new — but the path must not err
     with pytest.raises(ValueError, match="combine"):
         refresh_matview(store, v1, combine="bogus")
+
+
+# ---------------------------------------------------------------- nulls ---
+# SQL AVG excludes nulls; the view maintains a per-mean-column non-null
+# count (_mn_) so mean_h = _msum_h / _mn_h, not / _n (r4 ADVICE item:
+# dividing by the group row count silently deflates means under nulls).
+
+
+@pytest.fixture()
+def nullfp(full_fp):
+    df = full_fp.copy()
+    h = df["h"].astype("float64").to_numpy()
+    h[::5] = np.nan  # deterministic ~20% nulls
+    df["h"] = h
+    # one collection with h entirely null: AVG must come back null
+    victim = sorted(df["collection"].unique())[0]
+    df.loc[df["collection"] == victim, "h"] = np.nan
+    return df
+
+
+@pytest.fixture()
+def nullstore(tmp_path, nullfp):
+    out = str(tmp_path / "mvnull")
+    write_clustered(
+        rd.from_pandas(nullfp), out, footprints_derived=True, rows_per_file=32
+    )
+    return out
+
+
+def test_mean_excludes_nulls(nullstore, tmp_path, nullfp):
+    view = str(tmp_path / "view")
+    create_matview(
+        nullstore, view, group_by=["collection"], sums=["w"], means=["h"]
+    )
+    pd.testing.assert_frame_equal(_got(view), _control(nullfp))
+    # the all-null collection's mean is NaN (SQL AVG over no non-nulls)
+    victim = sorted(nullfp["collection"].unique())[0]
+    got = _got(view)
+    assert np.isnan(got.loc[got["collection"] == victim, "mean_h"]).all()
+
+
+@pytest.mark.parametrize("combine", ["driver", "shuffle"])
+def test_refresh_with_nulls_equals_recompute(
+    nullstore, tmp_path, nullfp, combine
+):
+    view = str(tmp_path / "view")
+    create_matview(
+        nullstore, view, group_by=["collection"], sums=["w"], means=["h"]
+    )
+    delete_clustered(nullstore, bbox=AOI)
+    extra = nullfp.head(40).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra["collection"] = "fresh"
+    extra.loc[extra.index[::2], "h"] = np.nan  # nulls in the delta too
+    merge_clustered(nullstore, rd.from_pandas(extra), footprints_derived=True)
+
+    out = refresh_matview(nullstore, view, combine=combine)
+    assert out["mode"] == "incremental"
+    hit = (
+        (nullfp["fp_xmin"] <= AOI[2]) & (nullfp["fp_xmax"] >= AOI[0])
+        & (nullfp["fp_ymin"] <= AOI[3]) & (nullfp["fp_ymax"] >= AOI[1])
+    )
+    cur = pd.concat([nullfp[~hit], extra], ignore_index=True)
+    pd.testing.assert_frame_equal(_got(view), _control(cur))
