@@ -508,6 +508,11 @@ def cmd_cluster(args):
     elif args.action == "stat":
         from .sources.clustered import stat_clustered
 
+        if not args.stat_col:
+            raise SystemExit(
+                "cluster stat: --stat-col is required (the zone-map column "
+                "to aggregate)"
+            )
         print(json.dumps(stat_clustered(
             args.store, args.stat_col, version=args.version
         )))
@@ -517,8 +522,14 @@ def cmd_cluster(args):
         bbox = (
             tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
         )
+        ranges = {}
+        for kv in args.range or []:
+            col, span = kv.split("=", 1)
+            lo, hi = span.split(":", 1)
+            ranges[col] = (json.loads(lo), json.loads(hi))
         print(json.dumps(explain_clustered(
-            args.store, bbox=bbox, version=args.version
+            args.store, bbox=bbox, datetime=args.datetime,
+            column_ranges=ranges or None, version=args.version,
         )))
     elif args.action == "view-create":
         from .state.matview import create_matview
@@ -578,6 +589,12 @@ def main(argv=None):
     cl.add_argument("--means", help="view-create: columns to average")
     cl.add_argument("--stat-col", dest="stat_col",
                     help="stat: zone-mapped column name")
+    cl.add_argument("--datetime", help="explain: STAC datetime / interval")
+    cl.add_argument(
+        "--range", action="append", metavar="COL=LO:HI",
+        help="explain: zone-map column range, JSON endpoints "
+             '(e.g. --range \'w=512:2048\', repeatable)',
+    )
     cl.add_argument("--point", help="x,y probe for knn")
     cl.add_argument(
         "--rename", action="append",

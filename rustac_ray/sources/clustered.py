@@ -1327,7 +1327,8 @@ def read_clustered(
         elif columns:
             empty = empty.select(columns)
         return rd.from_arrow(empty)
-    expr = read_kwargs.pop("filter", None)  # caller prefilter ANDs with ours
+    user_expr = read_kwargs.pop("filter", None)  # caller prefilter, LIVE names
+    bbox_expr = None
     if bbox is not None:
         parts = []
         for qx0, qy0, qx1, qy1 in _query_boxes(tuple(bbox)):
@@ -1337,10 +1338,12 @@ def read_clustered(
                 & (pc.field("fp_ymin") <= pc.scalar(qy1))
                 & (pc.field("fp_ymax") >= pc.scalar(qy0))
             )
-        bexpr = parts[0]
+        bbox_expr = parts[0]
         for p in parts[1:]:
-            bexpr = bexpr | p
-        expr = bexpr if expr is None else (expr & bexpr)
+            bbox_expr = bbox_expr | p
+    expr = user_expr
+    if bbox_expr is not None:
+        expr = bbox_expr if expr is None else (expr & bbox_expr)
     if desc is None:
         # identity store (never evolved): one scan, physical == logical.
         # The filter needs the fp_* columns during the scan; re-project
@@ -1357,8 +1360,16 @@ def read_clustered(
     # under; each group scans its PHYSICAL column names and a per-batch
     # reconcile projects to the live logical schema (rename by column id,
     # fill added defaults, drop retired columns). The fp_* filter columns
-    # are internal and identical across every schema version, so pruning
-    # and row-group pushdown are schema-agnostic.
+    # are internal and identical across every schema version, so the bbox
+    # pushdown is schema-agnostic — but a CALLER filter is written in
+    # LIVE logical names, which only exist physically in files written at
+    # the live schema version: pushing it into an older group's scan
+    # would fail (renamed column) or silently misfilter. Older groups
+    # therefore scan with the bbox filter only and apply the caller
+    # filter AFTER reconcile (pyarrow Table.filter takes the same
+    # Expression) over the full logical schema, re-projecting afterward
+    # — exact semantics, at the cost of row-group pushdown on just the
+    # old-schema tail (COMPACT/maintain rewrites restore it).
     file_sv = {
         r["file"]: int(r.get("schema_v", 0))
         for r in SpatialManifest(out_dir, version=version).completed().values()
@@ -1366,19 +1377,41 @@ def read_clustered(
     groups: dict[int, list[str]] = {}
     for p in paths:
         groups.setdefault(file_sv.get(os.path.basename(p), 0), []).append(p)
+    live_v = int(desc["v"])
     pieces = []
     for sv in sorted(groups):
-        scan_columns = evolution.physical_read_columns(desc, sv, columns)
-        if scan_columns is not None and expr is not None:
-            need = ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
-            scan_columns = list(dict.fromkeys(scan_columns + need))
-        part = rd.read_parquet(
-            groups[sv], columns=scan_columns, filter=expr, **read_kwargs
-        ).map_batches(
-            evolution.reconcile_table,
-            batch_format="pyarrow",
-            fn_kwargs={"desc": desc, "schema_v": sv, "columns": columns},
-        )
+        if sv == live_v or user_expr is None:
+            # physical == logical (or nothing caller-side): full pushdown
+            scan_columns = evolution.physical_read_columns(desc, sv, columns)
+            if scan_columns is not None and expr is not None:
+                need = ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+                scan_columns = list(dict.fromkeys(scan_columns + need))
+            part = rd.read_parquet(
+                groups[sv], columns=scan_columns, filter=expr, **read_kwargs
+            ).map_batches(
+                evolution.reconcile_table,
+                batch_format="pyarrow",
+                fn_kwargs={"desc": desc, "schema_v": sv, "columns": columns},
+            )
+        else:
+            _ue, _cols = user_expr, columns
+
+            def _reconcile_filter(t, *, desc, schema_v, __ue=_ue,
+                                  __cols=_cols):
+                t = evolution.reconcile_table(t, desc, schema_v)
+                t = t.filter(__ue)
+                if __cols is not None:
+                    keep = [c for c in __cols if c in t.column_names]
+                    t = t.select(keep)
+                return t
+
+            part = rd.read_parquet(
+                groups[sv], filter=bbox_expr, **read_kwargs
+            ).map_batches(
+                _reconcile_filter,
+                batch_format="pyarrow",
+                fn_kwargs={"desc": desc, "schema_v": sv},
+            )
         pieces.append(part)
     ds = pieces[0]
     for p in pieces[1:]:
@@ -1449,22 +1482,24 @@ def merge_clustered(
 
         by_rec = {r["partition_id"]: r for r in recs}
 
-        def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        def rewrite(g: pa.Table) -> pa.Table:
             # Stage the merged file under a tmp name — published files are
             # NEVER touched until the journaled publish below, so a crash
             # anywhere in here leaves the store exactly as it was (the r3
             # in-place rename left manifest bbox/zkey stats stale for
             # already-rewritten files, silently mis-pruning reads).
-            pid = int(g["_target"].iloc[0])
+            # Arrow end-to-end: nested columns (list/struct item payloads)
+            # never round-trip through pandas, which mangled them.
+            pid = int(g["_target"][0].as_py())
             fname = by_rec[pid]["file"]  # actual name (may be gen-numbered)
             old = pq.read_table(os.path.join(out_dir, fname))
             if desc is not None:
                 old = evolution.reconcile_table(
                     old, desc, int(by_rec[pid].get("schema_v", 0))
                 )
-            add = pa.Table.from_pandas(
-                g.drop(columns=["_target"]), preserve_index=False
-            ).select(old.column_names).cast(old.schema)
+            add = g.drop_columns(["_target"]).select(
+                old.column_names
+            ).cast(old.schema)
             merged = pa.concat_tables([old, add])
             order = np.argsort(merged["_zkey"].to_numpy(), kind="stable")
             merged = merged.take(pa.array(order))
@@ -1475,7 +1510,7 @@ def merge_clustered(
             )
             z = merged["_zkey"].to_numpy()
             ts = _temporal_stats(merged)
-            return pd.DataFrame(
+            return pa.table(
                 {
                     "partition_id": [pid],
                     "file": [fname],
@@ -1496,7 +1531,7 @@ def merge_clustered(
         updated = (
             new_ds.map_batches(route, batch_format="pyarrow")
             .groupby("_target")
-            .map_groups(rewrite, batch_format="pandas")
+            .map_groups(rewrite, batch_format="pyarrow")
             .to_pandas()
         )
         # rewritten files publish under NEW generation names (never onto
@@ -2648,6 +2683,17 @@ def search_clustered(store_dir: str, spec, **read_kwargs):
         )
         if recs:
             schema = pq.read_schema(os.path.join(store_dir, recs[0]["file"]))
+            desc = evolution.load_schema(os.path.abspath(store_dir))
+            if desc is not None:
+                # compile against the LIVE logical schema, not rec[0]'s
+                # physical one — on a mixed-schema store the physical
+                # names differ per file group; read_clustered translates
+                # a live-name filter per group (pushdown on live-schema
+                # files, post-reconcile filter on older ones)
+                schema = evolution.reconcile_table(
+                    schema.empty_table(), desc,
+                    int(recs[0].get("schema_v", 0)),
+                ).schema
             expr = spec_arrow_prefilter(spec, schema)
             if expr is not None:
                 read_kwargs["filter"] = expr

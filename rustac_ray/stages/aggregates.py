@@ -909,22 +909,55 @@ def rollup_counts(
     if k == 0:
         raise ValueError("rollup_counts: need >= 1 group column")
 
+    def _sentinel_for(s: "pd.Series"):
+        # validated dtype -> in-band fill value; the null-marker bitmask
+        # below keeps genuine sentinel values and filled nulls in
+        # DISTINCT groups, so collision is impossible
+        if s.dtype == object or pd.api.types.is_string_dtype(s):
+            return ""
+        if pd.api.types.is_bool_dtype(s):
+            return False
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return pd.Timestamp(0, tz=getattr(s.dtype, "tz", None))
+        if pd.api.types.is_numeric_dtype(s):
+            return 0
+        raise TypeError(
+            f"rollup_counts: unsupported group-column dtype {s.dtype} "
+            f"for {s.name!r} (string/bool/datetime/numeric supported)"
+        )
+
     def partial(b: pa.Table) -> "pd.DataFrame":
         df = b.select(
             group_cols + ([agg_col] if agg_col else [])
         ).to_pandas()
+        # GENUINE nulls in group columns never reach Ray's sort-based
+        # groupby (it cannot order null-vs-value keys): pre-fill them
+        # with the level sentinel and carry a null-marker bitmask that
+        # joins the group key (bit i set <=> group_cols[i] was null) —
+        # SQL's NULL-is-one-group semantics, restored in finish()
+        sentinels = {c: _sentinel_for(df[c]) for c in group_cols}
+        nullmask = np.zeros(len(df), np.int64)
+        for i, c in enumerate(group_cols):
+            isna = df[c].isna().to_numpy()
+            if isna.any():
+                nullmask |= np.where(isna, np.int64(1 << i), np.int64(0))
+                df[c] = df[c].fillna(sentinels[c])
+        df["_nm_all"] = nullmask
         outs = []
         for lvl in range(k, -1, -1):  # k = finest, 0 = grand total
             keep = group_cols[:lvl]
             g = df.copy()
+            # null bits of rolled-away columns leave the key
+            g["_nm"] = g["_nm_all"] & np.int64((1 << lvl) - 1)
             g["_one"] = np.int64(1)
             agg = {"_n": ("_one", "sum")}
             if agg_col:
                 agg[f"sum_{agg_col}"] = (agg_col, "sum")
             if keep:
-                p = g.groupby(keep, as_index=False, dropna=False).agg(**agg)
+                p = g.groupby(keep + ["_nm"], as_index=False).agg(**agg)
             else:
                 p = pd.DataFrame({"_n": [len(g)]})
+                p["_nm"] = np.int64(0)
                 if agg_col:
                     p[f"sum_{agg_col}"] = g[agg_col].sum()
             for c in group_cols[lvl:]:
@@ -932,12 +965,12 @@ def rollup_counts(
                 # order null-vs-value keys; the grouping mask is part of
                 # the group key, so sentinels can never collide with
                 # genuine values of a DIFFERENT level
-                p[c] = "" if df[c].dtype == object else 0
+                p[c] = sentinels[c]
             # bitmask: bit i set <=> group_cols[i] aggregated away
             p["grouping"] = np.int64(sum(1 << i for i in range(lvl, k)))
             outs.append(p)
         out = pd.concat(outs, ignore_index=True)
-        return out[group_cols + ["grouping", "_n"]
+        return out[group_cols + ["grouping", "_nm", "_n"]
                    + ([f"sum_{agg_col}"] if agg_col else [])]
 
     aggs = [Sum("_n", alias_name="n")]
@@ -945,7 +978,7 @@ def rollup_counts(
         aggs.append(Sum(f"sum_{agg_col}", alias_name=f"sum_{agg_col}"))
     folded = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_cols + ["grouping"])
+        .groupby(group_cols + ["grouping", "_nm"])
         .aggregate(*aggs)
     )
 
@@ -953,13 +986,16 @@ def rollup_counts(
         import pyarrow.compute as pc
 
         mask = b["grouping"].cast(pa.int64())
+        nm = b["_nm"].cast(pa.int64())
         cols = {}
         for i, c in enumerate(group_cols):
-            rolled = pc.not_equal(
-                pc.bit_wise_and(mask, pa.scalar(1 << i, pa.int64())),
-                pa.scalar(0, pa.int64()),
+            bit = pa.scalar(1 << i, pa.int64())
+            zero = pa.scalar(0, pa.int64())
+            rolled = pc.not_equal(pc.bit_wise_and(mask, bit), zero)
+            was_null = pc.not_equal(pc.bit_wise_and(nm, bit), zero)
+            cols[c] = pc.if_else(
+                pc.or_(rolled, was_null), pa.scalar(None, b[c].type), b[c]
             )
-            cols[c] = pc.if_else(rolled, pa.scalar(None, b[c].type), b[c])
         cols["grouping"] = mask
         cols["n"] = b["n"].cast(pa.int64())
         if agg_col:

@@ -242,3 +242,15 @@ def test_cli_cluster_clone_maintain_explain(fixtures_dir, tmp_path, capsys):
     main(["cluster", "explain", store, "--bbox=-120,25,-70,48"])
     ex = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ex["kept_combined"] <= ex["files_total"]
+
+    # r4 ADVICE: explain exposes the full EXPLAIN surface — datetime and
+    # zone-map column ranges, not just bbox
+    main(["cluster", "explain", store, "--bbox=-120,25,-70,48",
+          "--datetime", "2024-11-01/2024-11-10", "--range", "w=512:2048"])
+    ex2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"kept_spatial", "kept_temporal", "kept_zonemap",
+            "kept_combined"} <= set(ex2)
+
+    # stat without --stat-col is an argparse-grade error, not a KeyError
+    with pytest.raises(SystemExit, match="stat-col"):
+        main(["cluster", "stat", store])

@@ -906,3 +906,47 @@ def test_rollup_counts_matches_bruteforce(ray_session):
     # every level sums to n
     for m in (0, 2, 3):
         assert got[got["grouping"] == m]["n"].sum() == n
+
+
+def test_rollup_counts_null_group_keys(ray_session):
+    """r4 ADVICE: genuine nulls in group columns are one SQL group
+    (restored as null in the output, distinct from sentinel values and
+    from rolled-away levels), and non-object dtypes (datetime) are
+    legal group columns."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    a = rng.choice(["x", "y", "", None], n)  # "" sentinel collides unless masked
+    d = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 3, n), unit="D"
+    )
+    d = d.where(rng.random(n) > 0.2)  # ~20% null datetimes
+    df = pd.DataFrame({"a": a, "d": d, "v": rng.integers(0, 5, n).astype(np.int64)})
+    got = (
+        aggregates.rollup_counts(
+            rd.from_pandas(df).repartition(4), ["a", "d"], agg_col="v"
+        )
+        .to_pandas()
+    )
+    # finest level matches pandas dropna=False groupby exactly
+    fine = got[got["grouping"] == 0]
+    want = (
+        df.groupby(["a", "d"], dropna=False)
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .reset_index()
+    )
+    assert len(fine) == len(want)
+    fk = fine.sort_values(["a", "d"], na_position="last").reset_index(drop=True)
+    wk = want.sort_values(["a", "d"], na_position="last").reset_index(drop=True)
+    assert (fk["n"].to_numpy() == wk["n"].to_numpy()).all()
+    assert (fk["sum_v"].to_numpy() == wk["s"].to_numpy()).all()
+    # null 'a' group is distinct from the "" group
+    na_n = fine[fine["a"].isna()]["n"].sum()
+    assert na_n == df["a"].isna().sum()
+    empty_n = fine[fine["a"] == ""]["n"].sum()
+    assert empty_n == (df["a"] == "").sum() and empty_n > 0
+    # per-a level (d rolled): null-a group still present and exact
+    mid = got[got["grouping"] == 2]
+    assert mid[mid["a"].isna()]["n"].iloc[0] == df["a"].isna().sum()
+    # every level sums to n
+    for m in (0, 2, 3):
+        assert got[got["grouping"] == m]["n"].sum() == n

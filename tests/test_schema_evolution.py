@@ -265,3 +265,92 @@ def test_retype_widening(tmp_path, full_fp):
     merge_clustered(out, rd.from_pandas(extra), footprints_derived=True)
     df2 = read_clustered(out).to_pandas()
     assert df2["w"].dtype == np.int64 and len(df2) == len(imgs) + 10
+
+
+def test_caller_filter_on_mixed_schema_store(store, full_fp):
+    """r4 ADVICE (medium): a ``filter=`` written in LIVE logical names
+    must apply exactly to file groups written under OLDER physical
+    schemas (pushdown would miss the renamed column there) — older
+    groups filter post-reconcile instead."""
+    import pyarrow.compute as pc
+
+    evolve_clustered(store, rename={"collection": "source"})
+    extra = full_fp.head(40).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra = extra.rename(columns={"collection": "source"})
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+    svs = {
+        int(r.get("schema_v", 0))
+        for r in SpatialManifest(store).completed().values()
+    }
+    assert svs == {0, 1}  # genuinely mixed-schema
+
+    ctrl = pd.concat(
+        [full_fp.rename(columns={"collection": "source"}), extra],
+        ignore_index=True,
+    )
+    val = ctrl["source"].iloc[0]
+    want = sorted(ctrl[ctrl["source"] == val]["image_id"])
+
+    got = read_clustered(store, filter=pc.field("source") == val).to_pandas()
+    assert sorted(got["image_id"]) == want
+
+    # narrowed columns + live-name filter across the mixed groups
+    got2 = read_clustered(
+        store, columns=["image_id", "source"],
+        filter=pc.field("source") == val,
+    ).to_pandas()
+    assert list(got2.columns) == ["image_id", "source"]
+    assert sorted(got2["image_id"]) == want
+
+    # filter column NOT in the projection
+    got3 = read_clustered(
+        store, columns=["image_id"], filter=pc.field("source") == val
+    ).to_pandas()
+    assert sorted(got3["image_id"]) == want
+
+
+def test_search_clustered_mixed_schema_prefilter(tmp_path, fixtures_dir):
+    """search_clustered's sargable prefilter compiles against the LIVE
+    logical schema and stays exact on a store whose files span two
+    physical schemas."""
+    from rustac_ray import synth
+    from rustac_ray.query import QuerySpec, search
+    from rustac_ray.sources.clustered import search_clustered
+
+    fdir = synth.ensure_fixtures(SF)
+    items = rd.read_parquet(f"{fdir}/stac_items.parquet")
+    store_dir = str(tmp_path / "mixed")
+    write_clustered(items, store_dir, bbox_col="bbox", rows_per_file=16)
+    evolve_clustered(store_dir, rename={"collection": "source"})
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{fdir}/stac_items.parquet").slice(0, 12)
+    ids = ["new-" + s for s in t["id"].to_pylist()]
+    t = t.set_column(
+        t.schema.get_field_index("id"), "id", pa.array(ids, pa.string())
+    )
+    t = t.rename_columns(
+        ["source" if n == "collection" else n for n in t.column_names]
+    )
+    merge_clustered(store_dir, rd.from_arrow(t), bbox_col="bbox")
+    svs = {
+        int(r.get("schema_v", 0))
+        for r in SpatialManifest(store_dir).completed().values()
+    }
+    assert svs == {0, 1}
+
+    base = pq.read_table(
+        f"{fdir}/stac_items.parquet", columns=["id", "collection"]
+    ).to_pandas().rename(columns={"collection": "source"})
+    extra_ctl = pd.DataFrame(
+        {"id": ids, "source": t["source"].to_pylist()}
+    )
+    ctrl = pd.concat([base, extra_ctl], ignore_index=True)
+    val = ctrl["source"].iloc[0]
+    sp = QuerySpec(filter=f"source = '{val}'")
+    got = search_clustered(store_dir, sp).to_pandas()
+    want = sorted(ctrl[ctrl["source"] == val]["id"])
+    assert sorted(got["id"]) == want and len(want) > 0
