@@ -1040,8 +1040,21 @@ class _LabelShard:
              "lbl": pa.array(self._lbl)}
         ).cast(self._schema)
 
+    def stats(self) -> dict:
+        """Shard residency: owned rows + measured bytes (index deep +
+        label array) — the number the 10^8-label shard-count math needs
+        (tools/stress_cc.py records bytes/label from this)."""
+        if self._lbl is None:
+            return {"rows": 0, "bytes": 0}
+        return {
+            "rows": int(len(self._idx)),
+            "bytes": int(self._idx.memory_usage(deep=True))
+            + int(self._lbl.nbytes),
+        }
 
-def _cc_sharded(edges, lbl_schema, max_rounds: int, shards: int):
+
+def _cc_sharded(edges, lbl_schema, max_rounds: int, shards: int,
+                stats_out: "dict | None" = None):
     """Distributed min-label propagation with a HASH-SHARDED label table
     (r03 verdict #1): the label state lives in ``shards`` Ray actors keyed
     by ``hash(node) % shards`` — no corpus-proportional driver or
@@ -1130,6 +1143,8 @@ def _cc_sharded(edges, lbl_schema, max_rounds: int, shards: int):
 
     # re-own snapshots one shard at a time: actor-owned refs die with the
     # actor, and bulk ray.get would recreate the driver table we removed
+    if stats_out is not None:
+        stats_out["shards"] = ray.get([h.stats.remote() for h in handles])
     refs = []
     for h in handles:
         refs.append(ray.put(ray.get(h.snapshot.remote())))
@@ -1143,6 +1158,7 @@ def _cc_sharded(edges, lbl_schema, max_rounds: int, shards: int):
 def connected_components(
     pairs_ds, id_cols=("id_a", "id_b"), max_rounds: int = 40,
     max_label_rows: int = 50_000_000, combine: str = "auto", shards: int = 8,
+    stats_out: "dict | None" = None,
 ):
     """Cluster near-dup pairs into components via iterative min-label
     propagation — each round is one groupby (label = min over neighbors),
@@ -1219,7 +1235,8 @@ def connected_components(
         ).cast(lbl_schema)
 
     if combine == "sharded":
-        return _cc_sharded(edges, lbl_schema, max_rounds, shards)
+        return _cc_sharded(edges, lbl_schema, max_rounds, shards,
+                           stats_out=stats_out)
     if combine not in ("auto", "broadcast"):
         raise ValueError(f"unknown combine={combine!r}")
 
@@ -1250,7 +1267,8 @@ def connected_components(
                 break
     if spilled:
         if combine == "auto":
-            return _cc_sharded(edges, lbl_schema, max_rounds, shards)
+            return _cc_sharded(edges, lbl_schema, max_rounds, shards,
+                           stats_out=stats_out)
         raise ValueError(
             f"label table exceeds max_label_rows={max_label_rows}; "
             "use combine='sharded' (or 'auto') to cluster without a "

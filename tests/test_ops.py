@@ -950,3 +950,46 @@ def test_rollup_counts_null_group_keys(ray_session):
     # every level sums to n
     for m in (0, 2, 3):
         assert got[got["grouping"] == m]["n"].sum() == n
+
+
+def test_connected_components_sharded_1m_stress(ray_session):
+    """In-suite slice of the r4 VERDICT #4 stress (tools/stress_cc.py
+    runs the 10^7-label version; measured there: 43.1 bytes/label, max
+    shard 51.3 MiB at 10M labels / 8 shards): 10^6 labels through the
+    hash-sharded path with a closed-form oracle, plus the stats probe
+    the shard-count math relies on."""
+    import ray.data as rd
+
+    from rustac_ray.stages.dedup import connected_components
+
+    n_pairs = 495_000
+    chain0 = 2 * n_pairs
+    chain = np.arange(chain0, chain0 + 10_000, dtype=np.int64)
+    edges = pd.DataFrame(
+        {
+            "id_a": np.concatenate(
+                [np.arange(n_pairs, dtype=np.int64) * 2, chain[:-1]]
+            ),
+            "id_b": np.concatenate(
+                [np.arange(n_pairs, dtype=np.int64) * 2 + 1, chain[1:]]
+            ),
+        }
+    )
+    stats = {}
+    out = connected_components(
+        rd.from_pandas(edges).repartition(16),
+        combine="sharded", shards=4, stats_out=stats,
+    ).materialize()
+    assert out.count() == 2 * n_pairs + 10_000
+    sample = out.limit(50_000).to_pandas()
+    pp = sample[sample["node"] < chain0]
+    assert (pp["component"] == (pp["node"] // 2) * 2).all()
+    deep = out.filter(lambda r: r["node"] >= chain0).to_pandas()
+    assert (deep["component"] == chain0).all()
+    rows = [s["rows"] for s in stats["shards"]]
+    byts = [s["bytes"] for s in stats["shards"]]
+    assert sum(rows) == 2 * n_pairs + 10_000
+    # hash sharding balances within a few percent; residency is tens of
+    # bytes/label (measured 37-43 B/label across scales)
+    assert max(rows) < 1.1 * min(rows)
+    assert sum(byts) / sum(rows) < 100

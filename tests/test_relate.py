@@ -183,3 +183,112 @@ def test_cql2_predicate_routes_nonrect_to_general():
         "S_WITHIN(geometry, BBOX(-1.0, -1.0, 5.0, 5.0))"
     )
     assert pred.mask(tbl).tolist() == [True, True, False]
+
+
+# ------------------------------------------------------- line-stored S_* ---
+# r4 VERDICT missing #3: LineString/MultiLineString STORED geometries
+# (orbits, tracks) through eval_relation — beyond the oracled horizontal
+# fixture, pin the topology edge cases.
+
+
+L = {"type": "LineString", "coordinates": [[0, 0], [2, 0], [2, 2]]}
+
+
+def test_line_point_relations():
+    assert eval_relation("s_contains", L, {"type": "Point", "coordinates": [1, 0]})
+    # vertex between segments is INTERIOR, not boundary
+    assert eval_relation("s_contains", L, {"type": "Point", "coordinates": [2, 0]})
+    assert eval_relation("s_touches", L, {"type": "Point", "coordinates": [0, 0]})
+    assert eval_relation("s_touches", L, {"type": "Point", "coordinates": [2, 2]})
+    assert not eval_relation("s_contains", L, {"type": "Point", "coordinates": [0, 0]})
+    assert not eval_relation("s_touches", L, {"type": "Point", "coordinates": [1, 0]})
+    assert not eval_relation("s_contains", L, {"type": "Point", "coordinates": [5, 5]})
+
+
+def test_line_line_relations():
+    # transversal crossing at an interior point of both
+    assert eval_relation(
+        "s_crosses", L, {"type": "LineString", "coordinates": [[1, -1], [1, 1]]}
+    )
+    # T-junction: probe ENDS on L's interior -> touches (probe boundary)
+    assert eval_relation(
+        "s_touches", L, {"type": "LineString", "coordinates": [[1, -1], [1, 0]]}
+    )
+    assert not eval_relation(
+        "s_crosses", L, {"type": "LineString", "coordinates": [[1, -1], [1, 0]]}
+    )
+    # collinear partial overlap
+    probe = {"type": "LineString", "coordinates": [[1, 0], [3, 0]]}
+    assert eval_relation("s_overlaps", L, probe)
+    assert not eval_relation("s_crosses", L, probe)
+    # containment of a sub-line spanning the corner
+    sub = {"type": "LineString", "coordinates": [[1, 0], [2, 0], [2, 1]]}
+    assert eval_relation("s_contains", L, sub)
+    assert eval_relation("s_within", sub, L)
+    # equals under different vertexing (extra collinear vertex)
+    rev = {"type": "LineString", "coordinates": [[2, 2], [2, 0], [1, 0], [0, 0]]}
+    assert eval_relation("s_equals", L, rev)
+    # endpoint-to-endpoint contact only
+    assert eval_relation(
+        "s_touches", L, {"type": "LineString", "coordinates": [[0, 0], [-2, -1]]}
+    )
+    # disjoint
+    assert not eval_relation(
+        "s_touches", L, {"type": "LineString", "coordinates": [[5, 5], [6, 6]]}
+    )
+
+
+def test_multiline_and_closed_ring():
+    ml = {
+        "type": "MultiLineString",
+        "coordinates": [[[0, 0], [2, 0]], [[2, 0], [2, 2]]],
+    }
+    # the shared junction (2,0) appears twice (even) -> interior
+    assert eval_relation("s_contains", ml, {"type": "Point", "coordinates": [2, 0]})
+    assert eval_relation("s_equals", ml, L)
+    # closed ring: empty mod-2 boundary -> every on-point is interior
+    ring = {
+        "type": "LineString",
+        "coordinates": [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+    }
+    assert eval_relation("s_contains", ring, {"type": "Point", "coordinates": [0, 0]})
+    assert not eval_relation("s_touches", ring, {"type": "Point", "coordinates": [0, 0]})
+
+
+def test_line_vs_area_relations():
+    box = rect(0, -1, 3, 3)
+    inside = {"type": "LineString", "coordinates": [[1, 0], [2, 1]]}
+    assert eval_relation("s_within", inside, box)
+    through = {"type": "LineString", "coordinates": [[-1, 1], [4, 1]]}
+    assert eval_relation("s_crosses", through, box)
+    assert not eval_relation("s_within", through, box)
+    on_edge = {"type": "LineString", "coordinates": [[0, -1], [3, -1]]}
+    assert eval_relation("s_touches", on_edge, box)
+    assert not eval_relation("s_within", on_edge, box)
+    # contains/equals/overlaps are dimension-mismatched -> False
+    assert not eval_relation("s_contains", inside, box)
+    assert not eval_relation("s_equals", inside, box)
+    assert not eval_relation("s_overlaps", inside, box)
+
+
+def test_line_cql2_mask_column():
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "geometry": pa.array(
+                [
+                    encode_geometry(L),
+                    encode_geometry(
+                        {"type": "LineString", "coordinates": [[5, 5], [6, 5]]}
+                    ),
+                    None,
+                ],
+                pa.binary(),
+            )
+        }
+    )
+    pred = Cql2Predicate("S_CONTAINS(geometry, POINT(1.0 0.0))")
+    assert pred.mask(tbl).tolist() == [True, False, False]
+    pred = Cql2Predicate("S_CROSSES(geometry, LINESTRING(1.0 -1.0, 1.0 1.0))")
+    assert pred.mask(tbl).tolist() == [True, False, False]
