@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .fold import tree_fold
+
 __all__ = ["featurize", "train_quality_lr", "score_quality_lr",
            "threshold_sweep", "PUNCT", "STOPWORDS", "N_FEATURES"]
 
@@ -119,12 +121,33 @@ def train_quality_lr(
             return pd.DataFrame([{f"g{j}": g[j] for j in range(N_FEATURES)}])
 
         parts = ds.map_batches(grad_partial, batch_format="pandas")
+        # tree-fold the per-block partials (fold.py discipline — r4
+        # VERDICT #9): the driver merges <= fanin rows however many
+        # blocks produced gradients; int64 addition is associative, so
+        # the fold keeps the bit-identical-at-any-parallelism guarantee
+        folded = tree_fold(parts, _sum_grad_block)
         g = np.zeros(N_FEATURES, np.int64)
-        for b in parts.iter_batches(batch_format="pandas"):
+        for b in folded.iter_batches(batch_format="pandas"):
             for j in range(N_FEATURES):
                 g[j] += int(b[f"g{j}"].sum())
         w = w - (lr / n_total) * (g / _FIX)
     return w
+
+
+def _sum_grad_block(t):
+    """tree_fold combiner: one block of int64 gradient partial rows →
+    a single summed row (exact, order-free)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            f"g{j}": pa.array(
+                [pc.sum(t[f"g{j}"]).as_py() or 0], pa.int64()
+            )
+            for j in range(N_FEATURES)
+        }
+    )
 
 
 def score_quality_lr(

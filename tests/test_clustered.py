@@ -1131,3 +1131,66 @@ def test_stat_and_explain(tmp_path, ray_session):
     # rename keeps both working (id-mapped)
     cl.evolve_clustered(store, rename={"cloud": "cc"})
     assert cl.stat_clustered(store, "cc", "min") == real.min()
+
+
+def test_cluster_attrs_zorder_selectivity(ray_session, tmp_path):
+    """r4 VERDICT #5: generic attribute z-order — cluster by an
+    arbitrary (string, numeric) pair; a conjunctive predicate keeps a
+    file count tracking the PRODUCT of the per-attribute selectivities,
+    and each single-attribute prune alone keeps more files."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import (
+        merge_clustered, prune_plan, read_clustered, write_clustered,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    df = pd.DataFrame(
+        {
+            "image_id": [f"i{k:05d}" for k in range(n)],
+            "grp": rng.choice([f"g{j}" for j in range(8)], n),
+            "v": rng.integers(0, 64, n).astype(np.int64),
+            "fp_xmin": rng.uniform(-120, -70, n),
+            "fp_ymin": rng.uniform(25, 48, n),
+        }
+    )
+    df["fp_xmax"] = df["fp_xmin"] + 0.05
+    df["fp_ymax"] = df["fp_ymin"] + 0.05
+    store = str(tmp_path / "attrstore")
+    write_clustered(
+        rd.from_pandas(df), store, footprints_derived=True,
+        rows_per_file=64, cluster_attrs=["grp", "v"],
+    )
+    ranges = {"grp": ("g2", "g2"), "v": (16, 31)}
+    kept, total = prune_plan(store, None, column_ranges=ranges)
+    ka, _ = prune_plan(store, None, column_ranges={"grp": ranges["grp"]})
+    kb, _ = prune_plan(store, None, column_ranges={"v": ranges["v"]})
+    assert total >= 48
+    sel = (1 / 8) * (16 / 64)  # product of predicate selectivities
+    frac = len(kept) / total
+    # layout makes combined pruning multiplicative (allow quantization
+    # slack) and strictly better than either single-attribute prune
+    assert frac <= 4 * sel
+    assert len(kept) < len(ka) and len(kept) < len(kb)
+
+    # exactness through the pruned read + row filter
+    got = read_clustered(store, column_ranges=ranges).to_pandas()
+    got = got[(got["grp"] == "g2") & (got["v"] >= 16) & (got["v"] <= 31)]
+    ctl = df[(df["grp"] == "g2") & (df["v"] >= 16) & (df["v"] <= 31)]
+    assert sorted(got["image_id"]) == sorted(ctl["image_id"])
+
+    # merges route by the recorded attribute axes (same dictionary /
+    # bounds), and an unseen dictionary value still lands safely
+    extra = df.head(40).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra.loc[extra.index[:5], "grp"] = "g-new"
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+    assert read_clustered(store).count() == n + 40
+    got2 = read_clustered(
+        store, column_ranges={"grp": ("g-new", "g-new")}
+    ).to_pandas()
+    got2 = got2[got2["grp"] == "g-new"]
+    assert len(got2) == 5

@@ -270,3 +270,98 @@ def test_refresh_with_nulls_equals_recompute(
     )
     cur = pd.concat([nullfp[~hit], extra], ignore_index=True)
     pd.testing.assert_frame_equal(_got(view), _control(cur))
+
+
+# ------------------------------------------------- min/max + view chains ---
+
+
+def test_minmax_create_and_merge_refresh(store, tmp_path, full_fp):
+    """mins/maxs materialize exactly; a merge delta REWRITES owning
+    files (removal side nonempty), so the refresh takes the
+    recompute-on-invalidation path and stays exact."""
+    view = str(tmp_path / "vmm")
+    create_matview(
+        store, view, group_by=["collection"], sums=["w"],
+        mins=["h"], maxs=["w"],
+    )
+    got0 = read_matview(view).set_index("collection")
+    want0 = full_fp.groupby("collection").agg(
+        mn=("h", "min"), mx=("w", "max")
+    )
+    for c, row in want0.iterrows():
+        assert got0.loc[c, "min_h"] == row["mn"]
+        assert got0.loc[c, "max_w"] == row["mx"]
+
+    extra = full_fp.head(60).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    extra["collection"] = "fresh"
+    merge_clustered(store, rd.from_pandas(extra), footprints_derived=True)
+    out = refresh_matview(store, view)
+    assert out["mode"] == "full"  # merge rewrote files -> invalidation
+    got = read_matview(view).set_index("collection")
+    cur = pd.concat([full_fp, extra], ignore_index=True)
+    want = cur.groupby("collection").agg(
+        n=("image_id", "size"), s=("w", "sum"),
+        mn=("h", "min"), mx=("w", "max"),
+    )
+    for c, row in want.iterrows():
+        assert got.loc[c, "n"] == row["n"]
+        assert got.loc[c, "min_h"] == row["mn"]
+        assert got.loc[c, "max_w"] == row["mx"]
+
+
+def test_minmax_removal_falls_back_to_full(store, tmp_path, full_fp):
+    """A delta that removes files (AOI delete) invalidates min/max —
+    refresh recomputes and the extrema are exact afterward."""
+    view = str(tmp_path / "vmm2")
+    create_matview(store, view, group_by=["collection"], mins=["h"])
+    delete_clustered(store, bbox=AOI)
+    out = refresh_matview(store, view)
+    assert out["mode"] == "full"
+    hit = (
+        (full_fp["fp_xmin"] <= AOI[2]) & (full_fp["fp_xmax"] >= AOI[0])
+        & (full_fp["fp_ymin"] <= AOI[3]) & (full_fp["fp_ymax"] >= AOI[1])
+    )
+    cur = full_fp[~hit]
+    got = read_matview(view).set_index("collection")
+    want = cur.groupby("collection")["h"].min()
+    for c, v in want.items():
+        assert got.loc[c, "min_h"] == v
+
+
+def test_view_chain_refresh(store, tmp_path, full_fp):
+    """View-over-view: the child aggregates the parent's output table
+    and refreshes from it after the parent republishes."""
+    from rustac_ray.state.matview import (
+        create_matview_over, refresh_matview_over,
+    )
+
+    parent = str(tmp_path / "parent")
+    child = str(tmp_path / "child")
+    # parent: per (collection, w) counts; child: per collection stats
+    create_matview(store, parent, group_by=["collection", "w"], sums=["h"])
+    create_matview_over(
+        parent, child, group_by=["collection"],
+        sums=["n"], maxs=["sum_h"],
+    )
+    pf = read_matview(parent)
+    want = pf.groupby("collection").agg(
+        n=("n", "size"), s=("n", "sum"), mx=("sum_h", "max")
+    )
+    got = read_matview(child).set_index("collection")
+    for c, row in want.iterrows():
+        assert got.loc[c, "n"] == row["n"]         # parent groups counted
+        assert got.loc[c, "sum_n"] == row["s"]     # store rows summed
+        assert got.loc[c, "max_sum_h"] == row["mx"]
+
+    # child refresh is a noop until the parent republishes
+    assert refresh_matview_over(child)["mode"] == "noop"
+    delete_clustered(store, bbox=AOI)
+    refresh_matview(store, parent)
+    out = refresh_matview_over(child)
+    assert out["mode"] == "recompute"
+    pf2 = read_matview(parent)
+    got2 = read_matview(child).set_index("collection")
+    want2 = pf2.groupby("collection")["n"].sum()
+    for c, v in want2.items():
+        assert got2.loc[c, "sum_n"] == v
