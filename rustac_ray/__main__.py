@@ -402,7 +402,12 @@ def cmd_cluster(args):
     )
 
     if args.action == "write":
-        recs = write_clustered(rd.read_parquet(args.input), args.store)
+        wkw = {}
+        if args.cluster_attrs:
+            wkw["cluster_attrs"] = args.cluster_attrs.split(",")
+        if args.stats_cols:
+            wkw["stats_cols"] = args.stats_cols.split(",")
+        recs = write_clustered(rd.read_parquet(args.input), args.store, **wkw)
         print(json.dumps({"files": len(recs), "rows": sum(r["rows"] for r in recs)}))
     elif args.action == "compact":
         from .sources.clustered import compact_clustered
@@ -503,8 +508,9 @@ def cmd_cluster(args):
         print(json.dumps(maintain_clustered(
             args.store, target_rows=args.target_rows,
             keep_versions=args.keep,
+            ttl_before=args.ttl_before,
             dry_run=args.plan_only,
-        )))
+        ), default=str))
     elif args.action == "stat":
         from .sources.clustered import stat_clustered
 
@@ -539,7 +545,25 @@ def cmd_cluster(args):
             group_by=args.group_by.split(","),
             sums=args.sums.split(",") if args.sums else None,
             means=args.means.split(",") if args.means else None,
+            mins=args.mins.split(",") if args.mins else None,
+            maxs=args.maxs.split(",") if args.maxs else None,
         )))
+    elif args.action == "view-chain":
+        from .state.matview import create_matview_over
+
+        # store arg doubles as the PARENT view directory here
+        print(json.dumps(create_matview_over(
+            args.store, args.dest,
+            group_by=args.group_by.split(","),
+            sums=args.sums.split(",") if args.sums else None,
+            means=args.means.split(",") if args.means else None,
+            mins=args.mins.split(",") if args.mins else None,
+            maxs=args.maxs.split(",") if args.maxs else None,
+        )))
+    elif args.action == "view-chain-refresh":
+        from .state.matview import refresh_matview_over
+
+        print(json.dumps(refresh_matview_over(args.dest)))
     elif args.action == "view-refresh":
         from .state.matview import refresh_matview
 
@@ -579,7 +603,8 @@ def main(argv=None):
             "write", "merge", "read", "compact", "info", "knn",
             "versions", "vacuum", "schema", "evolve", "changes",
             "clone", "maintain", "stat", "explain",
-            "view-create", "view-refresh", "view-read",
+            "view-create", "view-refresh", "view-read", "view-chain",
+            "view-chain-refresh",
         ],
     )
     cl.add_argument("--dest", help="clone/view-*: destination directory")
@@ -587,6 +612,15 @@ def main(argv=None):
                     help="view-create: comma-separated group keys")
     cl.add_argument("--sums", help="view-create: columns to sum")
     cl.add_argument("--means", help="view-create: columns to average")
+    cl.add_argument("--mins", help="view-create/chain: columns to min")
+    cl.add_argument("--maxs", help="view-create/chain: columns to max")
+    cl.add_argument("--cluster-attrs", dest="cluster_attrs",
+                    help="write: comma-separated attribute z-order axes")
+    cl.add_argument("--stats-cols", dest="stats_cols",
+                    help="write: comma-separated zone-map columns")
+    cl.add_argument("--ttl-before", dest="ttl_before",
+                    help="maintain: expire rows ending before this "
+                         "timestamp (ISO)")
     cl.add_argument("--stat-col", dest="stat_col",
                     help="stat: zone-mapped column name")
     cl.add_argument("--datetime", help="explain: STAC datetime / interval")

@@ -2199,6 +2199,7 @@ def maintain_clustered(
     max_fill: float = 2.0,
     rework_threshold: float = 0.2,
     keep_versions: "int | None" = None,
+    ttl_before=None,
     dry_run: bool = False,
 ) -> dict:
     """Policy-driven table maintenance (the lakehouse OPTIMIZE loop):
@@ -2209,26 +2210,72 @@ def maintain_clustered(
     without mutating. This is the call a scheduler loops after ingest
     batches so prune selectivity and per-task read costs stay flat as
     merges accumulate.
+
+    ``ttl_before`` (r5): row-retention policy — rows whose item
+    interval ENDS strictly before the cutoff (timestamp / ISO string)
+    are deleted first, through the same journaled DELETE as any other
+    mutation. Candidate files prune on tmin/tmax, so an append-mostly
+    archive expires its oldest files without touching the hot tail; the
+    compaction decision then sees the post-expiry manifest.
     """
     out_dir = os.path.abspath(out_dir)
     _repair_if_crashed(out_dir)
-    recs = sorted(
-        SpatialManifest(out_dir).completed().values(),
-        key=lambda r: r["partition_id"],
-    )
+    man = SpatialManifest(out_dir)
+    recs = sorted(man.completed().values(), key=lambda r: r["partition_id"])
     if not recs:
         raise FileNotFoundError(f"no clustered store at {out_dir}")
+    plan: dict = {}
+    if ttl_before is not None:
+        import pandas as pd
+
+        cutoff = pd.Timestamp(ttl_before)
+        cut64 = np.datetime64(cutoff.to_datetime64(), "us")
+
+        def _expired(t: pa.Table) -> np.ndarray:
+            # item-interval end = end_datetime | datetime (query.py rule);
+            # null interval never expires (conservative keep)
+            end = None
+            if "end_datetime" in t.column_names:
+                end = t["end_datetime"].cast(pa.timestamp("us")).to_numpy(
+                    zero_copy_only=False
+                )
+            if "datetime" in t.column_names:
+                dt = t["datetime"].cast(pa.timestamp("us")).to_numpy(
+                    zero_copy_only=False
+                )
+                end = dt if end is None else np.where(
+                    np.isnat(end), dt, end
+                )
+            if end is None:
+                return np.zeros(t.num_rows, bool)
+            with np.errstate(invalid="ignore"):
+                return (~np.isnat(end)) & (end < cut64)
+
+        if dry_run:
+            # manifest-only estimate: files whose tmax ends before cutoff
+            tcut = cutoff.isoformat()
+            plan["ttl_files_fully_expired"] = sum(
+                1 for r in recs
+                if r.get("tmax") is not None and str(r["tmax"]) < tcut
+            )
+        else:
+            plan["ttl_result"] = delete_clustered(
+                out_dir, datetime=(None, ttl_before), predicate=_expired
+            )
+            recs = sorted(
+                man.completed().values(), key=lambda r: r["partition_id"]
+            )
     small = sum(1 for r in recs if r["rows"] < min_fill * target_rows)
     big = sum(1 for r in recs if r["rows"] > max_fill * target_rows)
-    frac = (small + big) / len(recs)
-    plan = {
+    frac = (small + big) / max(len(recs), 1)
+    plan.update({
         "files": len(recs),
         "underfilled": small,
         "oversized": big,
         "rework_fraction": round(frac, 3),
         "compact": bool(big or frac > rework_threshold),
         "vacuum": keep_versions is not None,
-    }
+    })
     if dry_run:
         return {**plan, "dry_run": True}
     if plan["compact"]:

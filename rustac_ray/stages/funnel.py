@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["funnel_counts", "funnel_users", "retention_cohorts"]
+__all__ = ["funnel_counts", "funnel_users", "funnel_counts_sessionized",
+           "retention_cohorts"]
 
 _KNUTH = np.uint64(2654435761)
 
@@ -287,3 +288,86 @@ def retention_cohorts(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel_counts_sessionized(
+    events_ds,
+    steps: "list[str]",
+    gap,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: "int | None" = None,
+) -> pd.DataFrame:
+    """SESSIONIZED funnel: the ordered step chain must complete within a
+    single session — a user's events split at inactivity gaps > ``gap``
+    (pandas-compatible timedelta / numeric delta), and each (user,
+    session) converts independently. → (step, n_sessions, conversion).
+
+    Scale shape: ONE bucketed co-group (all of a user's funnel-relevant
+    events land in one bucket — users hash to buckets, so sessionization
+    and the per-session min-chain are bucket-local and vectorized); only
+    O(buckets × steps) count rows ever leave the buckets. Unlike the
+    global funnel, no per-level threshold re-shuffles happen at all."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    n_buckets = _auto_buckets(events_ds, n_buckets)
+    k = len(steps)
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.is_in(b[type_col], pa.array(steps)))
+        df = b.select([user_col, ts_col, type_col]).to_pandas()
+        df["_b"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"_lvl": pd.array([], dtype="int64"),
+             "_n": pd.array([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values([user_col, ts_col], kind="stable")
+        ts = g[ts_col]
+        new_user = (g[user_col] != g[user_col].shift()).to_numpy()
+        broke = ((ts - ts.shift()) > gap).to_numpy()
+        g = g.assign(_sid=np.cumsum(new_user | broke))
+        counts = []
+        cur = g[g[type_col] == steps[0]].groupby("_sid")[ts_col].min()
+        counts.append(len(cur))
+        for s in steps[1:]:
+            ev = g[g[type_col] == s]
+            m = ev.merge(
+                cur.rename("_thr"), left_on="_sid", right_index=True
+            )
+            m = m[m[ts_col] > m["_thr"]]
+            cur = m.groupby("_sid")[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {"_lvl": np.arange(k, dtype=np.int64),
+             "_n": np.asarray(counts, np.int64)}
+        )
+
+    folded = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("_lvl")
+        .aggregate(Sum("_n", alias_name="n"))
+        .to_pandas()
+        .set_index("_lvl")["n"]
+    )
+    ns = [int(folded.get(i, 0)) for i in range(k)]
+    base = max(ns[0], 1)
+    return pd.DataFrame(
+        {
+            "step": steps,
+            "n_sessions": np.asarray(ns, np.int64),
+            "conversion": [round(n / base, 9) for n in ns],
+        }
+    )

@@ -254,3 +254,30 @@ def test_cli_cluster_clone_maintain_explain(fixtures_dir, tmp_path, capsys):
     # stat without --stat-col is an argparse-grade error, not a KeyError
     with pytest.raises(SystemExit, match="stat-col"):
         main(["cluster", "stat", store])
+
+
+def test_cli_cluster_attrs_and_view_chain(fixtures_dir, tmp_path, capsys):
+    store = str(tmp_path / "attrcli")
+    main(["cluster", "write", store, "--input",
+          f"{fixtures_dir}/images.parquet",
+          "--cluster-attrs", "collection,w"])
+    capsys.readouterr()
+    main(["cluster", "explain", store, "--range", 'w=24:32',
+          "--range", 'collection="naip":"naip"'])
+    ex = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ex["kept_zonemap"] <= ex["files_total"]
+
+    parent = str(tmp_path / "pv")
+    child = str(tmp_path / "cv")
+    main(["cluster", "view-create", store, "--dest", parent,
+          "--group-by", "collection,w", "--sums", "h",
+          "--mins", "h", "--maxs", "h"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["groups"] > 0
+    main(["cluster", "view-chain", parent, "--dest", child,
+          "--group-by", "collection", "--sums", "n"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["groups"] > 0
+    main(["cluster", "view-chain-refresh", store, "--dest", child])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["mode"] == "noop"

@@ -222,3 +222,34 @@ def test_retention_string_ids(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_funnel_sessionized_matches_bruteforce(ray_session):
+    from rustac_ray.stages.funnel import funnel_counts_sessionized
+
+    df = _mk(n_users=80, n_events=4000, seed=9)
+    steps = ["signup", "view", "click"]
+    gap = pd.Timedelta(hours=24)
+    got = funnel_counts_sessionized(
+        rd.from_pandas(df).repartition(6), steps, gap
+    )
+
+    # brute force: sessionize per user, min-chain per session
+    b = df[df["event_type"].isin(steps)].sort_values(
+        ["user_id", "ts"], kind="stable"
+    )
+    new_u = b["user_id"] != b["user_id"].shift()
+    broke = (b["ts"] - b["ts"].shift()) > gap
+    b = b.assign(sid=np.cumsum((new_u | broke).to_numpy()))
+    want = []
+    cur = b[b["event_type"] == steps[0]].groupby("sid")["ts"].min()
+    want.append(len(cur))
+    for s in steps[1:]:
+        ev = b[b["event_type"] == s]
+        m = ev.merge(cur.rename("thr"), left_on="sid", right_index=True)
+        m = m[m["ts"] > m["thr"]]
+        cur = m.groupby("sid")["ts"].min()
+        want.append(len(cur))
+    assert got["n_sessions"].tolist() == want
+    # sessionized counts can exceed user-level (one user, many sessions)
+    assert got["n_sessions"].iloc[0] >= 0 and want[0] > 0

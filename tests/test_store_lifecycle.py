@@ -98,3 +98,41 @@ def test_ingest_loop_composition(tmp_path, ray_session):
     # vacuumed history: current version still reads; very old versions gone
     with pytest.raises(ValueError):
         cl.read_clustered(store, version=0)
+
+
+def test_maintain_ttl_expires_old_rows(ray_session, tmp_path, fixtures_dir):
+    """r5 TTL policy: maintain(ttl_before=...) deletes rows whose item
+    interval ends before the cutoff, pruning candidate files on
+    tmin/tmax, then applies the normal compaction decision."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rustac_ray.sources.clustered import (
+        maintain_clustered, read_clustered, write_clustered,
+    )
+    from rustac_ray.stages.footprint import derive_footprints
+
+    t = pq.read_table(f"{fixtures_dir}/images.parquet")
+    store = str(tmp_path / "ttl")
+    write_clustered(
+        rd.from_arrow(t).map_batches(derive_footprints, batch_format="pyarrow"),
+        store, footprints_derived=True, rows_per_file=128,
+    )
+    dts = t["datetime"].cast("timestamp[us]").to_pandas()
+    cutoff = dts.quantile(0.3)
+    n_old = int((dts < cutoff).sum())
+    assert 0 < n_old < len(dts)
+
+    plan = maintain_clustered(store, ttl_before=cutoff, dry_run=True)
+    assert plan["dry_run"] and "ttl_files_fully_expired" in plan
+
+    out = maintain_clustered(store, ttl_before=cutoff)
+    assert out["ttl_result"]["rows_deleted"] == n_old
+    left = read_clustered(store, columns=["image_id", "datetime"]).to_pandas()
+    assert len(left) == len(dts) - n_old
+    assert (pd.to_datetime(left["datetime"]) >= cutoff).all()
+
+    # idempotent: nothing left to expire
+    again = maintain_clustered(store, ttl_before=cutoff)
+    assert again["ttl_result"]["rows_deleted"] == 0
