@@ -422,8 +422,11 @@ def run_bench() -> dict:
             from rustac_ray.stages.knn import nearest_neighbor_join
 
             t0 = time.perf_counter()
+            # res=None -> auto (+1 level per 4x rows; r5 fix — fixed
+            # res=10 was quadratic-in-cell-population at 10M rows:
+            # 137s vs 16s at the auto-chosen res=12)
             nearest_neighbor_join(
-                bench_meta_ds(), res=10, concurrency=max(2, num_cpus // 3)
+                bench_meta_ds(), res=None, concurrency=max(2, num_cpus // 3)
             ).count()
             timings["nearest_scene_1m"] = time.perf_counter() - t0
             _ck("image_curation_1m")

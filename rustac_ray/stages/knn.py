@@ -436,10 +436,23 @@ def _resolve_tail_broadcast(
     return pd_.concat(out_frames, ignore_index=True)
 
 
+def _auto_res(images_ds) -> int:
+    """Grid resolution from the input size (metadata-cheap count):
+    +1 level per 4x rows keeps rows-per-cell CONSTANT, so the per-cell
+    dense kernel stays O(n) total instead of O(n^2/cells). Anchored at
+    1M rows -> res 10 (measured best); the r5 10M probe measured res=10
+    at 137s vs res=12 at 16s — the quadratic cell population was the
+    whole regression. Clamped to [6, 14]."""
+    import math
+
+    n = max(int(images_ds.count() or 1), 1)
+    return int(np.clip(10 + math.ceil(math.log(n / 1e6, 4)), 6, 14))
+
+
 def nearest_neighbor_join(
     images_ds: "ray.data.Dataset",
     *,
-    res: int = 6,
+    res: "int | None" = None,
     footprints_derived: bool = False,
     concurrency: int | tuple[int, int] = 4,
 ):
@@ -464,6 +477,8 @@ def nearest_neighbor_join(
 
     from ..geo.cells import _LAT_SPAN, _LON_SPAN  # type: ignore
 
+    if res is None:
+        res = _auto_res(images_ds)
     n_cells = 1 << res
     dlon = _LON_SPAN / n_cells
     dlat = _LAT_SPAN / n_cells

@@ -358,14 +358,17 @@ def running_totals(ds, *, group_col: str, ts_col: str, id_col: str,
 
 
 def analytic_window(ds, *, group_col: str, ts_col: str, id_col: str,
-                    value_col: str):
+                    value_col: str, ntile: "int | None" = None):
     """Per-group analytic window functions in one distributed pass:
     ``ROW_NUMBER()``, ``DENSE_RANK()`` (over ``ts_col``) and ``LAG(v)``,
     each ``OVER (PARTITION BY g ORDER BY ts, id)`` — emitted for every
     row without ever collecting a group. ``id_col`` must be a unique
     int64 tie-break (total order) and ``value_col`` integral (exact
     int64; LAG of the first row per group is null).
-    → (id, g, rn, drk, lag_v).
+    → (id, g, rn, drk, lag_v[, nt]). ``ntile=k`` adds ``NTILE(k)``
+    (``nt``) — computed from rn + the O(groups) total table the offset
+    pass already accumulates (first ``n % k`` tiles get the extra row,
+    the SQL convention), so it costs no extra pass.
 
     Same scale shape as ``running_totals`` (windows.py:238): ONE sort by
     (g, ts, id) materialized, then two block-local passes stitched by a
@@ -467,15 +470,20 @@ def analytic_window(ds, *, group_col: str, ts_col: str, id_col: str,
                 last_v_seen[gv] = int(lv)
             offsets[k] = blk
     off_ref = _ray.put(offsets)
+    totals_ref = _ray.put(dict(cum_cnt) if parts else {})
 
-    _OUT = pa.schema(
-        [(id_col, pa.int64()), (group_col, pa.string()),
-         ("rn", pa.int64()), ("drk", pa.int64()), ("lag_v", pa.int64())]
-    )
+    _out_fields = [
+        (id_col, pa.int64()), (group_col, pa.string()),
+        ("rn", pa.int64()), ("drk", pa.int64()), ("lag_v", pa.int64()),
+    ]
+    if ntile is not None:
+        _out_fields.append(("nt", pa.int64()))
+    _OUT = pa.schema(_out_fields)
 
     class _Apply:
         def __init__(self):
             self.offsets = _ray.get(off_ref)
+            self.totals = _ray.get(totals_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             if len(b) == 0:
@@ -490,6 +498,7 @@ def analytic_window(ds, *, group_col: str, ts_col: str, id_col: str,
                                    "(materialized layout changed)")
             n = len(g)
             rn = np.empty(n, np.int64)
+            nt = np.empty(n, np.int64)
             drk = np.empty(n, np.int64)
             lag = np.empty(n, np.float64)  # NaN = null
             change = np.flatnonzero(g[1:] != g[:-1]) + 1
@@ -507,20 +516,34 @@ def analytic_window(ds, *, group_col: str, ts_col: str, id_col: str,
                     [[np.nan if seam_v is None else float(seam_v)],
                      v[s:e - 1].astype(np.float64)]
                 )
+                if ntile is not None:
+                    ntot = int(self.totals[gv])
+                    k_ = int(ntile)
+                    big = ntot % k_
+                    size_big = ntot // k_ + 1
+                    small = max(ntot // k_, 1)
+                    r0 = rn[s:e] - 1
+                    cutoff = big * size_big
+                    nt[s:e] = np.where(
+                        r0 < cutoff,
+                        r0 // size_big,
+                        big + (r0 - cutoff) // small,
+                    ) + 1
             isnull = np.isnan(lag)
-            return pa.table(
-                {
-                    id_col: pa.array(i, pa.int64()),
-                    group_col: b[group_col],
-                    "rn": pa.array(rn, pa.int64()),
-                    "drk": pa.array(drk, pa.int64()),
-                    "lag_v": pa.array(
-                        np.where(isnull, 0, lag).astype(np.int64),
-                        pa.int64(),
-                        mask=isnull,
-                    ),
-                }
-            )
+            cols = {
+                id_col: pa.array(i, pa.int64()),
+                group_col: b[group_col],
+                "rn": pa.array(rn, pa.int64()),
+                "drk": pa.array(drk, pa.int64()),
+                "lag_v": pa.array(
+                    np.where(isnull, 0, lag).astype(np.int64),
+                    pa.int64(),
+                    mask=isnull,
+                ),
+            }
+            if ntile is not None:
+                cols["nt"] = pa.array(nt, pa.int64())
+            return pa.table(cols)
 
     return mat.map_batches(
         _Apply, batch_format="pyarrow", batch_size=None, concurrency=2

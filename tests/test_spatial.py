@@ -806,3 +806,32 @@ def test_area_overlay_join_pairs_and_zonal(fixtures_dir, corpus):
             zonal.loc[z.query_id, "wmean_w"],
             (a * wvals[hit]).sum() / a.sum(), rtol=1e-12,
         )
+
+
+def test_nearest_neighbor_auto_res_matches_explicit(fixtures_dir):
+    """res=None auto-sizes the grid from the input count (r5: fixed res
+    was quadratic in cell population at 10x data); results must be
+    IDENTICAL to any explicit resolution — res only moves work between
+    the cell kernel and the tail resolver, never the answer."""
+    import pandas as pd
+
+    from rustac_ray.stages.knn import _auto_res, nearest_neighbor_join
+
+    ds = _images_ds(fixtures_dir)
+    auto = (
+        nearest_neighbor_join(ds, concurrency=2)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    explicit = (
+        nearest_neighbor_join(_images_ds(fixtures_dir), res=7, concurrency=2)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, explicit)
+    # sizing math: +1 level per 4x rows, clamped
+    class _C:
+        def __init__(self, n): self._n = n
+        def count(self): return self._n
+    assert _auto_res(_C(1_000_000)) == 10
+    assert _auto_res(_C(10_000_000)) == 12
+    assert _auto_res(_C(160_000_000)) == 14  # clamp top
+    assert _auto_res(_C(100)) == 6           # clamp bottom
