@@ -353,14 +353,19 @@ def funnel_counts_sessionized(
              "_n": np.asarray(counts, np.int64)}
         )
 
-    folded = (
+    raw = (
         events_ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
         .groupby("_lvl")
         .aggregate(Sum("_n", alias_name="n"))
         .to_pandas()
-        .set_index("_lvl")["n"]
+    )
+    # no matching events at all: the empty aggregate loses its schema
+    folded = (
+        raw.set_index("_lvl")["n"] if "_lvl" in raw.columns else pd.Series(
+            [], dtype="int64"
+        )
     )
     ns = [int(folded.get(i, 0)) for i in range(k)]
     base = max(ns[0], 1)
