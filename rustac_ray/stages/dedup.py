@@ -40,6 +40,7 @@ __all__ = [
     "MinHasher",
     "minhash_lsh_candidates",
     "multimodal_near_dup",
+    "scene_dominance_dedup",
     "ngram_jaccard_near_dup",
     "SimHasher",
     "phash_near_dup",
@@ -1918,4 +1919,153 @@ def multimodal_near_dup(
                 "caption_hamming": pa.array(ch[keep], pa.int64()),
             }
         )
+    )
+
+
+def scene_dominance_dedup(
+    items_ds,
+    *,
+    iou_threshold: float = 0.5,
+    time_window_s: float = 86_400.0,
+    id_col: str = "id",
+    ts_col: str = "datetime",
+    res: "int | None" = None,
+    max_pair_elems: int = 8_000_000,
+):
+    """GEOSPATIAL scene dedup (re-published / re-processed scene
+    suppression): an item is DOMINATED — and dropped — iff some
+    smaller-id item overlaps it with rect-IoU >= ``iou_threshold`` AND
+    |Δt| <= ``time_window_s``. The dominance rule (NOT EXISTS a smaller
+    qualifying neighbor) is deliberately non-transitive — unlike
+    CC-chaining it cannot collapse a swath of adjacent distinct scenes —
+    and is exactly SQL-expressible, so the oracle is a plain self-join.
+
+    Scale shape: the nearest_neighbor_join cell co-group — every item
+    ghosts into its 3×3 cell ring, one ``groupby(cell)`` co-locates each
+    HOME item with every candidate that can overlap it (grid level is
+    derived from the corpus' max footprint extent, so any overlapping
+    pair is always ±1 cell apart), and each item's verdict is decided
+    entirely inside its home group: no global dedup, no second pass.
+    Per-group work is one chunked (H, A) IoU matrix bounded by
+    ``max_pair_elems``. → Dataset of surviving rows (id, ts).
+
+    Float discipline: IoU evaluates min/max/sub/mul/div in the same
+    expression order as the SQL twin — IEEE-identical, so the >=
+    threshold decisions are bit-exact against DuckDB.
+    """
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Max
+
+    # grid level: cell dimension >= max footprint extent ⇒ overlapping
+    # pairs are always within the 3x3 ring (centers differ by
+    # < (w_a + w_b)/2 <= max extent <= cell dim)
+    if res is None:
+        ext = items_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "_e": pa.array(
+                        np.maximum(
+                            b["fp_xmax"].to_numpy() - b["fp_xmin"].to_numpy(),
+                            b["fp_ymax"].to_numpy() - b["fp_ymin"].to_numpy(),
+                        ),
+                        pa.float64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Max("_e"))["max(_e)"]
+        ext = max(float(ext or 0.0), 1e-9)
+        res = int(np.clip(np.floor(np.log2(180.0 / ext)), 3, 14))
+    n_cells = 1 << res
+    dlon = 360.0 / n_cells
+    dlat = 180.0 / n_cells
+    wnd_ms = np.int64(round(float(time_window_s) * 1000.0))
+
+    def explode(b: pa.Table) -> pa.Table:
+        x0 = b["fp_xmin"].to_numpy()
+        y0 = b["fp_ymin"].to_numpy()
+        x1 = b["fp_xmax"].to_numpy()
+        y1 = b["fp_ymax"].to_numpy()
+        cx = (x0 + x1) * 0.5
+        cy = (y0 + y1) * 0.5
+        tms = (
+            b[ts_col].cast(pa.timestamp("ms")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ids = np.asarray(b[id_col].to_pylist(), dtype=object)
+        gx = np.clip(((cx + 180.0) / dlon).astype(np.int64), 0, n_cells - 1)
+        gy = np.clip(((cy + 90.0) / dlat).astype(np.int64), 0, n_cells - 1)
+        parts = {k: [] for k in
+                 ("cell", id_col, "x0", "y0", "x1", "y1", "tms", "home")}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ex, ey = gx + dx, gy + dy
+                ok = (ex >= 0) & (ex < n_cells) & (ey >= 0) & (ey < n_cells)
+                parts["cell"].append(ey[ok] * n_cells + ex[ok])
+                parts[id_col].append(ids[ok])
+                parts["x0"].append(x0[ok])
+                parts["y0"].append(y0[ok])
+                parts["x1"].append(x1[ok])
+                parts["y1"].append(y1[ok])
+                parts["tms"].append(tms[ok])
+                parts["home"].append(
+                    np.full(int(ok.sum()), dx == 0 and dy == 0)
+                )
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(parts["cell"]), pa.int64()),
+                id_col: pa.array(
+                    np.concatenate(parts[id_col]), pa.string()
+                ),
+                "x0": pa.array(np.concatenate(parts["x0"]), pa.float64()),
+                "y0": pa.array(np.concatenate(parts["y0"]), pa.float64()),
+                "x1": pa.array(np.concatenate(parts["x1"]), pa.float64()),
+                "y1": pa.array(np.concatenate(parts["y1"]), pa.float64()),
+                "tms": pa.array(np.concatenate(parts["tms"]), pa.int64()),
+                "home": pa.array(np.concatenate(parts["home"]), pa.bool_()),
+            }
+        )
+
+    thr = float(iou_threshold)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        hm = g["home"].to_numpy()
+        hidx = np.flatnonzero(hm)
+        if len(hidx) == 0:
+            return pd.DataFrame(
+                {id_col: pd.array([], dtype="string"),
+                 "tms": pd.array([], dtype="int64")}
+            )
+        ids = g[id_col].to_numpy()
+        x0 = g["x0"].to_numpy(); y0 = g["y0"].to_numpy()
+        x1 = g["x1"].to_numpy(); y1 = g["y1"].to_numpy()
+        tm = g["tms"].to_numpy()
+        area = (x1 - x0) * (y1 - y0)
+        A = len(g)
+        dominated = np.zeros(len(hidx), bool)
+        step = max(1, max_pair_elems // max(A, 1))
+        for s in range(0, len(hidx), step):
+            e = min(s + step, len(hidx))
+            h = hidx[s:e]
+            iw = np.minimum(x1[h][:, None], x1[None, :]) - np.maximum(
+                x0[h][:, None], x0[None, :]
+            )
+            ih = np.minimum(y1[h][:, None], y1[None, :]) - np.maximum(
+                y0[h][:, None], y0[None, :]
+            )
+            inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+            iou = inter / (area[h][:, None] + area[None, :] - inter)
+            qual = (
+                (iou >= thr)
+                & (np.abs(tm[h][:, None] - tm[None, :]) <= wnd_ms)
+                & (ids[h][:, None] > ids[None, :])  # smaller id dominates
+            )
+            dominated[s:e] = qual.any(axis=1)
+        keep = hidx[~dominated]
+        return pd.DataFrame({id_col: ids[keep], "tms": tm[keep]})
+
+    return (
+        items_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pandas")
     )

@@ -292,3 +292,67 @@ def test_line_cql2_mask_column():
     assert pred.mask(tbl).tolist() == [True, False, False]
     pred = Cql2Predicate("S_CROSSES(geometry, LINESTRING(1.0 -1.0, 1.0 1.0))")
     assert pred.mask(tbl).tolist() == [True, False, False]
+
+
+# ------------------------------------------------ line relate properties ---
+# Random small-integer-grid geometries (exact float arithmetic — no eps
+# flakiness): the OGC relations obey symmetry / duality laws that catch
+# asymmetric kernel bugs without an external geometry oracle.
+
+
+def _rand_line(rng, npts=3):
+    # integer-grid polyline, consecutive points distinct
+    while True:
+        pts = rng.integers(0, 6, size=(npts, 2)).tolist()
+        if all(pts[i] != pts[i + 1] for i in range(len(pts) - 1)):
+            return {"type": "LineString", "coordinates": pts}
+
+
+def test_line_line_symmetry_and_duality():
+    rng = np.random.default_rng(23)
+    sym_ops = ("s_equals", "s_touches", "s_overlaps", "s_crosses")
+    n_checked = 0
+    for _ in range(300):
+        a = _rand_line(rng, int(rng.integers(2, 5)))
+        b = _rand_line(rng, int(rng.integers(2, 5)))
+        for op in sym_ops:
+            assert eval_relation(op, a, b) == eval_relation(op, b, a), (
+                op, a, b
+            )
+        # containment duality
+        assert eval_relation("s_contains", a, b) == eval_relation(
+            "s_within", b, a
+        ), (a, b)
+        # mutual containment <=> equals
+        both = eval_relation("s_contains", a, b) and eval_relation(
+            "s_contains", b, a
+        )
+        assert both == eval_relation("s_equals", a, b), (a, b)
+        # touches and crosses are mutually exclusive (ii differs)
+        assert not (
+            eval_relation("s_touches", a, b)
+            and eval_relation("s_crosses", a, b)
+        ), (a, b)
+        n_checked += 1
+    assert n_checked == 300
+
+
+def test_line_area_duality_grid():
+    rng = np.random.default_rng(29)
+    for _ in range(200):
+        line = _rand_line(rng, int(rng.integers(2, 5)))
+        x0, y0 = rng.integers(0, 4, 2)
+        w, h = rng.integers(1, 4, 2)
+        box = rect(float(x0), float(y0), float(x0 + w), float(y0 + h))
+        # area-contains-line duality: contains(area, line) == within(line, area)
+        assert eval_relation("s_contains", box, line) == eval_relation(
+            "s_within", line, box
+        ), (line, box)
+        # crosses symmetric across the dimension pair
+        assert eval_relation("s_crosses", box, line) == eval_relation(
+            "s_crosses", line, box
+        ), (line, box)
+        # touches symmetric
+        assert eval_relation("s_touches", box, line) == eval_relation(
+            "s_touches", line, box
+        ), (line, box)

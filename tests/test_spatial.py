@@ -835,3 +835,59 @@ def test_nearest_neighbor_auto_res_matches_explicit(fixtures_dir):
     assert _auto_res(_C(10_000_000)) == 12
     assert _auto_res(_C(160_000_000)) == 14  # clamp top
     assert _auto_res(_C(100)) == 6           # clamp bottom
+
+
+def test_scene_dominance_dedup_matches_bruteforce(ray_session):
+    """Scene dedup (r5): dominated = exists smaller-id item with
+    IoU >= t and |dt| <= w — vs an O(n^2) pandas control, including
+    planted exact-duplicate footprints and near-misses on both axes."""
+    import pandas as pd
+
+    from rustac_ray.stages.dedup import scene_dominance_dedup
+
+    rng = np.random.default_rng(17)
+    n = 400
+    x0 = rng.uniform(-110, -100, n)
+    y0 = rng.uniform(30, 40, n)
+    w = rng.uniform(0.05, 0.2, n)
+    df = pd.DataFrame(
+        {
+            "id": [f"s{k:04d}" for k in range(n)],
+            "fp_xmin": x0, "fp_ymin": y0,
+            "fp_xmax": x0 + w, "fp_ymax": y0 + w,
+            "datetime": pd.to_datetime("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+        }
+    )
+    # planted republished scenes: identical footprint, tiny time offset
+    for k in range(0, 60, 3):
+        df.loc[k + 1, ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]] = (
+            df.loc[k, ["fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]].to_numpy()
+        )
+        df.loc[k + 1, "datetime"] = df.loc[k, "datetime"] + pd.Timedelta("30min")
+
+    thr, wnd = 0.5, 3 * 86400.0
+    got = (
+        scene_dominance_dedup(
+            rd.from_pandas(df).repartition(5),
+            iou_threshold=thr, time_window_s=wnd,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+
+    # brute force
+    a = df.copy()
+    ax0, ay0 = a["fp_xmin"].to_numpy(), a["fp_ymin"].to_numpy()
+    ax1, ay1 = a["fp_xmax"].to_numpy(), a["fp_ymax"].to_numpy()
+    tm = a["datetime"].astype("datetime64[ms]").astype("int64").to_numpy()
+    ids = a["id"].to_numpy()
+    area = (ax1 - ax0) * (ay1 - ay0)
+    iw = np.minimum(ax1[:, None], ax1[None, :]) - np.maximum(ax0[:, None], ax0[None, :])
+    ih = np.minimum(ay1[:, None], ay1[None, :]) - np.maximum(ay0[:, None], ay0[None, :])
+    inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+    iou = inter / (area[:, None] + area[None, :] - inter)
+    qual = (iou >= thr) & (np.abs(tm[:, None] - tm[None, :]) <= wnd * 1000) \
+        & (ids[:, None] > ids[None, :])
+    keep = ids[~qual.any(axis=1)]
+    assert got["id"].tolist() == sorted(keep)
+    assert len(got) < n  # the planted duplicates actually dropped
