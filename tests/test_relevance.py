@@ -208,3 +208,34 @@ def test_hybrid_topk_rrf_fusion():
     np.testing.assert_allclose(got["rrf"], [v for _, v in want], rtol=0, atol=0)
     # a doc present in BOTH lists outranks single-list docs of equal rank
     assert got["rrf"].iloc[0] == max(got["rrf"])
+
+
+def test_text_index_bm25_bit_identical(ray_session, tmp_path):
+    """Persisted inverted index (state/textindex): query answers are
+    BIT-IDENTICAL to relevance.bm25_topk on the same corpus, for
+    in-corpus, mixed, and absent-token queries; only the token-owning
+    partitions are read."""
+    import os
+
+    import ray.data as rd
+
+    from rustac_ray.stages.relevance import bm25_topk
+    from rustac_ray.state.textindex import bm25_query_index, build_text_index
+
+    docs = lambda: rd.read_parquet(  # noqa: E731
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    idx = str(tmp_path / "tix")
+    meta = build_text_index(docs(), idx, partitions=8)
+    assert meta["n_docs"] == 500 and meta["posting_rows"] > 0
+    assert len(os.listdir(os.path.join(idx, "postings"))) <= 8
+
+    for q in (["join", "vector", "stream", "big"],
+              ["the", "zzzneverseen"], ["data"]):
+        a = bm25_query_index(idx, q, k=15)
+        bdf = bm25_topk(docs(), q, k=15).to_pandas()
+        assert a["doc_id"].tolist() == bdf["doc_id"].tolist(), q
+        assert (a["score"].to_numpy() == bdf["score"].to_numpy()).all(), q
+
+    # all-absent query: empty result, no crash
+    assert len(bm25_query_index(idx, ["zzznotoken"], k=5)) == 0
