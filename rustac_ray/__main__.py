@@ -205,6 +205,31 @@ def cmd_job(args):
     }))
 
 
+def cmd_textindex(args):
+    _ensure_ray()
+    import ray.data as rd
+
+    from .state.textindex import (
+        bm25_query_index, build_text_index, merge_text_index,
+    )
+
+    if args.action == "build":
+        out = build_text_index(
+            rd.read_parquet(args.input), args.index,
+            partitions=args.partitions,
+        )
+        print(json.dumps(out))
+    elif args.action == "merge":
+        out = merge_text_index(rd.read_parquet(args.input), args.index)
+        print(json.dumps(out))
+    else:  # query
+        df = bm25_query_index(
+            args.index, args.query.split(","), k=args.k
+        )
+        for rec in df.to_dict("records"):
+            print(json.dumps(rec))
+
+
 def cmd_sample(args):
     _ensure_ray()
     import ray.data as rd
@@ -785,6 +810,18 @@ def main(argv=None):
                     help="Misra-Gries candidate cap (unbounded-vocab path)")
     hh.add_argument("-o", "--output")
     hh.set_defaults(fn=cmd_hitters)
+
+    ti = sub.add_parser(
+        "textindex",
+        help="persisted inverted index: build / merge / BM25 query",
+    )
+    ti.add_argument("action", choices=["build", "merge", "query"])
+    ti.add_argument("index", help="index directory")
+    ti.add_argument("--input", help="build/merge: documents parquet")
+    ti.add_argument("--query", help="query: comma-separated tokens")
+    ti.add_argument("--k", type=int, default=20)
+    ti.add_argument("--partitions", type=int, default=16)
+    ti.set_defaults(fn=cmd_textindex)
 
     zn = sub.add_parser("zonal", help="per-zone decoded-pixel statistics")
     zn.add_argument("input", help="image payload parquet (input_hint schema)")

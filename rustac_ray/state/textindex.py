@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["build_text_index", "bm25_query_index"]
+__all__ = ["build_text_index", "bm25_query_index", "merge_text_index"]
 
 _META = "_meta.json"
 
@@ -189,3 +189,80 @@ def bm25_query_index(
         ["score", id_col], ascending=[False, True], kind="mergesort"
     ).head(k)
     return out.reset_index(drop=True)
+
+
+def merge_text_index(
+    new_ds,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incremental ingest: fold NEW documents' postings into the
+    existing partition files (read owning partition + concat + resort +
+    atomic rewrite) and bump the BM25 globals. Cost is
+    O(new postings + touched partitions' existing rows) — every
+    partition is typically touched (a document's tokens hash across the
+    whole partition space), so partitions are the rewrite parallelism
+    unit, exactly like the clustered store's owning files. New doc ids
+    must be disjoint from the indexed ones (same contract as
+    incremental_dedup's ingest side); queries after a merge are
+    bit-identical to a from-scratch build over the union corpus."""
+    from ..stages.relevance import _tokenize
+
+    index_dir = os.path.abspath(index_dir)
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    P = int(meta["partitions"])
+    pdir = os.path.join(index_dir, "postings")
+
+    def postings(b: pa.Table) -> pd.DataFrame:
+        flat, parent = _tokenize(b, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent, minlength=len(ids)).astype(np.int64)
+        df = pd.DataFrame(
+            {"_p": parent, "token": flat.to_pandas().to_numpy()}
+        )
+        tf = df.groupby(["_p", "token"], sort=False).size().reset_index(
+            name="tf"
+        )
+        return pd.DataFrame(
+            {
+                "part": _part_of(tf["token"].to_numpy(), P),
+                "token": tf["token"].to_numpy(),
+                id_col: ids[tf["_p"].to_numpy()],
+                "tf": tf["tf"].to_numpy().astype(np.int64),
+                "dl": dl[tf["_p"].to_numpy()],
+            }
+        )
+
+    rows = new_ds.map_batches(postings, batch_format="pyarrow").materialize()
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        fname = os.path.join(pdir, f"part-{p:04d}.parquet")
+        add = g[["token", id_col, "tf", "dl"]]
+        if os.path.exists(fname):
+            old = pq.read_table(fname).to_pandas()
+            add = pd.concat([old, add], ignore_index=True)
+        add = add.sort_values(["token", id_col], kind="mergesort")
+        t = pa.Table.from_pandas(add, preserve_index=False)
+        tmp = fname + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp, compression="zstd", row_group_size=65536)
+        os.replace(tmp, fname)
+        return pd.DataFrame({"part": [p], "rows": [len(add)]})
+
+    stats = rows.groupby("part").map_groups(
+        fold_part, batch_format="pandas"
+    ).to_pandas()
+
+    from ray.data.aggregate import Sum
+
+    n_new_tokens = rows.aggregate(Sum("tf"))["sum(tf)"] or 0
+    meta["n_docs"] = int(meta["n_docs"]) + int(new_ds.count())
+    meta["n_tokens"] = int(meta["n_tokens"]) + int(n_new_tokens)
+    tmp = os.path.join(index_dir, _META + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _META))
+    return {**meta, "posting_rows_touched": int(stats["rows"].sum())}

@@ -281,3 +281,15 @@ def test_cli_cluster_attrs_and_view_chain(fixtures_dir, tmp_path, capsys):
     main(["cluster", "view-chain-refresh", store, "--dest", child])
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["mode"] == "noop"
+
+
+def test_cli_textindex(sf_dir, tmp_path, capsys):
+    idx = str(tmp_path / "tix")
+    main(["textindex", "build", idx,
+          "--input", f"{sf_dir}/documents.parquet", "--partitions", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 500
+    main(["textindex", "query", idx, "--query", "join,vector", "--k", "5"])
+    rows = [json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5 and rows[0]["score"] >= rows[-1]["score"]

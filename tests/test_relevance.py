@@ -239,3 +239,40 @@ def test_text_index_bm25_bit_identical(ray_session, tmp_path):
 
     # all-absent query: empty result, no crash
     assert len(bm25_query_index(idx, ["zzznotoken"], k=5)) == 0
+
+
+def test_text_index_incremental_merge(ray_session, tmp_path):
+    """Index lifecycle: build over half the corpus, merge the rest —
+    queries bit-identical to a from-scratch build over the union."""
+    import ray.data as rd
+
+    from rustac_ray.state.textindex import (
+        bm25_query_index, build_text_index, merge_text_index,
+    )
+
+    full = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    first = full.filter(lambda r: r["doc_id"] < 250)
+    rest = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).filter(lambda r: r["doc_id"] >= 250)
+
+    inc = str(tmp_path / "inc")
+    build_text_index(first, inc, partitions=8)
+    out = merge_text_index(rest, inc)
+    assert out["n_docs"] == 500
+
+    ref = str(tmp_path / "ref")
+    build_text_index(
+        rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        ),
+        ref, partitions=8,
+    )
+    for q in (["join", "vector", "stream", "big"], ["data"]):
+        a = bm25_query_index(inc, q, k=15)
+        bdf = bm25_query_index(ref, q, k=15)
+        assert a["doc_id"].tolist() == bdf["doc_id"].tolist()
+        assert (a["score"].to_numpy() == bdf["score"].to_numpy()).all()
