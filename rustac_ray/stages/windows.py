@@ -22,6 +22,7 @@ import pyarrow as pa
 
 __all__ = [
     "tumbling", "sliding", "session_windows", "running_totals",
+    "tumbling_distinct",
     "analytic_window",
 ]
 
@@ -548,3 +549,75 @@ def analytic_window(ds, *, group_col: str, ts_col: str, id_col: str,
     return mat.map_batches(
         _Apply, batch_format="pyarrow", batch_size=None, concurrency=2
     )
+
+
+def tumbling_distinct(
+    events_ds,
+    size_s: int,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    n_buckets: "int | None" = None,
+):
+    """EXACT distinct users per tumbling window → (window_start,
+    n_distinct), window_start = epoch-ms floor to the window size
+    (integer arithmetic, matching a SQL epoch_ms // size twin).
+
+    Scale shape (the funnel family's bucketed co-group): per-batch
+    LOCAL dedup of (window, user) pairs shrinks the shuffle to the
+    distinct mass, users hash into a bounded bucket count
+    (auto-sized from input count), each bucket counts ITS users'
+    distinct (window, user) pairs vectorized — exact globally because a
+    user lives in one bucket — then an O(windows) count fold. No
+    corpus-sized distinct state anywhere (the approximate companion is
+    sketch.approx_distinct/HLL)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .funnel import _auto_buckets, _bucket_of
+
+    n_buckets = _auto_buckets(events_ds, n_buckets)
+    size_ms = np.int64(int(size_s) * 1000)
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        ms = (
+            pc.cast(b[ts_col], pa.timestamp("ms"), safe=False)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "_w": (ms // size_ms) * size_ms,
+                user_col: b[user_col].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["_b"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["_w", user_col]].drop_duplicates()
+        out = d.groupby("_w", as_index=False).size().rename(
+            columns={"size": "_n"}
+        )
+        out["_n"] = out["_n"].astype("int64")
+        return out[["_w", "_n"]]
+
+    folded = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("_w")
+        .aggregate(Sum("_n", alias_name="n_distinct"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": b["_w"].cast(pa.int64()),
+                "n_distinct": b["n_distinct"].cast(pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -342,3 +342,35 @@ def test_analytic_window_single_group_single_block():
     lag = got["lag_v"].astype("Float64")
     assert lag.isna().tolist() == [False, True, False, False, False]
     assert lag.fillna(-1).tolist() == [40.0, -1.0, 20.0, 30.0, 10.0]
+
+
+def test_tumbling_distinct_matches_pandas(ray_session):
+    """Exact windowed COUNT DISTINCT via the bucketed co-group vs a
+    pandas nunique control, including users active in many windows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.stages.windows import tumbling_distinct
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 120, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+        }
+    )
+    got = (
+        tumbling_distinct(rd.from_pandas(df).repartition(7), 3600)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    b = df.copy()
+    b["w"] = (b["ts"].astype("int64") // 10**6 // 3_600_000) * 3_600_000
+    want = (
+        b.groupby("w")["user_id"].nunique().reset_index(name="n_distinct")
+        .rename(columns={"w": "window_start"})
+        .astype("int64")
+        .sort_values("window_start").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
