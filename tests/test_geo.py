@@ -289,3 +289,49 @@ def test_hex_matches_scalar_twin():
         elif dz > dy:
             rz = -rx - ry
         assert ((int(rx) + off) << 32) | (int(rz) + off) == g
+
+
+def test_track_lengths_multisegment(ray_session):
+    """Geodesic track length over diagonal + multi-part lines vs a
+    scalar haversine control; null geometry and 1-point parts safe."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.geo.wkb import encode_geometry
+    from rustac_ray.stages.tracks import track_lengths
+
+    R = 6371.0088
+
+    def hav_km(p, q):
+        lo1, la1 = np.radians(p)
+        lo2, la2 = np.radians(q)
+        h = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(
+            (lo2 - lo1) / 2
+        ) ** 2
+        return 2 * R * np.arcsin(np.sqrt(h))
+
+    g1 = {"type": "LineString", "coordinates": [[0, 0], [1, 1], [2, 0]]}
+    g2 = {
+        "type": "MultiLineString",
+        "coordinates": [[[10, 10], [10, 11]], [[20, 20], [21, 20]]],
+    }
+    tbl = pd.DataFrame(
+        {
+            "item_id": ["a", "b", "c"],
+            "geometry": [
+                encode_geometry(g1), encode_geometry(g2), None
+            ],
+        }
+    )
+    got = (
+        track_lengths(rd.from_pandas(tbl))
+        .to_pandas().set_index("item_id")
+    )
+    w1 = hav_km((0, 0), (1, 1)) + hav_km((1, 1), (2, 0))
+    w2 = hav_km((10, 10), (10, 11)) + hav_km((20, 20), (21, 20))
+    assert got.loc["a", "length_m"] == round(w1 * 1000)
+    assert got.loc["b", "length_m"] == round(w2 * 1000)
+    assert got.loc["a", "n_segments"] == 2
+    assert got.loc["b", "n_segments"] == 2
+    assert got.loc["c", "length_m"] == 0 and got.loc["c", "n_segments"] == 0
