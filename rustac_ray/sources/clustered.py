@@ -48,6 +48,7 @@ from ..stages.footprint import derive_footprints
 from . import evolution
 
 __all__ = [
+    "apply_changes",
     "evolve_clustered",
     "stat_clustered",
     "explain_clustered",
@@ -3012,3 +3013,54 @@ def knn_clustered(
                 f"knn_clustered: probe {qid} unresolved after {max_rounds} rings"
             )
     return pd.DataFrame(out_rows, columns=["query_id", "image_id", "dist"])
+
+
+def apply_changes(
+    src_dir: str,
+    dst_dir: str,
+    v_from: int,
+    v_to: "int | None" = None,
+    *,
+    id_col: str = "image_id",
+    footprints_derived: bool = True,
+) -> dict:
+    """CDC APPLY — replicate a store mutation window onto a replica
+    (the lakehouse downstream-sync): read the ``changes_clustered``
+    feed for ``v_from → v_to``, fetch the changed rows' CURRENT content
+    from the source (one id-filtered scan — the same one-column-probe
+    cost contract as delete-by-ids), DELETE the deleted ids on the
+    replica and UPSERT the inserted/updated rows. After applying, a
+    replica cloned at ``v_from`` holds exactly the source's ``v_to``
+    rows. Cost is O(delta rows + touched replica files) — nothing
+    store-sized moves.
+
+    The change feed is delta-bounded but materialized on the driver as
+    (id, change) pairs — the same residency class as the delete-by-ids
+    id list (max_ids guard there); for bigger windows, apply in
+    version-sized steps.
+    """
+    import pyarrow.compute as pc
+
+    src_dir = os.path.abspath(src_dir)
+    dst_dir = os.path.abspath(dst_dir)
+    ch = changes_clustered(src_dir, v_from, v_to, id_col=id_col).to_pandas()
+    if len(ch) == 0:
+        return {"deletes": 0, "upserts": 0, "noop": True}
+    del_ids = ch.loc[ch["change"] == "delete", id_col].tolist()
+    up_ids = ch.loc[ch["change"].isin(["insert", "update"]), id_col].tolist()
+    out: dict = {"deletes": len(del_ids), "upserts": len(up_ids)}
+    if up_ids:
+        rows = read_clustered(
+            src_dir, version=v_to,
+            filter=pc.field(id_col).isin(up_ids),
+        )
+        names = rows.schema().names
+        if "_zkey" in names:  # replica derives its own layout key
+            rows = rows.drop_columns(["_zkey"])
+        upsert_clustered(
+            dst_dir, rows, id_col=id_col,
+            footprints_derived=footprints_derived,
+        )
+    if del_ids:
+        delete_clustered(dst_dir, ids=del_ids, id_col=id_col)
+    return out

@@ -176,3 +176,59 @@ def test_cdc_duplicate_id_raises(tmp_path):
     delete_clustered(out, bbox=(1.9, 1.9, 3.0, 3.0))  # drop 'b' → delta exists
     with pytest.raises(Exception, match="unique"):
         changes_clustered(out, 0).materialize()
+
+
+def test_apply_changes_replicates_store(ray_session, tmp_path, fixtures_dir):
+    """CDC APPLY (r5): clone at v0, mutate the source (AOI delete +
+    merge of new rows + upsert of changed rows), apply the v0→current
+    feed onto the clone — replica content equals the source exactly."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rustac_ray.pipelines.flagship import read_images_metadata
+    from rustac_ray.sources.clustered import (
+        apply_changes, clone_clustered, delete_clustered, merge_clustered,
+        read_clustered, upsert_clustered, write_clustered,
+    )
+    from rustac_ray.stages.footprint import derive_footprints
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = read_images_metadata("/root/testdata/sf0.001").map_batches(
+        derive_footprints, batch_format="pyarrow"
+    )
+    write_clustered(base, src, footprints_derived=True, rows_per_file=64)
+    clone_clustered(src, dst)
+
+    # mutate the source three ways
+    delete_clustered(src, bbox=(-110.0, 35.0, -105.0, 40.0))
+    df = base.to_pandas()
+    extra = df.head(25).copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    merge_clustered(src, rd.from_pandas(extra), footprints_derived=True)
+    changed = df.iloc[30:40].copy()
+    changed["w"] = changed["w"] + 1000
+    upsert_clustered(
+        src, rd.from_pandas(changed), id_col="image_id",
+        footprints_derived=True,
+    )
+
+    out = apply_changes(src, dst, 0, id_col="image_id")
+    assert out["upserts"] > 0 and out["deletes"] > 0
+
+    cols = ["image_id", "collection", "w", "h"]
+    a = read_clustered(src, columns=cols).to_pandas().sort_values(
+        "image_id"
+    ).reset_index(drop=True)
+    b = read_clustered(dst, columns=cols).to_pandas().sort_values(
+        "image_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # idempotent: an empty window (current -> current) applies nothing
+    from rustac_ray.sources.clustered import store_version
+
+    cur = store_version(src)
+    again = apply_changes(src, dst, cur, id_col="image_id")
+    assert again.get("noop") or (again["deletes"] == 0 and again["upserts"] == 0)
