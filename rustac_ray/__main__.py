@@ -521,6 +521,28 @@ def cmd_cluster(args):
         )
         for rec in ds.to_pandas().to_dict("records"):
             print(json.dumps(rec))
+    elif args.action == "delete":
+        from .sources.clustered import delete_clustered
+
+        bbox = (
+            tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
+        )
+        ids = args.ids.split(",") if args.ids else None
+        if bbox is None and ids is None and not args.datetime:
+            raise SystemExit(
+                "cluster delete: need --bbox, --ids and/or --datetime"
+            )
+        print(json.dumps(delete_clustered(
+            args.store, bbox=bbox, ids=ids, datetime=args.datetime,
+            id_col=args.id_col,
+        )))
+    elif args.action == "apply-changes":
+        from .sources.clustered import apply_changes
+
+        print(json.dumps(apply_changes(
+            args.store, args.dest, args.from_version, args.version,
+            id_col=args.id_col,
+        )))
     elif args.action == "clone":
         from .sources.clustered import clone_clustered
 
@@ -625,11 +647,11 @@ def main(argv=None):
     cl.add_argument(
         "action",
         choices=[
-            "write", "merge", "read", "compact", "info", "knn",
+            "write", "merge", "read", "compact", "delete", "info", "knn",
             "versions", "vacuum", "schema", "evolve", "changes",
             "clone", "maintain", "stat", "explain",
             "view-create", "view-refresh", "view-read", "view-chain",
-            "view-chain-refresh",
+            "view-chain-refresh", "apply-changes",
         ],
     )
     cl.add_argument("--dest", help="clone/view-*: destination directory")
@@ -648,7 +670,9 @@ def main(argv=None):
                          "timestamp (ISO)")
     cl.add_argument("--stat-col", dest="stat_col",
                     help="stat: zone-mapped column name")
-    cl.add_argument("--datetime", help="explain: STAC datetime / interval")
+    cl.add_argument("--datetime",
+                    help="explain/delete: STAC datetime / interval")
+    cl.add_argument("--ids", help="delete: comma-separated ids")
     cl.add_argument(
         "--range", action="append", metavar="COL=LO:HI",
         help="explain: zone-map column range, JSON endpoints "

@@ -293,3 +293,24 @@ def test_cli_textindex(sf_dir, tmp_path, capsys):
     rows = [json.loads(l)
             for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 5 and rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_cli_apply_changes(fixtures_dir, tmp_path, capsys):
+    src = str(tmp_path / "cdc_src")
+    dst = str(tmp_path / "cdc_dst")
+    main(["cluster", "write", src,
+          "--input", f"{fixtures_dir}/images.parquet"])
+    capsys.readouterr()
+    main(["cluster", "clone", src, "--dest", dst])
+    capsys.readouterr()
+    main(["cluster", "delete", src, "--bbox=-110,35,-105,40"])
+    capsys.readouterr()
+    main(["cluster", "apply-changes", src, "--dest", dst,
+          "--from-version", "0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deletes"] > 0
+    main(["cluster", "info", src])
+    a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["cluster", "info", dst])
+    b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a["rows"] == b["rows"]
