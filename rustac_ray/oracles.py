@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from . import synth
 
-DERIVED_VERSION = "30"
+DERIVED_VERSION = "31"
 
 _U64 = 1 << 64
 _MERSENNE = (1 << 61) - 1
@@ -810,6 +810,48 @@ def _validation_fixture(fdir: str) -> pa.Table:
 
 
 # ----------------------------------------------------------- zonal oracle --
+
+
+def _expected_band_math(fdir: str) -> pa.Table:
+    """Scalar double-implementation of BandMath: per-image Σ(R−G) and
+    Σ(R+G) accumulated with PYTHON ints over decoded pixel lists — an
+    independent arithmetic path from the numpy kernel, exact by
+    construction."""
+    import glob as _glob
+
+    from .imaging.codec import decode_image
+
+    rows = {"image_id": [], "decoded": [], "n_px": [],
+            "sum_diff": [], "sum_plus": []}
+    for p_ in sorted(_glob.glob(os.path.join(fdir, "images.parquet", "*.parquet"))):
+        t = pq.read_table(p_, columns=["image_id", "bytes", "fmt"])
+        for iid, buf, fmt in zip(
+            t["image_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["fmt"].to_pylist(),
+        ):
+            px = decode_image(buf, fmt)
+            sd = 0
+            sp = 0
+            n = 0
+            for row in px.tolist():
+                for r, g, _b in row:
+                    sd += r - g
+                    sp += r + g
+                    n += 1
+            rows["image_id"].append(iid)
+            rows["decoded"].append(True)
+            rows["n_px"].append(n)
+            rows["sum_diff"].append(sd)
+            rows["sum_plus"].append(sp)
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "decoded": pa.array(rows["decoded"], pa.bool_()),
+            "n_px": pa.array(rows["n_px"], pa.int64()),
+            "sum_diff": pa.array(rows["sum_diff"], pa.int64()),
+            "sum_plus": pa.array(rows["sum_plus"], pa.int64()),
+        }
+    )
 
 
 def _expected_zonal(fdir: str) -> pa.Table:
@@ -2153,6 +2195,7 @@ def ensure_derived_fixtures(sf_dir: str) -> str:
     write("expected_kmeans_train.parquet", _expected_kmeans_train(sf_dir))
     write("expected_packing.parquet", _expected_packing(docs))
     write("expected_zonal.parquet", _expected_zonal(fdir))
+    write("expected_band_math.parquet", _expected_band_math(fdir))
     write("expected_point_samples.parquet", _expected_point_samples(fdir))
     write("expected_bpe.parquet", _expected_bpe(docs))
     write("expected_lm_scores.parquet", _expected_lm_scores(docs))

@@ -20,7 +20,8 @@ import pyarrow as pa
 from ..imaging.codec import LossyCodecUnavailable, decode_image
 from ..imaging.phash import average_hash
 
-__all__ = ["DecodeStats", "Thumbnail", "VerifyPayload", "RandomCrop", "DEFAULT_IMAGE_BATCH"]
+__all__ = ["DecodeStats", "BandMath", "Thumbnail", "VerifyPayload",
+           "RandomCrop", "DEFAULT_IMAGE_BATCH"]
 
 # image rows are wide (KBs of binary each): keep payload batches small so
 # batch_size x concurrency x row_width stays well inside a worker heap
@@ -62,6 +63,46 @@ class DecodeStats:
         for c, name in enumerate(("std_r", "std_g", "std_b")):
             out = out.append_column(name, pa.array(std[:, c], pa.float64()))
         out = out.append_column("phash_recomputed", pa.array(ph, pa.int64()))
+        return out
+
+
+class BandMath:
+    """Per-image band algebra (r5): decode once, fold the
+    normalized-difference index (R−G)/(R+G) — the NDVI shape on the
+    synthetic RGB's first two channels — as INTEGER partials:
+    ``sum_diff = Σ(R−G)``, ``sum_plus = Σ(R+G)``, ``n_px``. Integer
+    sums are exact and order-free (hashable against a scalar oracle);
+    the float index mean derives as one division downstream. The
+    actor-pool decode-once shape of every pixel op here."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n = len(batch)
+        npx = np.zeros(n, np.int64)
+        sdiff = np.zeros(n, np.int64)
+        splus = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        for i in range(n):
+            try:
+                px = decode_image(payloads[i], fmts[i])
+            except LossyCodecUnavailable:
+                if self.strict:
+                    raise
+                continue
+            f = px.reshape(-1, 3).astype(np.int64)
+            npx[i] = len(f)
+            sdiff[i] = int((f[:, 0] - f[:, 1]).sum())
+            splus[i] = int((f[:, 0] + f[:, 1]).sum())
+            ok[i] = True
+        out = batch.select(["image_id"])
+        out = out.append_column("decoded", pa.array(ok))
+        out = out.append_column("n_px", pa.array(npx, pa.int64()))
+        out = out.append_column("sum_diff", pa.array(sdiff, pa.int64()))
+        out = out.append_column("sum_plus", pa.array(splus, pa.int64()))
         return out
 
 

@@ -169,3 +169,33 @@ def test_multimodal_near_dup_requires_both(ray_session):
     # thresholds verifiable from the emitted hammings
     row = out.set_index(["id_a", "id_b"]).loc[("a1", "a2")]
     assert row["phash_hamming"] == 0 and row["caption_hamming"] <= 12
+
+
+def test_band_math_matches_direct(ray_session, fixtures_dir):
+    """BandMath integer partials equal a direct numpy decode over the
+    same payloads; index mean derives exactly from the int sums."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rustac_ray.imaging.codec import decode_image
+    from rustac_ray.stages.multimodal import BandMath
+
+    got = (
+        rd.read_parquet(f"{fixtures_dir}/images.parquet")
+        .map_batches(BandMath, batch_format="pyarrow", concurrency=2,
+                     batch_size=256)
+        .to_pandas().set_index("image_id")
+    )
+    import glob
+    files = sorted(glob.glob(f"{fixtures_dir}/images.parquet/*.parquet"))
+    t = pq.read_table(files[0], columns=["image_id", "bytes", "fmt"])
+    for iid, buf, fmt in list(zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(),
+        t["fmt"].to_pylist(),
+    ))[:50]:
+        px = decode_image(buf, fmt).reshape(-1, 3).astype(np.int64)
+        assert got.loc[iid, "sum_diff"] == int((px[:, 0] - px[:, 1]).sum())
+        assert got.loc[iid, "sum_plus"] == int((px[:, 0] + px[:, 1]).sum())
+        assert got.loc[iid, "n_px"] == len(px)
+    assert bool(got["decoded"].all())
