@@ -49,6 +49,7 @@ from . import evolution
 
 __all__ = [
     "apply_changes",
+    "diff_stores",
     "evolve_clustered",
     "stat_clustered",
     "explain_clustered",
@@ -3064,3 +3065,96 @@ def apply_changes(
     if del_ids:
         delete_clustered(dst_dir, ids=del_ids, id_col=id_col)
     return out
+
+
+def diff_stores(
+    a_dir: str,
+    b_dir: str,
+    *,
+    id_col: str = "image_id",
+    columns: "list[str] | None" = None,
+    n_buckets: "int | None" = None,
+):
+    """Content DIFF of two clustered stores (replica drift audit,
+    migration verification): → Dataset (id_col, change) with change ∈
+    {'insert', 'update', 'delete'} describing how B differs from A
+    (insert = in B only, delete = in A only, update = both present but
+    any compared column differs; unchanged rows emit nothing).
+
+    ``columns`` bounds the comparison (default: the stores' common
+    LOGICAL columns minus internal layout columns). Unlike
+    ``changes_clustered`` (same store, manifest-bounded delta), a
+    cross-store diff must read both corpora once — the shape is the
+    funnel family's bucketed co-group: both sides project to
+    (id, compared columns), ids hash into a bounded bucket count
+    (auto-sized from the larger side), and each bucket does ONE indexed
+    pandas compare. Requires ``id_col`` unique per store.
+    """
+    import pandas as pd
+    import ray.data as rd  # noqa: F401
+
+    from ..stages.funnel import _auto_buckets, _bucket_of
+
+    a_dir = os.path.abspath(a_dir)
+    b_dir = os.path.abspath(b_dir)
+    dsa = read_clustered(a_dir)
+    dsb = read_clustered(b_dir)
+    if columns is None:
+        internal = {"_zkey", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax",
+                    "fp_corners"}
+        # default comparison set: common PRIMITIVE columns (numeric /
+        # string / bool / temporal) — nested and binary payloads need an
+        # explicit caller choice (compare a digest column instead)
+        schema_a = dsa.schema().base_schema
+        prim = set()
+        for f in schema_a:
+            t = f.type
+            if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_boolean(t) or pa.types.is_temporal(t)):
+                prim.add(f.name)
+        columns = [
+            c for c in dsa.schema().names
+            if c in set(dsb.schema().names) and c not in internal
+            and c != id_col and c in prim
+        ]
+    need = [id_col] + list(columns)
+    n_buckets = _auto_buckets(dsa if dsa.count() >= dsb.count() else dsb,
+                              n_buckets)
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pd.DataFrame:
+            df = b.select(need).to_pandas()
+            df["_b"] = _bucket_of(df[id_col].to_numpy(), n_buckets)
+            df["_side"] = np.int8(side)
+            return df
+
+        return fn
+
+    both = dsa.map_batches(tag(0), batch_format="pyarrow").union(
+        dsb.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["_side"] == 0].set_index(id_col)
+        b = g[g["_side"] == 1].set_index(id_col)
+        ins = b.index.difference(a.index)
+        dele = a.index.difference(b.index)
+        shared = a.index.intersection(b.index)
+        upd = []
+        if len(shared):
+            av = a.loc[shared, list(columns)]
+            bv = b.loc[shared, list(columns)]
+            # NaN-safe inequality per cell
+            neq = ~((av.values == bv.values)
+                    | (pd.isna(av.values) & pd.isna(bv.values)))
+            upd = shared[neq.any(axis=1)]
+        return pd.DataFrame(
+            {
+                id_col: list(ins) + list(upd) + list(dele),
+                "change": ["insert"] * len(ins) + ["update"] * len(upd)
+                + ["delete"] * len(dele),
+            }
+        )
+
+    return both.groupby("_b").map_groups(per_bucket, batch_format="pandas")

@@ -232,3 +232,39 @@ def test_apply_changes_replicates_store(ray_session, tmp_path, fixtures_dir):
     cur = store_version(src)
     again = apply_changes(src, dst, cur, id_col="image_id")
     assert again.get("noop") or (again["deletes"] == 0 and again["upserts"] == 0)
+
+
+def test_diff_stores_classifies_drift(ray_session, tmp_path, fixtures_dir):
+    """Cross-store diff: clone + planted mutations classify exactly;
+    identical stores diff to empty."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rustac_ray.pipelines.flagship import read_images_metadata
+    from rustac_ray.sources.clustered import (
+        clone_clustered, delete_clustered, diff_stores, merge_clustered,
+        write_clustered,
+    )
+    from rustac_ray.stages.footprint import derive_footprints
+
+    a = str(tmp_path / "da")
+    b = str(tmp_path / "db")
+    base = read_images_metadata("/root/testdata/sf0.001").map_batches(
+        derive_footprints, batch_format="pyarrow"
+    )
+    write_clustered(base, a, footprints_derived=True, rows_per_file=64)
+    clone_clustered(a, b)
+    assert diff_stores(a, b).count() == 0  # identical clones
+
+    df = base.to_pandas()
+    victims = set(df["image_id"].iloc[:7])
+    delete_clustered(b, ids=list(victims), id_col="image_id")
+    extra = df.iloc[10:15].copy()
+    extra["image_id"] = "new-" + extra["image_id"]
+    merge_clustered(b, rd.from_pandas(extra), footprints_derived=True)
+
+    got = diff_stores(a, b).to_pandas()
+    by = got.set_index("image_id")["change"]
+    assert set(by[by == "delete"].index) == victims
+    assert set(by[by == "insert"].index) == set(extra["image_id"])
+    assert (by != "update").all()  # no content drift planted
